@@ -1,0 +1,60 @@
+"""Engine configuration.
+
+The reference's tuning surface is six env vars read by ``get_env_int``
+(reference ``src/flexible_mpi.c:25-33`` with defaults at ``:308-313``); ours is
+two small dataclasses recorded verbatim in the index manifest so the query side
+always uses the identical analyzer (SURVEY.md section 2.10).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Tokenizer configuration.
+
+    The default analyzer lowercases and extracts maximal runs of
+    ``[a-z0-9_]`` — code-aware enough to keep identifiers like
+    ``snake_case_names`` whole, and exactly expressible in ANSI SQL
+    (``string_split_regex(lower(text), '[^a-z0-9_]+')``) so the DuckDB
+    correctness oracle can replicate it bit-for-bit.
+    """
+
+    lowercase: bool = True
+    token_pattern: str = "[a-z0-9_]+"
+
+    def fingerprint(self) -> str:
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Index build + query configuration.
+
+    ``num_partitions`` is the explicit term-hash partition count (the only wide
+    shuffle in the build, SURVEY.md section 2.11/P1-P3). ``salt_buckets`` is the
+    fan-out for heavy-hitter terms: a term whose document frequency exceeds
+    ``salt_df_threshold`` (as a fraction of N) has its postings split across
+    ``salt_buckets`` partitions keyed by ``hash(doc_id)`` (SURVEY.md section 4,
+    "salt hot terms"); global df for salted terms is re-aggregated in the
+    finalize step so BM25 idf stays exact.
+    """
+
+    num_partitions: int = 16
+    salt_buckets: int = 4
+    salt_df_threshold: float = 0.25  # fraction of N above which a term is "hot"
+    heavy_hitter_track: int = 512    # per-batch top-M terms tracked in the stats pass
+    block_size: int = 128            # postings per block for block-max metadata
+    bm25_k1: float = 1.2
+    bm25_b: float = 0.75
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+
+    def fingerprint(self) -> str:
+        d = asdict(self)
+        return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]

@@ -1,0 +1,112 @@
+"""Stable hashing utilities.
+
+Everything here must be deterministic across processes and Python versions
+(``hash()`` is salted per process — never used). Term partitioning, doc-id
+fingerprints, minhash/simhash and the rolling fingerprint all build on
+blake2b/md5/sha256 from hashlib plus numpy splitmix-style mixing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def stable_u64(s: str) -> int:
+    """Stable 64-bit hash of a string (blake2b, 8-byte digest)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def doc_fingerprint(repo: str, path: str) -> int:
+    """Deterministic non-negative int63 doc id from identity ``(repo, path)``.
+
+    Replaces the reference's rank-order doc identity (file ``i`` = rank ``i``,
+    ``src/flexible_mpi.c:232-233``) with a sort-free, cluster-stable id — no
+    global sort needed at 10^12-file scale.
+    """
+    h = hashlib.blake2b(digest_size=8)
+    h.update(repo.encode("utf-8"))
+    h.update(b"\x00")
+    h.update(path.encode("utf-8"))
+    return int.from_bytes(h.digest(), "little") & 0x7FFFFFFFFFFFFFFF
+
+
+def term_partition(term: str, num_partitions: int) -> int:
+    return stable_u64(term) % num_partitions
+
+
+def term_partitions_batch(terms: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Vector-ish partition assignment (hashlib per distinct term via cache)."""
+    uniq, inv = np.unique(terms.astype(object), return_inverse=True)
+    parts = np.fromiter(
+        (term_partition(t, num_partitions) for t in uniq), dtype=np.int64, count=len(uniq)
+    )
+    return parts[inv]
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mixer (public splitmix64 constants), vectorized."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
+    return z ^ (z >> np.uint64(31))
+
+
+def minhash_signature(shingle_hashes: np.ndarray, num_perm: int, seed: int = 0) -> np.ndarray:
+    """MinHash signature of a set of 64-bit shingle hashes.
+
+    Universal-hash family h_i(x) = splitmix64(x ^ key_i); signature is the
+    min per permutation. Empty set -> all MAX (never collides with real sets
+    in LSH buckets because we skip empty docs upstream).
+    """
+    keys = splitmix64(np.arange(seed, seed + num_perm, dtype=np.uint64))
+    if shingle_hashes.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = shingle_hashes.astype(np.uint64)[:, None] ^ keys[None, :]
+    return splitmix64(x).min(axis=0)
+
+
+def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
+    """Hashes of n-gram token shingles (strings joined by \\x1f)."""
+    if len(tokens) < n:
+        joined = {"\x1f".join(tokens)} if tokens else set()
+    else:
+        joined = {"\x1f".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+    return np.fromiter((stable_u64(s) for s in joined), dtype=np.uint64, count=len(joined))
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token unigrams (weight = term frequency)."""
+    if not tokens:
+        return 0
+    from collections import Counter
+
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, w in Counter(tokens).items():
+        h = stable_u64(tok)
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), w, -w)
+    out = np.uint64(0)
+    for b in range(64):
+        if acc[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return int(out)
+
+
+def rolling_fingerprint(text: str, base: int = 1000003, mod: int = (1 << 61) - 1) -> int:
+    """Polynomial rolling hash of the whole text (document fingerprint)."""
+    h = 0
+    for ch in text:
+        h = (h * base + ord(ch)) % mod
+    return h

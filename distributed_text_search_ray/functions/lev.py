@@ -1,0 +1,166 @@
+"""Levenshtein kernels.
+
+Two distinct uses, mirroring the reference:
+
+1. **Windowed approximate-pattern-match (APM) conformance semantics** — the
+   reference's core kernel (``/root/reference/src/apm1.c:235-281``): a pattern
+   ``p`` of length ``m`` matches text ``T`` (length ``N``) at position ``j``
+   iff ``lev(p[:size], T[j:j+size]) <= k`` with ``size = min(m, N - j)`` —
+   near the end of the text **both** strings are truncated
+   (``src/apm1.c:86-104`` loops both operands to ``len``). Every position
+   ``j in [0, N)`` is tested; overlapping matches all count
+   (``src/apm1.c:274``). Consequence: for ``k >= 1`` the last ``k`` positions
+   always match (distance <= size <= k). We preserve this exactly, but
+   per-document (windows do not cross document boundaries — documented model
+   change, SURVEY.md section 8.3).
+
+2. **Term-dictionary fuzzy expansion** — standard (untruncated) Levenshtein
+   between a query pattern and candidate dictionary terms, banded at ``k``.
+
+Both are vectorized with numpy: the DP loops run over the (small) pattern
+dimensions while every position/term is processed as one vector lane. Strings
+are compared as Unicode codepoints (``utf-32-le`` reinterpret), matching
+Python's and DuckDB's character-based ``levenshtein``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_CHUNK = 1 << 16
+
+
+def codepoints(s: str) -> np.ndarray:
+    """str -> uint32 codepoint array (zero-copy-ish via utf-32 encode)."""
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain O(len(a)*len(b)) DP — reference for tests and tail windows."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for x in range(1, la + 1):
+        cur = [x] + [0] * lb
+        ca = a[x - 1]
+        for y in range(1, lb + 1):
+            cur[y] = min(prev[y] + 1, cur[y - 1] + 1, prev[y - 1] + (ca != b[y - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def _banded_window_pass(wins: np.ndarray, P: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized banded DP: lev(P, w) capped at k+1 for each window row.
+
+    ``wins``: (W, m) codepoints; ``P``: (m,) codepoints. Returns (W,) int32
+    distances (values > k are reported as k+1).
+    """
+    W, m = wins.shape
+    INF = np.int32(k + 1)
+    prev = np.minimum(np.arange(m + 1, dtype=np.int32), INF)[:, None] * np.ones(
+        (1, W), dtype=np.int32
+    )  # column y=0: D[x][0] = x
+    cur = np.empty_like(prev)
+    for y in range(1, m + 1):
+        cur.fill(INF)
+        cur[0] = min(y, k + 1)
+        wy = wins[:, y - 1]
+        lo = max(1, y - k)
+        hi = min(m, y + k)
+        for x in range(lo, hi + 1):
+            sub = prev[x - 1] + (P[x - 1] != wy)
+            np.minimum(sub, prev[x] + 1, out=sub)
+            np.minimum(sub, cur[x - 1] + 1, out=sub)
+            np.minimum(sub, INF, out=sub)
+            cur[x] = sub
+        prev, cur = cur, prev
+    return prev[m]
+
+
+def windowed_match_count(text: str, pattern: str, k: int) -> int:
+    """Number of matching positions of ``pattern`` in ``text`` under the
+    reference's truncated-window semantics (module docstring, use 1)."""
+    N = len(text)
+    m = len(pattern)
+    if N == 0 or m == 0:
+        return 0
+    T = codepoints(text)
+    P = codepoints(pattern)
+    count = 0
+    W = N - m + 1
+    if W > 0:
+        for s in range(0, W, _CHUNK):
+            e = min(W, s + _CHUNK)
+            wins = np.lib.stride_tricks.sliding_window_view(T, m)[s:e]
+            dists = _banded_window_pass(np.ascontiguousarray(wins), P, k)
+            count += int((dists <= k).sum())
+        tail_start = W
+    else:
+        tail_start = 0
+    # Tail positions: size = N - j < m; BOTH strings truncated to size.
+    for j in range(tail_start, N):
+        size = N - j
+        if size >= m:
+            continue
+        if k >= size:  # lev of two length-`size` strings is <= size <= k
+            count += 1
+            continue
+        if levenshtein(pattern[:size], text[j : j + size]) <= k:
+            count += 1
+    return count
+
+
+def bounded_term_distances(pattern: str, terms: list[str], k: int) -> np.ndarray:
+    """Standard Levenshtein distance between ``pattern`` and each term,
+    vectorized across terms, capped at k+1.
+
+    Callers should pre-filter terms to the length band
+    ``abs(len(t) - len(pattern)) <= k`` (anything outside is > k by the length
+    lower bound); this function still returns correct capped values without
+    the pre-filter.
+    """
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    m = len(pattern)
+    P = codepoints(pattern)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    INF = np.int32(k + 1)
+    out = np.full(n, INF, dtype=np.int32)
+    if maxlen == 0:
+        out[:] = min(m, k + 1)
+        return out
+    # pad terms into a (n, maxlen) codepoint matrix
+    mat = np.zeros((n, maxlen), dtype=np.uint32)
+    for i, t in enumerate(terms):
+        if t:
+            mat[i, : len(t)] = codepoints(t)
+    prev = np.minimum(np.arange(m + 1, dtype=np.int32), INF)[:, None] * np.ones(
+        (1, n), dtype=np.int32
+    )
+    # terms of length 0: distance = m
+    done0 = lens == 0
+    if done0.any():
+        out[done0] = min(m, k + 1)
+    cur = np.empty_like(prev)
+    for y in range(1, maxlen + 1):
+        cur.fill(INF)
+        cur[0] = min(y, k + 1)
+        wy = mat[:, y - 1]
+        lo = max(1, y - k)
+        hi = min(m, y + k)
+        for x in range(lo, hi + 1):
+            sub = prev[x - 1] + (P[x - 1] != wy)
+            np.minimum(sub, prev[x] + 1, out=sub)
+            np.minimum(sub, cur[x - 1] + 1, out=sub)
+            np.minimum(sub, INF, out=sub)
+            cur[x] = sub
+        finished = lens == y
+        if finished.any():
+            out[finished] = cur[m][finished]
+        prev, cur = cur, prev
+    return out

@@ -1,0 +1,91 @@
+"""Analyzer: code-aware tokenization of document content.
+
+The reference has no tokenizer (it matches raw bytes, SURVEY.md M10); the
+inverted-index engine needs one. The analyzer is deliberately simple and
+SQL-replicable: lowercase, then maximal runs of ``[a-z0-9_]`` — so the DuckDB
+correctness oracle can reproduce it with
+``string_split_regex(lower(text), '[^a-z0-9_]+')``.
+
+All entry points are batch-level (called from ``map_batches``): per-document
+work uses a compiled regex (C speed) and ``collections.Counter``; array
+assembly is numpy/pyarrow.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from distributed_text_search_ray.config import AnalyzerConfig
+
+
+class Tokenizer:
+    """Compiled analyzer; construct once per actor/task, reuse per batch."""
+
+    def __init__(self, cfg: AnalyzerConfig | None = None):
+        self.cfg = cfg or AnalyzerConfig()
+        self._rx = re.compile(self.cfg.token_pattern)
+
+    def tokens(self, text: str) -> list[str]:
+        if self.cfg.lowercase:
+            text = text.lower()
+        return self._rx.findall(text)
+
+    def term_freqs(self, text: str) -> Counter:
+        return Counter(self.tokens(text))
+
+    def token_count(self, text: str) -> int:
+        return len(self.tokens(text))
+
+    def batch_pairs(
+        self, doc_ids: np.ndarray, texts: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Tokenize a batch of documents into flat posting pairs.
+
+        Returns ``(terms, pair_doc_ids, tfs, doc_lens, doc_token_counts)``:
+        the first four are pair-aligned (one row per distinct (doc, term)),
+        ``doc_token_counts`` is doc-aligned (total tokens per input doc,
+        including docs with zero tokens).
+        """
+        terms: list[str] = []
+        pair_doc: list[int] = []
+        tfs: list[int] = []
+        dls: list[int] = []
+        doc_token_counts = np.zeros(len(texts), dtype=np.int64)
+        for i, (doc_id, text) in enumerate(zip(doc_ids, texts)):
+            tf = self.term_freqs(text)
+            dl = sum(tf.values())
+            doc_token_counts[i] = dl
+            if not tf:
+                continue
+            terms.extend(tf.keys())
+            tfs.extend(tf.values())
+            n = len(tf)
+            pair_doc.extend([int(doc_id)] * n)
+            dls.extend([dl] * n)
+        return (
+            np.asarray(terms, dtype=object),
+            np.asarray(pair_doc, dtype=np.int64),
+            np.asarray(tfs, dtype=np.int64),
+            np.asarray(dls, dtype=np.int64),
+            doc_token_counts,
+        )
+
+
+def pairs_table(
+    terms: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+) -> pa.Table:
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+            "dl": pa.array(dls, type=pa.int64()),
+        }
+    )

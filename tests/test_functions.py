@@ -1,0 +1,200 @@
+"""Unit tests for the scalar/vector kernels (no Ray needed).
+
+Mirrors the reference's differential philosophy at the unit level: every
+vectorized kernel is checked against a slow, obviously-correct pure-Python
+implementation (SURVEY.md section 5, "unit tests per operator").
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from distributed_text_search_ray.config import AnalyzerConfig
+from distributed_text_search_ray.functions import codec, hashing, lev
+from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+
+# ---------- varbyte / delta ----------
+
+def py_varbyte_encode(values):
+    out = bytearray()
+    for v in values:
+        v = int(v)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    stream, widths = codec.varbyte_encode(arr)
+    assert stream.tobytes() == py_varbyte_encode(vals)
+    back = codec.varbyte_decode(stream, count=len(vals))
+    assert back.tolist() == vals
+    assert widths.sum() == stream.size
+
+
+def test_delta_roundtrip():
+    ids = np.array([3, 7, 8, 100, 10**12], dtype=np.int64)
+    back = codec.delta_decode(codec.delta_encode(ids))
+    assert back.tolist() == ids.tolist()
+    with pytest.raises(ValueError):
+        codec.delta_encode(np.array([5, 5]))
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=20).map(
+            lambda xs: sorted(set(xs))
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_segmented_delta_roundtrip(lists):
+    lists = [xs for xs in lists if xs]
+    if not lists:
+        return
+    ids = np.concatenate([np.array(xs, dtype=np.int64) for xs in lists])
+    starts = np.cumsum([0] + [len(xs) for xs in lists[:-1]])
+    d = codec.segmented_delta_encode(ids, starts)
+    back = codec.segmented_delta_decode(d, starts)
+    assert back.tolist() == ids.tolist()
+
+
+# ---------- levenshtein ----------
+
+@given(st.text(alphabet="abcde", max_size=12), st.text(alphabet="abcde", max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_levenshtein_matches_bruteforce(a, b):
+    def brute(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    assert lev.levenshtein(a, b) == brute(a, b)
+
+
+def py_windowed_count(text, pattern, k):
+    """Direct transcription of the reference loop (src/apm1.c:235-281)."""
+    n, m = len(text), len(pattern)
+    c = 0
+    for j in range(n):
+        size = min(m, n - j)
+        if lev.levenshtein(pattern[:size], text[j : j + size]) <= k:
+            c += 1
+    return c
+
+
+@given(
+    st.text(alphabet="ABC", max_size=40),
+    st.text(alphabet="ABC", min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_windowed_count_matches_reference_loop(text, pattern, k):
+    assert lev.windowed_match_count(text, pattern, k) == py_windowed_count(text, pattern, k)
+
+
+def test_windowed_tail_semantics():
+    # SURVEY.md section 8.1: for k >= 1 the last k positions always match.
+    assert lev.windowed_match_count("XYZ", "QQQQ", 2) >= 2
+    # empty doc
+    assert lev.windowed_match_count("", "AB", 4) == 0
+    # pattern longer than doc: every position is a truncated window
+    assert lev.windowed_match_count("AB", "AB", 0) == py_windowed_count("AB", "AB", 0)
+    # truncated-window quirk: "ABCD" truncated to size 2 equals "AB" at j=0
+    assert lev.windowed_match_count("AB", "ABCD", 0) == 1
+    assert lev.windowed_match_count("AB", "ABCD", 4) == 2
+
+
+@given(
+    st.lists(st.text(alphabet="abxyz_01", max_size=10), max_size=30),
+    st.text(alphabet="abxyz_01", min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_bounded_term_distances(terms, pattern, k):
+    got = lev.bounded_term_distances(pattern, terms, k)
+    for t, g in zip(terms, got):
+        true = lev.levenshtein(pattern, t)
+        assert g == min(true, k + 1)
+
+
+# ---------- tokenizer ----------
+
+def test_tokenizer_basics():
+    tk = Tokenizer(AnalyzerConfig())
+    assert tk.tokens("def foo_bar(x): return X1 + y") == [
+        "def", "foo_bar", "x", "return", "x1", "y",
+    ]
+    assert tk.token_count("") == 0
+    assert tk.term_freqs("a b a")["a"] == 2
+
+
+def test_batch_pairs():
+    tk = Tokenizer()
+    terms, doc_ids, tfs, dls, counts = tk.batch_pairs(
+        np.array([10, 20, 30]), ["a b a", "", "c"]
+    )
+    assert counts.tolist() == [3, 0, 1]
+    pair = sorted(zip(doc_ids.tolist(), terms.tolist(), tfs.tolist(), dls.tolist()))
+    assert pair == [(10, "a", 2, 3), (10, "b", 1, 3), (30, "c", 1, 1)]
+
+
+# ---------- hashing ----------
+
+def test_hashing_stable():
+    assert hashing.stable_u64("def") == hashing.stable_u64("def")
+    assert hashing.doc_fingerprint("r", "p") != hashing.doc_fingerprint("r", "q")
+    assert 0 <= hashing.term_partition("import", 16) < 16
+    parts = hashing.term_partitions_batch(np.array(["a", "b", "a"], dtype=object), 8)
+    assert parts[0] == parts[2]
+
+
+def test_minhash_similarity_correlates():
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 2**63, 200, dtype=np.uint64)
+    a = base
+    b = np.concatenate([base[:180], rng.integers(0, 2**63, 20, dtype=np.uint64)])
+    sa = hashing.minhash_signature(a, 128)
+    sb = hashing.minhash_signature(b, 128)
+    est = (sa == sb).mean()
+    true_j = len(set(a.tolist()) & set(b.tolist())) / len(set(a.tolist()) | set(b.tolist()))
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_near_dup():
+    toks = ["def", "foo", "return", "x"] * 10
+    a = hashing.simhash64(toks)
+    b = hashing.simhash64(toks + ["extra"])
+    ham = bin(a ^ b).count("1")
+    assert ham <= 8
+    assert hashing.simhash64([]) == 0
+
+
+def test_rolling_fingerprint_deterministic():
+    assert hashing.rolling_fingerprint("hello") == hashing.rolling_fingerprint("hello")
+    assert hashing.rolling_fingerprint("hello") != hashing.rolling_fingerprint("hellp")
