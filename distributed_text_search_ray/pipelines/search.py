@@ -1,0 +1,192 @@
+"""Query pipelines: exact top-k BM25 and fuzzy (Levenshtein) search.
+
+Queries fan out over a stateful executor actor pool via ``map_batches`` — no
+shuffle on the query path at all (term -> partition routing is pure hash; the
+small query set is the broadcast side, the reference analog being every rank
+parsing the full pattern list from argv, ``src/flexible_mpi.c:325``).
+
+Fuzzy matching follows the north_star: Levenshtein-banded expansion over the
+sorted global term dictionary (built in build phase B), then the expanded term
+set is answered like an OR query / counted. The dictionary scan is
+length-banded: only terms with ``abs(len(t) - len(p)) <= k`` enter the
+vectorized DP (SURVEY.md section 2.4 "fuzzy pattern -> candidate terms").
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from distributed_text_search_ray.functions.lev import bounded_term_distances
+from distributed_text_search_ray.stages.executor import IndexView, QueryExecutor
+from distributed_text_search_ray.util import resolve_concurrency
+
+
+def _queries_dataset(queries) -> ray.data.Dataset:
+    if isinstance(queries, ray.data.Dataset):
+        return queries
+    items = [{"query_id": int(q[0]), "query": str(q[1])} for q in queries]
+    return ray.data.from_items(items)
+
+
+def search_topk(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    topk: int = 10,
+    mode: str = "taat",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k BM25 for each query. Returns (query_id, rank, doc_id, score)."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        QueryExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "topk": topk, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+class DictionaryExpander:
+    """Levenshtein-banded expansion over the sorted term dictionary.
+
+    Loads the dictionary once (terms grouped by token length for banding);
+    ``expand`` runs the vectorized bounded DP only over the length band.
+    """
+
+    def __init__(self, index_dir: str):
+        files = sorted(
+            os.path.join(index_dir, "dictionary", f)
+            for f in os.listdir(os.path.join(index_dir, "dictionary"))
+            if f.endswith(".parquet")
+        )
+        t = pa.concat_tables([pq.read_table(f, columns=["term", "df", "cf"]) for f in files])
+        self.terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        self.df = t.column("df").to_numpy()
+        self.cf = t.column("cf").to_numpy()
+        lens = np.fromiter((len(x) for x in self.terms), dtype=np.int64, count=len(self.terms))
+        self.lens = lens
+
+    def expand(self, pattern: str, k: int) -> np.ndarray:
+        """Indices of dictionary terms within Levenshtein distance k."""
+        m = len(pattern)
+        band = np.flatnonzero(np.abs(self.lens - m) <= k)
+        if band.size == 0:
+            return band
+        cand = [self.terms[i] for i in band]
+        dists = bounded_term_distances(pattern, cand, k)
+        return band[dists <= k]
+
+
+class FuzzyCountExecutor:
+    """Actor-pool stage: (query_id, pattern, k) -> term-level fuzzy stats.
+
+    Output per query: ``n_matching_terms`` (distinct dictionary terms within
+    distance k), ``n_docs`` (distinct docs containing any matched term),
+    ``n_occurrences`` (total token occurrences = sum of matched terms' cf).
+    """
+
+    def __init__(self, index_dir: str):
+        self.view = IndexView(index_dir)
+        self.expander = DictionaryExpander(index_dir)
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+        self.tokenizer = Tokenizer(self.view.cfg.analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"query_id": [], "n_matching_terms": [], "n_docs": [], "n_occurrences": []}
+        for row in batch.to_pylist():
+            toks = self.tokenizer.tokens(row["pattern"])
+            p = toks[0] if toks else ""
+            idxs = self.expander.expand(p, int(row["k"]))
+            occ = int(self.expander.cf[idxs].sum()) if idxs.size else 0
+            docs: set[int] = set()
+            for i in idxs:
+                d, _, _, _ = self.view.term_postings(str(self.expander.terms[i]))
+                docs.update(d.tolist())
+            out["query_id"].append(int(row["query_id"]))
+            out["n_matching_terms"].append(int(idxs.size))
+            out["n_docs"].append(len(docs))
+            out["n_occurrences"].append(occ)
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "n_matching_terms": pa.array(out["n_matching_terms"], type=pa.int64()),
+                "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+                "n_occurrences": pa.array(out["n_occurrences"], type=pa.int64()),
+            }
+        )
+
+
+def fuzzy_term_search(
+    index_dir: str,
+    patterns: Iterable[tuple[int, str, int]],
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Term-level fuzzy stats for (query_id, pattern, k) triples."""
+    items = [
+        {"query_id": int(q), "pattern": str(p), "k": int(k)} for q, p, k in patterns
+    ]
+    return ray.data.from_items(items).map_batches(
+        FuzzyCountExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+class FuzzyTopkExecutor(QueryExecutor):
+    """BM25 over the OR of the fuzzy-expanded term set (scale path for the
+    reference's approximate matching: index lookup instead of a corpus scan)."""
+
+    def __init__(self, index_dir: str, topk: int = 10, k_lev: int = 1):
+        super().__init__(index_dir, topk=topk)
+        self.expander = DictionaryExpander(index_dir)
+        self.k_lev = k_lev
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for row in batch.to_pylist():
+            toks = self.tokenizer.tokens(row["pattern"])
+            p = toks[0] if toks else ""
+            k_lev = int(row["k"]) if "k" in batch.column_names else self.k_lev
+            idxs = self.expander.expand(p, k_lev)
+            terms = sorted(str(self.expander.terms[i]) for i in idxs)
+            docs, scores = self._score_taat(terms, self.topk)
+            for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), start=1):
+                out_q.append(int(row["query_id"]))
+                out_r.append(r)
+                out_d.append(d)
+                out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def fuzzy_search_topk(
+    index_dir: str,
+    patterns: Iterable[tuple[int, str, int]],
+    topk: int = 10,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    items = [
+        {"query_id": int(q), "pattern": str(p), "k": int(k)} for q, p, k in patterns
+    ]
+    return ray.data.from_items(items).map_batches(
+        FuzzyTopkExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "topk": topk},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=resolve_concurrency(concurrency),
+    )

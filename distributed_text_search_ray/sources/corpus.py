@@ -1,0 +1,104 @@
+"""Corpus sources: canonical schema, readers, adapters.
+
+Canonical corpus schema (BASELINE.json input_hint):
+``(repo: string, path: string, commit: string, lang: string, content: string)``
+plus an optional explicit ``doc_id: int64``. When absent, doc ids are assigned
+as a deterministic 63-bit fingerprint of ``(repo, path)`` — cluster-stable and
+sort-free (no global sort at 10^12-file scale; the reference's doc identity is
+rank order, ``src/flexible_mpi.c:232-233``, which does not distribute).
+
+The driver test tables at ``/root/testdata/sf*/documents.parquet`` use
+``(doc_id, text, lang, source, n_chars)``; ``read_documents_table`` adapts them
+(text -> content, source -> repo, ``doc{doc_id}`` -> path) keeping the given
+``doc_id``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from distributed_text_search_ray.functions.hashing import doc_fingerprint, sha256_hex
+
+CORPUS_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+
+def corpus_files(path: str) -> list[str]:
+    """Deterministic (sorted) list of parquet files under a corpus path."""
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
+def _add_doc_ids(batch: pa.Table) -> pa.Table:
+    if "doc_id" in batch.column_names:
+        return batch
+    repos = batch.column("repo").to_pylist()
+    paths = batch.column("path").to_pylist()
+    ids = [doc_fingerprint(r, p) for r, p in zip(repos, paths)]
+    return batch.append_column("doc_id", pa.array(ids, type=pa.int64()))
+
+
+def read_corpus(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read a canonical corpus; assigns ``doc_id`` if missing.
+
+    ``columns`` prunes at the read (never load all 5 columns for a 2-column
+    transform); ``doc_id`` sources (repo, path) are added automatically when
+    fingerprinting is needed.
+    """
+    files = corpus_files(path)
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    has_id = "doc_id" in schema.names
+    cols = columns
+    if cols is not None and not has_id:
+        cols = sorted(set(cols) | {"repo", "path"} - {"doc_id"})
+    elif cols is not None and has_id:
+        cols = sorted(set(cols) | {"doc_id"})
+    ds = ray.data.read_parquet(files, columns=cols)
+    if not has_id:
+        ds = ds.map_batches(_add_doc_ids, batch_format="pyarrow")
+    return ds
+
+
+def adapt_documents_batch(batch: pa.Table) -> pa.Table:
+    """Driver `documents` schema -> canonical corpus batch (zero-copy cols)."""
+    doc_id = batch.column("doc_id")
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "repo": batch.column("source"),
+            "path": pc.binary_join_element_wise(
+                pa.array(["doc"] * len(batch), type=pa.string()),
+                pc.cast(doc_id, pa.string()),
+                "",
+            ),
+            "commit": pa.array([""] * len(batch), type=pa.string()),
+            "lang": batch.column("lang"),
+            "content": batch.column("text"),
+        }
+    )
+
+
+def read_documents_table(sf_dir: str) -> ray.data.Dataset:
+    """Adapter for the driver-generated documents table."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ds.map_batches(adapt_documents_batch, batch_format="pyarrow")
+
+
+def add_sha256(batch: pa.Table) -> pa.Table:
+    """Per-row content sha256 (the end-to-end invariant, input_hint)."""
+    shas = [sha256_hex(t) for t in batch.column("content").to_pylist()]
+    return batch.append_column("sha256", pa.array(shas, type=pa.string()))

@@ -1,0 +1,275 @@
+"""Stateful query executors (actor pool).
+
+The reference's per-process state is the GPU context + device caps initialised
+once (``src/flexible_mpi.cu:66-75``, called at ``src/flexible_mpi.c:456-464``);
+ours is the loaded index: ``QueryExecutor`` is a callable class passed to
+``map_batches(QueryExecutor, concurrency=N)`` — index metadata loaded and
+segment readers cached once per actor in ``__init__``/first use, query batches
+answered in ``__call__``.
+
+Scoring is exact top-k BM25 over the OR of the query's distinct terms:
+
+- ``taat`` (default): term-at-a-time, fully vectorized — per-term posting
+  decode, contributions accumulated with ``np.unique`` + ``np.bincount``
+  (accumulation order = ascending term order, matching the oracle's float64
+  determinism contract).
+- ``wand``: document-at-a-time block-max WAND using the per-block max-score
+  metadata — skips blocks whose upper bound cannot enter the current top-k.
+  Rank/score-identical to ``taat`` (unit-tested); preferable when posting
+  lists are huge and k is small.
+
+Term -> partition routing is pure hash (no shuffle): normal terms live in one
+partition; salted heavy terms are re-assembled from their salt buckets and
+scored with the exact global df recorded at finalize.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+
+from distributed_text_search_ray.config import AnalyzerConfig, IndexConfig
+from distributed_text_search_ray.functions import bm25
+from distributed_text_search_ray.functions.hashing import stable_u64, term_partition
+from distributed_text_search_ray.functions.tokenize import Tokenizer
+from distributed_text_search_ray.state.segment import SegmentReader
+
+TOPK_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("rank", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def load_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "index_meta.json")) as f:
+        return json.load(f)
+
+
+def config_from_meta(meta: dict) -> IndexConfig:
+    c = dict(meta["config"])
+    c["analyzer"] = AnalyzerConfig(**c["analyzer"])
+    return IndexConfig(**c)
+
+
+class IndexView:
+    """Shared read-side logic: partition routing + posting fetch with an LRU
+    cache of segment readers. Used by the executor actors and the fuzzy path."""
+
+    def __init__(self, index_dir: str, max_cached_parts: int = 64):
+        self.index_dir = index_dir
+        self.meta = load_meta(index_dir)
+        self.cfg = config_from_meta(self.meta)
+        self.N = int(self.meta["N"])
+        self.avgdl = float(self.meta["avgdl"])
+        self.hot_df = {k: int(v) for k, v in self.meta["hot_df"].items()}
+        self._salt_parts = {
+            t: [
+                stable_u64(f"{t}#{s}") % self.cfg.num_partitions
+                for s in range(self.cfg.salt_buckets)
+            ]
+            for t in self.hot_df
+        }
+        self._readers: OrderedDict[int, SegmentReader] = OrderedDict()
+        self._max_cached = max_cached_parts
+
+    def reader(self, part: int) -> SegmentReader:
+        r = self._readers.get(part)
+        if r is None:
+            r = SegmentReader(os.path.join(self.index_dir, "segments", f"part={part:05d}"))
+            self._readers[part] = r
+            if len(self._readers) > self._max_cached:
+                self._readers.popitem(last=False)
+        else:
+            self._readers.move_to_end(part)
+        return r
+
+    def term_parts(self, term: str) -> list[int]:
+        if term in self._salt_parts:
+            return sorted(set(self._salt_parts[term]))
+        return [term_partition(term, self.cfg.num_partitions)]
+
+    def term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """(doc_ids, tfs, dls, global_df); empty arrays if term unknown."""
+        chunks = []
+        for p in self.term_parts(term):
+            got = self.reader(p).postings(term)
+            if got is not None:
+                chunks.append(got)
+        if not chunks:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z, 0
+        docs = np.concatenate([c[0] for c in chunks])
+        tfs = np.concatenate([c[1] for c in chunks])
+        dls = np.concatenate([c[2] for c in chunks])
+        df = self.hot_df.get(term, len(docs))
+        return docs, tfs, dls, df
+
+    def term_df(self, term: str) -> int:
+        if term in self.hot_df:
+            return self.hot_df[term]
+        return self.reader(term_partition(term, self.cfg.num_partitions)).local_df(term)
+
+
+def _topk_rows(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k: score desc, doc_id asc."""
+    if len(doc_ids) == 0:
+        return doc_ids, scores
+    if len(doc_ids) > k * 8 and k < len(doc_ids):
+        # pre-prune with argpartition, then exact sort of the short list
+        # (keep extra slack so score ties at the boundary stay correct)
+        cut = np.partition(scores, len(scores) - k)[len(scores) - k]
+        keep = scores >= cut
+        doc_ids, scores = doc_ids[keep], scores[keep]
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[order], scores[order]
+
+
+class QueryExecutor:
+    """Actor-pool stage: batches of ``(query_id, query)`` -> top-k rows."""
+
+    def __init__(self, index_dir: str, topk: int = 10, mode: str = "taat"):
+        self.view = IndexView(index_dir)
+        self.topk = topk
+        self.mode = mode
+        self.tokenizer = Tokenizer(self.view.cfg.analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        qids = batch.column("query_id").to_pylist()
+        qtexts = batch.column("query").to_pylist()
+        ks = (
+            batch.column("topk").to_pylist()
+            if "topk" in batch.column_names
+            else [self.topk] * len(qids)
+        )
+        for qid, qtext, k in zip(qids, qtexts, ks):
+            terms = sorted(set(self.tokenizer.tokens(qtext)))
+            if self.mode == "wand":
+                docs, scores = self._score_wand(terms, k)
+            else:
+                docs, scores = self._score_taat(terms, k)
+            for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), start=1):
+                out_q.append(qid)
+                out_r.append(r)
+                out_d.append(d)
+                out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    # ---- term-at-a-time (vectorized, deterministic accumulation order) ----
+    def _score_taat(self, terms: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+        v = self.view
+        cfg = v.cfg
+        all_docs, all_contrib = [], []
+        for term in terms:  # ascending order fixed by caller
+            docs, tfs, dls, df = v.term_postings(term)
+            if df == 0:
+                continue
+            w = bm25.idf(v.N, df)
+            contrib = w * bm25.tf_part(tfs, dls, v.avgdl, cfg.bm25_k1, cfg.bm25_b)
+            all_docs.append(docs)
+            all_contrib.append(contrib)
+        if not all_docs:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        docs = np.concatenate(all_docs)
+        contrib = np.concatenate(all_contrib)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        # np.bincount accumulates in input order -> per-doc addition order is
+        # ascending term order, bit-identical to the oracle
+        scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
+        return _topk_rows(uniq, scores, k)
+
+    # ---- document-at-a-time block-max WAND ----
+    def _score_wand(self, terms: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+        v = self.view
+        cfg = v.cfg
+        posts = []
+        for term in terms:
+            docs, tfs, dls, df = v.term_postings(term)
+            if df == 0:
+                continue
+            w = bm25.idf(v.N, df)
+            contrib = w * bm25.tf_part(tfs, dls, v.avgdl, cfg.bm25_k1, cfg.bm25_b)
+            # salted terms: concatenated buckets may be unsorted — sort once
+            if len(docs) > 1 and (np.diff(docs) <= 0).any():
+                o = np.argsort(docs, kind="stable")
+                docs, contrib = docs[o], contrib[o]
+            # block-level max (recomputed here so salted lists stay aligned)
+            B = cfg.block_size
+            nb = (len(docs) + B - 1) // B
+            bstarts = np.arange(nb) * B
+            bmax = np.maximum.reduceat(contrib, bstarts)
+            blast = docs[np.minimum(bstarts + B, len(docs)) - 1]
+            posts.append({"docs": docs, "contrib": contrib, "bmax": bmax,
+                          "blast": blast, "pos": 0, "ub": float(bmax.max())})
+        if not posts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        # classic WAND over per-term cursors; term order re-sorted each pivot
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+        INF = np.iinfo(np.int64).max
+        # terms must contribute in ascending-term order per doc for float
+        # determinism; preserve list order (already ascending) when summing.
+        while True:
+            live = [p for p in posts if p["pos"] < len(p["docs"])]
+            if not live:
+                break
+            live.sort(key=lambda p: p["docs"][p["pos"]])
+            theta = heap[0][0] if len(heap) >= k else -np.inf
+            acc_ub = 0.0
+            pivot_idx = None
+            for i, p in enumerate(live):
+                acc_ub += p["ub"]
+                if acc_ub > theta:
+                    pivot_idx = i
+                    break
+            if pivot_idx is None:
+                break  # no doc can beat theta
+            pivot_doc = int(live[pivot_idx]["docs"][live[pivot_idx]["pos"]])
+            first_doc = int(live[0]["docs"][live[0]["pos"]])
+            if first_doc == pivot_doc:
+                # fully evaluate pivot_doc, in ascending-term order
+                s = 0.0
+                for p in posts:
+                    pos = p["pos"]
+                    if pos < len(p["docs"]) and p["docs"][pos] == pivot_doc:
+                        s += float(p["contrib"][pos])
+                        p["pos"] = pos + 1
+                if len(heap) < k:
+                    heapq.heappush(heap, (s, -pivot_doc))
+                elif (s, -pivot_doc) > heap[0]:
+                    heapq.heapreplace(heap, (s, -pivot_doc))
+            else:
+                # advance cursors before pivot to >= pivot_doc, block-skipping
+                for p in live[:pivot_idx]:
+                    d, pos = p["docs"], p["pos"]
+                    # skip whole blocks via block_last
+                    bidx = np.searchsorted(p["blast"], pivot_doc, side="left")
+                    jump = min(bidx * self.view.cfg.block_size, len(d))
+                    if jump > pos:
+                        pos = jump
+                    pos += int(np.searchsorted(d[pos:], pivot_doc, side="left"))
+                    p["pos"] = pos
+        if not heap:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        items = sorted(heap, key=lambda t: (-t[0], -t[1]))
+        docs = np.array([-d for _, d in items], dtype=np.int64)
+        scores = np.array([s for s, _ in items], dtype=np.float64)
+        return docs, scores

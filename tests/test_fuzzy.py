@@ -1,0 +1,87 @@
+"""Fuzzy search differential tests.
+
+Covers both fuzzy paths (SURVEY.md section 7 phase 4 + section 8):
+- distributed windowed APM counts == oracle (reference conformance semantics);
+- dictionary-banded term expansion == brute-force expansion (oracle).
+"""
+
+import pytest
+
+from distributed_text_search_ray import IndexConfig
+from distributed_text_search_ray.oracle import (
+    oracle_fuzzy_terms,
+    oracle_windowed_counts,
+)
+from distributed_text_search_ray.pipelines.apm import windowed_match_counts
+from distributed_text_search_ray.pipelines.build import build_index
+from distributed_text_search_ray.pipelines.search import fuzzy_term_search
+from distributed_text_search_ray.sources.corpus import read_corpus
+from tests.conftest import corpus_docs
+
+# grid mirrors the reference scenarios (test_generation.py:70-93): short and
+# long patterns, k in {0,1,4}, duplicates counted independently (script.sh:11),
+# single-char pattern, k >= len(pattern)
+APM_PATTERNS = [
+    (0, "data", 0),
+    (1, "data", 1),
+    (2, "data", 1),        # duplicate of 1 — must count independently
+    (3, "merge index", 1),
+    (4, "x", 0),
+    (5, "qq", 4),          # k >= len: every position matches
+    (6, "zzzzzzzz", 2),
+    (7, "def tokenize_batch", 4),
+]
+
+FUZZY_TERMS = [
+    (0, "def", 0),
+    (1, "def", 1),
+    (2, "merge", 1),
+    (3, "tokn", 2),
+    (4, "zzzzz", 1),
+    (5, "import", 4),
+]
+
+
+def test_apm_counts_match_oracle(code_corpus):
+    corpus_dir, _ = code_corpus
+    docs = corpus_docs(corpus_dir)
+    expected = dict(oracle_windowed_counts(docs, APM_PATTERNS))
+    got = {
+        r["query_id"]: r["n_matches"]
+        for r in windowed_match_counts(corpus_dir, APM_PATTERNS).take_all()
+    }
+    assert got == expected
+    assert got[1] == got[2]  # duplicates independent and equal
+    total_chars = sum(len(t) for _, t in docs)
+    assert got[5] == total_chars  # k >= len(pattern): every position matches
+
+
+def test_apm_on_dataset_input(code_corpus):
+    corpus_dir, _ = code_corpus
+    ds = read_corpus(corpus_dir, columns=["content"])
+    got = windowed_match_counts(ds, [(0, "data", 0)]).take_all()
+    docs = corpus_docs(corpus_dir)
+    assert got[0]["n_matches"] == dict(oracle_windowed_counts(docs, [(0, "data", 0)]))[0]
+
+
+@pytest.fixture(scope="module")
+def fuzzy_index(code_corpus, tmp_path_factory):
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path_factory.mktemp("fidx") / "idx")
+    cfg = IndexConfig(num_partitions=8, salt_buckets=3)
+    build_index(corpus_dir, index_dir, cfg)
+    return corpus_dir, index_dir, cfg
+
+
+def test_fuzzy_term_search_matches_oracle(fuzzy_index):
+    corpus_dir, index_dir, cfg = fuzzy_index
+    docs = corpus_docs(corpus_dir)
+    expected = {
+        q: (nt, nd, no)
+        for q, nt, nd, no in oracle_fuzzy_terms(docs, FUZZY_TERMS, cfg.analyzer)
+    }
+    got = {
+        r["query_id"]: (r["n_matching_terms"], r["n_docs"], r["n_occurrences"])
+        for r in fuzzy_term_search(index_dir, FUZZY_TERMS).take_all()
+    }
+    assert got == expected

@@ -1,0 +1,162 @@
+"""End-to-end differential tests: Ray engine vs single-node oracle.
+
+The reference's correctness story (seeded randomized differential testing
+against the sequential oracle, src/test_generation.py:164-179) applied to the
+new engine: build the index with Ray, answer queries with the actor-pool
+executors, assert rank- AND score-identical (bit-exact float64) results.
+"""
+
+import numpy as np
+import pytest
+
+from distributed_text_search_ray import IndexConfig
+from distributed_text_search_ray.oracle import (
+    build_oracle_index,
+    bm25_scores,
+    oracle_bm25_topk,
+    topk as oracle_topk,
+)
+from distributed_text_search_ray.pipelines.build import build_index, read_index_meta
+from distributed_text_search_ray.pipelines.search import search_topk
+from distributed_text_search_ray.stages.executor import IndexView, QueryExecutor
+from tests.conftest import corpus_docs
+
+QUERIES = [
+    (0, "def tokenize"),
+    (1, "import data index"),
+    (2, "merge"),
+    (3, "zzz_not_a_term"),
+    (4, "self self self query"),  # duplicate terms dedup to one
+    (5, "def"),  # pure hot (salted) term
+    (6, "score count value table"),
+]
+
+CFG = IndexConfig(num_partitions=8, salt_buckets=3, salt_df_threshold=0.25)
+
+
+@pytest.fixture(scope="module")
+def built_index(code_corpus, tmp_path_factory):
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path_factory.mktemp("index") / "idx")
+    report = build_index(corpus_dir, index_dir, CFG)
+    return corpus_dir, index_dir, report
+
+
+def test_build_report(built_index):
+    corpus_dir, index_dir, report = built_index
+    assert report["complete"]
+    assert report["N"] == 240
+    # hot terms really got salted
+    assert set(report["hot_df"]) >= {"def", "import", "return", "self"}
+    meta = read_index_meta(index_dir)
+    assert meta["fingerprint"] == report["fingerprint"]
+
+
+def test_index_stats_match_oracle(built_index):
+    corpus_dir, index_dir, report = built_index
+    docs = corpus_docs(corpus_dir)
+    idx = build_oracle_index(docs, CFG.analyzer)
+    assert report["N"] == idx.N
+    assert report["avgdl"] == pytest.approx(idx.avgdl, abs=0)
+    # salted-term global df is exact
+    for t, df in report["hot_df"].items():
+        assert df == idx.df[t]
+
+
+def test_topk_matches_oracle_exactly(built_index):
+    corpus_dir, index_dir, _ = built_index
+    docs = corpus_docs(corpus_dir)
+    expected = oracle_bm25_topk(docs, QUERIES, k=10, cfg=CFG)
+    got = search_topk(index_dir, QUERIES, topk=10).take_all()
+    got_rows = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in got)
+    assert got_rows == sorted(expected)  # includes bit-exact float64 scores
+
+
+def test_wand_equals_taat(built_index):
+    corpus_dir, index_dir, _ = built_index
+    ex_taat = QueryExecutor(index_dir, topk=10, mode="taat")
+    ex_wand = QueryExecutor(index_dir, topk=10, mode="wand")
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in QUERIES], type=pa.int64()),
+            "query": pa.array([t for _, t in QUERIES], type=pa.string()),
+        }
+    )
+    assert ex_wand(batch).to_pylist() == ex_taat(batch).to_pylist()
+
+
+def test_postings_roundtrip_and_salting(built_index):
+    corpus_dir, index_dir, _ = built_index
+    docs = corpus_docs(corpus_dir)
+    idx = build_oracle_index(docs, CFG.analyzer)
+    view = IndexView(index_dir)
+    for term in ["def", "import", "merge", "data", "index"]:
+        want = idx.postings.get(term, [])
+        d, tf, dl, df = view.term_postings(term)
+        got = sorted(zip(d.tolist(), tf.tolist()))
+        assert got == sorted(want), term
+        assert df == idx.df.get(term, 0)
+        # dl stream agrees with oracle doc lengths
+        for doc, L in zip(d.tolist(), dl.tolist()):
+            assert L == idx.doc_len[doc]
+    # hot term postings really live in >1 partition
+    assert len(view.term_parts("def")) > 1
+
+
+def test_empty_and_unknown_queries(built_index):
+    _, index_dir, _ = built_index
+    got = search_topk(index_dir, [(0, "zzzz qqqq"), (1, "")], topk=5).take_all()
+    assert got == []
+
+
+def test_block_max_metadata_is_valid_upper_bound(built_index):
+    corpus_dir, index_dir, _ = built_index
+    view = IndexView(index_dir)
+    import math
+
+    for part in range(CFG.num_partitions):
+        r = view.reader(part)
+        t = r.terms_table
+        for i, term in enumerate(t.column("term").to_pylist()[:50]):
+            d, tf, dl, df_global = view.term_postings(term)
+            local = r.postings(term)
+            assert local is not None
+            ld, ltf, ldl = local
+            df_local = len(ld)
+            idf_local = math.log(1.0 + (view.N - df_local + 0.5) / (df_local + 0.5))
+            from distributed_text_search_ray.functions import bm25
+
+            scores = idf_local * bm25.tf_part(ltf, ldl, view.avgdl, CFG.bm25_k1, CFG.bm25_b)
+            bm, bl = r.block_meta(term)
+            B = CFG.block_size
+            for b in range(len(bm)):
+                blk = scores[b * B : (b + 1) * B]
+                assert bm[b] == pytest.approx(blk.max(), rel=0, abs=0)
+                assert bl[b] == ld[min((b + 1) * B, len(ld)) - 1]
+
+
+def test_driver_documents_table(tmp_path):
+    """Adapter path: index the driver-shaped documents table end-to-end."""
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pq.read_table(src)
+    # write via the adapter schema (keeps given doc_id)
+    from distributed_text_search_ray.sources.corpus import adapt_documents_batch
+
+    adapted = adapt_documents_batch(t)
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    pq.write_table(adapted, corpus / "part0.parquet")
+    index_dir = str(tmp_path / "idx")
+    cfg = IndexConfig(num_partitions=4)
+    report = build_index(str(corpus), index_dir, cfg)
+    assert report["N"] == t.num_rows
+    docs = [(r["doc_id"], r["text"]) for r in t.to_pylist()]
+    queries = [(0, "spark table join"), (1, "customer value"), (2, "window agg stream")]
+    expected = oracle_bm25_topk(docs, queries, k=5, cfg=cfg)
+    got = search_topk(index_dir, queries, topk=5).take_all()
+    got_rows = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in got)
+    assert got_rows == sorted(expected)

@@ -1,0 +1,77 @@
+"""Resumability: a killed build resumes without re-tokenizing completed
+partitions (north_rule). Simulated by deleting part of the build state and
+re-running — completed shards/partitions must be skipped via their lineage
+manifests, and the resumed index must be identical."""
+
+import json
+import os
+import shutil
+
+from distributed_text_search_ray import IndexConfig
+from distributed_text_search_ray.pipelines.build import build_index
+from distributed_text_search_ray.pipelines.search import search_topk
+
+CFG = IndexConfig(num_partitions=6, salt_buckets=2)
+
+
+def test_resume_skips_completed(code_corpus, tmp_path):
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path / "idx")
+    r1 = build_index(corpus_dir, index_dir, CFG)
+    assert r1["phases"]["tokenize"]["skipped"] == 0
+    baseline = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search_topk(index_dir, [(0, "def data"), (1, "merge index")]).take_all()
+    )
+
+    # simulate a crash mid-build: lose 2 segment partitions + 1 pairs shard +
+    # the final meta, leave a stale tmp dir behind
+    os.remove(os.path.join(index_dir, "index_meta.json"))
+    shutil.rmtree(os.path.join(index_dir, "segments", "part=00001"))
+    shutil.rmtree(os.path.join(index_dir, "segments", "part=00003"))
+    shutil.rmtree(os.path.join(index_dir, "pairs", "shard=00002"))
+    os.makedirs(os.path.join(index_dir, "segments", ".tmp-part=00001-dead"))
+
+    r2 = build_index(corpus_dir, index_dir, CFG)
+    tk = r2["phases"]["tokenize"]
+    assert tk["skipped"] == 3  # 3 of 4 shards untouched
+    assert tk["n_docs"] == r1["N"]
+    assert r2["phases"]["dictionary"]["skipped"] is True
+    seg = r2["phases"]["segments"]
+    assert seg["skipped"] == 4  # 4 of 6 partitions survived
+    assert seg["built"] == 2
+
+    resumed = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search_topk(index_dir, [(0, "def data"), (1, "merge index")]).take_all()
+    )
+    assert resumed == baseline
+
+
+def test_noop_rerun_skips_everything(code_corpus, tmp_path):
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path / "idx")
+    build_index(corpus_dir, index_dir, CFG)
+    r2 = build_index(corpus_dir, index_dir, CFG)
+    assert r2.get("skipped") is True
+
+
+def test_input_change_invalidates(code_corpus, tmp_path):
+    """Changing the corpus fingerprint forces a rebuild (no stale reuse)."""
+    from distributed_text_search_ray.sources.synth import write_corpus
+
+    corpus = tmp_path / "c"
+    write_corpus(str(corpus), n_shards=2, docs_per_shard=20, seed=1)
+    index_dir = str(tmp_path / "idx")
+    r1 = build_index(str(corpus), index_dir, CFG)
+    # regenerate with different seed -> different sizes -> new fingerprint
+    shutil.rmtree(corpus)
+    write_corpus(str(corpus), n_shards=2, docs_per_shard=21, seed=2)
+    r2 = build_index(str(corpus), index_dir, CFG)
+    assert r2["fingerprint"] != r1["fingerprint"]
+    assert r2["phases"]["tokenize"]["skipped"] == 0
+    # lineage manifests record the new fingerprint
+    m = json.load(
+        open(os.path.join(index_dir, "segments", "part=00000", "MANIFEST.json"))
+    )
+    assert m["fingerprint"] == r2["fingerprint"]
