@@ -1,0 +1,107 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+The reference's entry point is ``mpirun ... ./apm approx_factor dir pattern...``
+(parse_args: /root/reference/src/flexible_mpi.c:209-270). Ours:
+
+    python -m distributed_text_search_ray.cli build  CORPUS_DIR INDEX_DIR [--partitions P]
+    python -m distributed_text_search_ray.cli search INDEX_DIR QUERY... [--topk K] [--wand]
+    python -m distributed_text_search_ray.cli fuzzy  INDEX_DIR PATTERN... [--k K]
+    python -m distributed_text_search_ray.cli apm    CORPUS_DIR K PATTERN...   # reference argv order
+
+``apm`` mirrors the reference's output: one count per pattern, argv order.
+Launched via ``ray job submit -- python -m distributed_text_search_ray.cli ...``
+on a cluster; standalone it owns its own local Ray session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="distributed_text_search_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("corpus_dir")
+    b.add_argument("index_dir")
+    b.add_argument("--partitions", type=int, default=16)
+
+    s = sub.add_parser("search")
+    s.add_argument("index_dir")
+    s.add_argument("queries", nargs="+")
+    s.add_argument("--topk", type=int, default=10)
+    s.add_argument("--wand", action="store_true")
+
+    f = sub.add_parser("fuzzy")
+    f.add_argument("index_dir")
+    f.add_argument("patterns", nargs="+")
+    f.add_argument("--k", type=int, default=1)
+
+    a = sub.add_parser("apm")
+    a.add_argument("corpus_dir")
+    a.add_argument("k", type=int)
+    a.add_argument("patterns", nargs="+")
+
+    args = p.parse_args(argv)
+    _ensure_ray()
+
+    if args.cmd == "build":
+        from distributed_text_search_ray.config import IndexConfig
+        from distributed_text_search_ray.pipelines.build import build_index
+
+        report = build_index(
+            args.corpus_dir, args.index_dir, IndexConfig(num_partitions=args.partitions)
+        )
+        print(json.dumps(report, default=str))
+    elif args.cmd == "search":
+        from distributed_text_search_ray.pipelines.search import search_topk
+
+        rows = search_topk(
+            args.index_dir,
+            list(enumerate(args.queries)),
+            topk=args.topk,
+            mode="wand" if args.wand else "taat",
+        ).take_all()
+        for r in rows:
+            print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+    elif args.cmd == "fuzzy":
+        from distributed_text_search_ray.pipelines.search import fuzzy_term_search
+
+        rows = fuzzy_term_search(
+            args.index_dir, [(i, pat, args.k) for i, pat in enumerate(args.patterns)]
+        ).take_all()
+        for r in rows:
+            print(
+                f"{r['query_id']}\t{r['n_matching_terms']}\t{r['n_docs']}\t{r['n_occurrences']}"
+            )
+    elif args.cmd == "apm":
+        from distributed_text_search_ray.pipelines.apm import windowed_match_counts
+
+        counts = {
+            r["query_id"]: r["n_matches"]
+            for r in windowed_match_counts(
+                args.corpus_dir, [(i, pat, args.k) for i, pat in enumerate(args.patterns)]
+            ).take_all()
+        }
+        # reference output shape: one count per pattern in argv order
+        # (src/apm1.c:294-299)
+        for i, pat in enumerate(args.patterns):
+            print(f"Number of matches for pattern <{pat}>: {counts.get(i, 0)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,21 +1,27 @@
-"""Index build pipeline — streaming, partitioned, resumable.
+"""Index build pipeline — streaming, explicitly partitioned, resumable.
 
-Phases (each checkpointed, SURVEY.md section 7 phases 1-2 + 5):
+Phases (each checkpointed; SURVEY.md section 7):
 
-A. **tokenize** — one work item per corpus shard; pairs ``(term, doc_id, tf,
-   dl)`` written per shard with lineage manifests (skip-on-resume).
-B. **dictionary / stats** — partial per-batch (df, cf) aggregation inside
-   ``map_batches`` then a small ``groupby(term)`` over partials (pre-aggregate
-   before the shuffle, SURVEY.md A1); yields the sorted global term dictionary,
-   corpus stats (N, avgdl) and the heavy-hitter set for salting.
-C. **segments** — explicit ``part`` key (term-hash, salted for heavy terms),
-   ``groupby("part").map_groups(SegmentBuilder)``; completed partitions are
-   filtered out before the shuffle on resume.
-D. **finalize** — ``index_meta.json`` with global stats, salted-term global
-   df (exact idf for split posting lists), per-partition metrics.
+A. **tokenize + partition** — one task per corpus shard: analyze, assign each
+   pair its explicit term-hash partition (salting shard-hot terms), write one
+   pair file per partition (``pairs/part=P/shard_S.parquet``) + a lineage
+   manifest. Map-side partitioning: the engine's "shuffle" is this file
+   layout, not a Ray all-to-all (a sort-based groupby shuffle measured a
+   ~15 s serial component that capped scaling efficiency at ~0.5).
+B. **segments** — one task per partition: read exactly the files the phase-A
+   manifests attribute to it, sort, delta+varbyte encode with block-max
+   metadata, write atomically. Embarrassingly parallel; resumable per
+   partition.
+C. **dictionary** — merge the per-partition term tables (vocabulary-sized,
+   tiny next to the pairs) with a ``groupby(term)`` into the sorted global
+   dictionary (term, df, cf); terms present in >1 partition (the salted ones)
+   get their exact global df recorded for the query side.
+D. **finalize** — ``index_meta.json``: global stats, multi-partition df map,
+   per-partition metrics, completeness flag.
 
-The reference analog of the whole file is the plan/exchange/compute/merge
-lifecycle of ``src/flexible_mpi.c:290-570``, re-expressed as Dataset stages.
+The reference analog of the lifecycle is plan/exchange/compute/merge in
+``src/flexible_mpi.c:290-570``; resumability and lineage are new (the
+reference has none — any MPI failure kills the job).
 """
 
 from __future__ import annotations
@@ -25,46 +31,17 @@ import os
 import time
 from dataclasses import asdict
 
-import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 from distributed_text_search_ray.config import IndexConfig
 from distributed_text_search_ray.sources.corpus import corpus_files
-from distributed_text_search_ray.stages.segment_build import AssignPartitions, SegmentBuilder
-from distributed_text_search_ray.stages.tokenize_stage import TokenizeShard
+from distributed_text_search_ray.stages.segment_build import SegmentBuilder
+from distributed_text_search_ray.stages.tokenize_stage import TokenizeShard, shard_manifest_dir
 from distributed_text_search_ray.state import manifest as mf
-from distributed_text_search_ray.util import resolve_concurrency
 
 META_FILE = "index_meta.json"
-
-
-def _partial_term_stats(batch: pa.Table) -> pa.Table:
-    """Per-batch partial (term -> df, cf) — combiner before the groupby."""
-    terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
-    tfs = batch.column("tf").to_numpy()
-    uniq, inv = np.unique(terms, return_inverse=True)
-    df_part = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-    cf_part = np.bincount(inv, weights=tfs.astype(np.float64), minlength=len(uniq)).astype(
-        np.int64
-    )
-    return pa.table(
-        {
-            "term": pa.array(uniq, type=pa.string()),
-            "df_part": pa.array(df_part, type=pa.int64()),
-            "cf_part": pa.array(cf_part, type=pa.int64()),
-        }
-    )
-
-
-def _make_segment_group_fn(index_dir, fp, cfg, N, avgdl):
-    builder = SegmentBuilder(index_dir, fp, cfg, N, avgdl)
-
-    def build_segment_group(group):
-        return builder(group)
-
-    return build_segment_group
 
 
 def read_index_meta(index_dir: str) -> dict:
@@ -81,9 +58,9 @@ def build_index(
 ) -> dict:
     """Build (or resume) the inverted index for a corpus.
 
-    Returns a build report: per-phase wall times, work/skip counts, global
-    stats. Safe to re-run after a crash: completed shards/partitions are
-    skipped via their lineage manifests.
+    Returns a build report with per-phase wall times, work/skip counts and
+    global stats. Safe to re-run after a crash: completed shards / partitions
+    are skipped via their lineage manifests.
     """
     cfg = cfg or IndexConfig()
     files = corpus_files(corpus_path)
@@ -101,21 +78,22 @@ def build_index(
 
     pairs_dir = os.path.join(index_dir, "pairs")
     seg_parent = os.path.join(index_dir, "segments")
-    mf.gc_tmp_dirs(pairs_dir)
     mf.gc_tmp_dirs(seg_parent)
 
-    # ---- Phase A: tokenize shards -> pairs checkpoint ----
+    # ---- Phase A: tokenize + partition -> per-partition pair files ----
     t0 = time.perf_counter()
     shards = [{"shard_id": i, "file": f} for i, f in enumerate(files)]
+    # plain function -> task pool: tasks start instantly and scale elastically
+    # (an autoscaling actor pool ramps from one actor and serializes the
+    # phase); per-task construction is a regex compile, negligible
+    tokenize_stage = TokenizeShard(pairs_dir=pairs_dir, fingerprint=fp, cfg=cfg)
+
+    def tokenize_shard_batch(batch: pa.Table) -> pa.Table:
+        return tokenize_stage(batch)
+
     shard_stats = (
         ray.data.from_items(shards)
-        .map_batches(
-            TokenizeShard,
-            fn_constructor_kwargs={"pairs_dir": pairs_dir, "fingerprint": fp, "cfg": cfg},
-            batch_size=1,
-            batch_format="pyarrow",
-            concurrency=resolve_concurrency(concurrency),
-        )
+        .map_batches(tokenize_shard_batch, batch_size=1, batch_format="pyarrow")
         .take_all()
     )
     N = int(sum(r["n_docs"] for r in shard_stats))
@@ -130,45 +108,88 @@ def build_index(
         "n_pairs": int(sum(r["n_pairs"] for r in shard_stats)),
     }
 
-    pairs_files = sorted(
-        os.path.join(pairs_dir, d, "pairs.parquet")
-        for d in os.listdir(pairs_dir)
-        if d.startswith("shard=")
-    )
+    # collect the per-partition file lists from the shard manifests (ONLY
+    # manifest-listed files — stale files from older fingerprints are ignored)
+    part_files: dict[int, list[str]] = {p: [] for p in range(cfg.num_partitions)}
+    salted_union: set[str] = set()
+    man_dir = shard_manifest_dir(pairs_dir)
+    for name in sorted(os.listdir(man_dir)):
+        if not name.endswith(".json"):
+            continue
+        m = mf.read_manifest_file(os.path.join(man_dir, name))
+        if m is None or m.get("fingerprint") != fp:
+            continue
+        for rel in m["files"]:
+            p = int(rel.split("=")[1].split("/")[0])
+            part_files[p].append(os.path.join(pairs_dir, rel))
+        salted_union.update(m.get("salted_terms", []))
 
-    # ---- Phase B: dictionary + stats (partial agg then small groupby) ----
+    # ---- Phase B: per-partition segment build (no all-to-all) ----
+    t0 = time.perf_counter()
+    builder = SegmentBuilder(index_dir, fp, cfg, N, avgdl)
+
+    def build_part_batch(batch: pa.Table) -> pa.Table:
+        return builder(batch)
+
+    part_items = [
+        {"part": p, "files": part_files[p]} for p in range(cfg.num_partitions)
+    ]
+    seg_results = (
+        ray.data.from_items(part_items)
+        .map_batches(build_part_batch, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    report["phases"]["segments"] = {
+        "sec": time.perf_counter() - t0,
+        "built": sum(1 for r in seg_results if not r["skipped"]),
+        "skipped": sum(1 for r in seg_results if r["skipped"]),
+    }
+
+    # ---- Phase C: global dictionary + exact df for multi-partition terms ----
     t0 = time.perf_counter()
     dict_dir = os.path.join(index_dir, "dictionary")
-    stats_path = os.path.join(index_dir, "stats.json")
     hot_df: dict[str, int] = {}
-    if mf.is_complete(dict_dir, fp) and os.path.exists(stats_path):
-        with open(stats_path) as f:
+    terms_files = [
+        os.path.join(seg_parent, f"part={p:05d}", "terms.parquet")
+        for p in range(cfg.num_partitions)
+    ]
+    if mf.is_complete(dict_dir, fp) and os.path.exists(
+        os.path.join(index_dir, "stats.json")
+    ):
+        with open(os.path.join(index_dir, "stats.json")) as f:
             hot_df = {k: int(v) for k, v in json.load(f)["hot_df"].items()}
         report["phases"]["dictionary"] = {"sec": time.perf_counter() - t0, "skipped": True}
     else:
-        dictionary = (
-            ray.data.read_parquet(pairs_files, columns=["term", "tf"])
-            .map_batches(_partial_term_stats, batch_format="pyarrow")
+        merged = (
+            ray.data.read_parquet(terms_files, columns=["term", "df", "cf"])
             .groupby("term")
-            .aggregate(Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf"))
+            .aggregate(
+                Sum("df", alias_name="df"),
+                Sum("cf", alias_name="cf"),
+                Count(alias_name="n_parts"),
+            )
             .sort("term")
+            .materialize()  # vocabulary-sized — tiny next to the pairs
         )
         with mf.AtomicDir(dict_dir) as tmp:
-            dictionary.write_parquet(tmp)
+            merged.select_columns(["term", "df", "cf"]).write_parquet(tmp)
             mf.write_manifest(tmp, {"kind": "dictionary", "fingerprint": fp})
-        hot_threshold = max(2.0, cfg.salt_df_threshold * N)
-        hot_rows = (
-            ray.data.read_parquet(
-                [
-                    os.path.join(dict_dir, f)
-                    for f in os.listdir(dict_dir)
-                    if f.endswith(".parquet")
-                ]
-            )
-            .filter(expr=f"df >= {hot_threshold}")
+        # exact global df for every term any shard salted (n_parts>1 alone is
+        # NOT sufficient: all of a term's salt buckets can hash to a single
+        # partition that differs from its base partition)
+        salted = salted_union
+
+        def pick_salted(batch: pa.Table) -> pa.Table:
+            keep = [t in salted for t in batch.column("term").to_pylist()]
+            return batch.filter(pa.array(keep))
+
+        multi = (
+            merged.select_columns(["term", "df"])
+            .map_batches(pick_salted, batch_format="pyarrow")
             .take_all()
         )
-        hot_df = {r["term"]: int(r["df"]) for r in hot_rows}
+        hot_df = {r["term"]: int(r["df"]) for r in multi}
+        stats_path = os.path.join(index_dir, "stats.json")
         with open(stats_path + ".tmp", "w") as f:
             json.dump(
                 {
@@ -186,63 +207,8 @@ def build_index(
         report["phases"]["dictionary"] = {
             "sec": time.perf_counter() - t0,
             "skipped": False,
-            "hot_terms": sorted(hot_df),
+            "multi_part_terms": len(hot_df),
         }
-
-    # ---- Phase C: partition + build segments ----
-    t0 = time.perf_counter()
-    done_parts = [
-        p
-        for p in range(cfg.num_partitions)
-        if mf.is_complete(os.path.join(seg_parent, f"part={p:05d}"), fp)
-    ]
-    if len(done_parts) < cfg.num_partitions:
-        seg_results = (
-            # prune at the read: only the 4 pair columns; in particular do NOT
-            # let the hive-style `shard=` dir name become a partition column
-            # that would ride through the shuffle
-            ray.data.read_parquet(pairs_files, columns=["term", "doc_id", "tf", "dl"])
-            .map_batches(
-                AssignPartitions,
-                fn_constructor_kwargs={
-                    "cfg": cfg,
-                    "hot_terms": sorted(hot_df),
-                    "skip_parts": done_parts,
-                },
-                batch_format="pyarrow",
-                concurrency=resolve_concurrency(concurrency),
-            )
-            .groupby("part")
-            .map_groups(_make_segment_group_fn(index_dir, fp, cfg, N, avgdl),
-                        batch_format="pyarrow")
-            .take_all()
-        )
-        built = [int(r["part"]) for r in seg_results]
-    else:
-        built = []
-    # partitions with no pairs at all: record an explicit empty manifest so
-    # resume and readers see a complete index
-    for p in range(cfg.num_partitions):
-        seg_dir = os.path.join(seg_parent, f"part={p:05d}")
-        if not mf.is_complete(seg_dir, fp):
-            from distributed_text_search_ray.state.segment import build_segment_tables, write_segment
-
-            empty = build_segment_tables(
-                np.empty(0, object), np.empty(0, np.int64), np.empty(0, np.int64),
-                np.empty(0, np.int64), N, avgdl, cfg,
-            )
-            with mf.AtomicDir(seg_dir) as tmp:
-                checks = write_segment(tmp, empty[0], empty[1], empty[2], empty[3])
-                mf.write_manifest(
-                    tmp,
-                    {"kind": "segment", "part": p, "fingerprint": fp,
-                     "checksums": checks, **empty[4]},
-                )
-    report["phases"]["segments"] = {
-        "sec": time.perf_counter() - t0,
-        "built": len(built),
-        "skipped": len(done_parts),
-    }
 
     # ---- Phase D: finalize ----
     part_stats = {}

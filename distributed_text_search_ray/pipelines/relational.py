@@ -1,0 +1,127 @@
+"""Relational demo pipelines over the driver's TPC-H-ish tables.
+
+These exist to exercise the engine's generic aggregate idioms (vectorized
+pyarrow.compute per batch, partial aggregation before the shuffle) on
+non-text data — the same patterns the index build uses (SURVEY.md A1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def sql_round(x: np.ndarray | pa.ChunkedArray, ndigits: int = 4) -> pa.Array:
+    """Round exactly like DuckDB's ROUND (half away from zero, computed as
+    round(x * 10^n) / 10^n in float64) so engine and SQL-oracle outputs are
+    bit-identical. ``pc.round`` uses a different algorithm and can differ in
+    the last ulp."""
+    v = x.to_numpy() if not isinstance(x, np.ndarray) else x
+    p = 10.0**ndigits
+    out = np.sign(v) * np.floor(np.abs(v) * p + 0.5) / p
+    return pa.array(out, type=pa.float64())
+
+
+def tpch_q1(sf_dir: str) -> ray.data.Dataset:
+    """Pricing-summary aggregate over lineitem (TPC-H Q1 shape).
+
+    Vectorized revenue/charge computation in Arrow, grouped aggregate with
+    named outputs. Floats rounded to 4 dp post-aggregation for SQL parity.
+    """
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us")))
+        batch = batch.filter(keep)
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "l_quantity": batch.column("l_quantity"),
+                "l_extendedprice": batch.column("l_extendedprice"),
+                "disc_price": disc_price,
+            }
+        )
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def round_floats(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            if pa.types.is_floating(col.type):
+                col = sql_round(col, 4)
+            cols[name] = col
+        return pa.table(cols)
+
+    return agg.map_batches(round_floats, batch_format="pyarrow")
+
+
+def events_window_agg(sf_dir: str, window_minutes: int = 60) -> ray.data.Dataset:
+    """Tumbling-window aggregate over the events stream table.
+
+    Ray Data has no event-time windows; a tumbling window over a batch table
+    is a plain grouped aggregate on floor(ts / width) (guide: "Streaming-
+    shaped workloads"). Output: one row per (event_type, window_start).
+    """
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    width_us = window_minutes * 60 * 1_000_000
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        win = pc.multiply(pc.floor(pc.divide(ts, width_us)), width_us)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": pc.cast(pc.cast(win, pa.int64()), pa.timestamp("us")),
+                "value": batch.column("value"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+    )
+
+    def round_floats(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("sum_value"),
+            "sum_value",
+            sql_round(batch.column("sum_value"), 4),
+        )
+
+    return agg.map_batches(round_floats, batch_format="pyarrow")

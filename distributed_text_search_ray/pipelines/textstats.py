@@ -1,0 +1,129 @@
+"""Text analysis operators: token counts, quality scoring, language ID,
+document fingerprints.
+
+All are single-pass ``map_batches`` stages (no shuffle) with formulas chosen
+to be exactly replicable in ANSI SQL, so the DuckDB oracle can verify them
+value-for-value. Floats are rounded to 6 decimals at the producer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from distributed_text_search_ray.config import AnalyzerConfig
+from distributed_text_search_ray.functions.hashing import rolling_fingerprint, simhash64
+from distributed_text_search_ray.functions.tokenize import Tokenizer
+from distributed_text_search_ray.util import round_half_away
+
+# fixed stopword lists (shared verbatim with the SQL oracles)
+STOPWORDS = ["a", "and", "in", "is", "it", "of", "the", "to"]
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "los", "las", "una", "y"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "les", "des", "une", "et"],
+}
+LANG_PRIORITY = ["en", "es", "de", "fr"]  # deterministic tie-break order
+
+
+def token_counts(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None) -> ray.data.Dataset:
+    tk_cfg = analyzer or AnalyzerConfig()
+
+    def f(batch: pa.Table) -> pa.Table:
+        tk = Tokenizer(tk_cfg)
+        counts = [tk.token_count(t) for t in batch.column("content").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def quality_scores(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None) -> ray.data.Dataset:
+    """Heuristic quality features + a fixed scalar score.
+
+    score = stopword_ratio * 0.5 + least(n_tokens, 200) / 400.0
+    (rounded to 6 dp; SQL-identical formula in the oracle).
+    """
+    tk_cfg = analyzer or AnalyzerConfig()
+    stop = set(STOPWORDS)
+
+    def f(batch: pa.Table) -> pa.Table:
+        tk = Tokenizer(tk_cfg)
+        out = {"doc_id": [], "n_chars": [], "n_tokens": [], "stopword_ratio": [], "quality": []}
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
+        ):
+            toks = tk.tokens(text)
+            n = len(toks)
+            sw = sum(1 for t in toks if t in stop) / n if n else 0.0
+            score = sw * 0.5 + min(n, 200) / 400.0
+            out["doc_id"].append(doc_id)
+            out["n_chars"].append(len(text))
+            out["n_tokens"].append(n)
+            out["stopword_ratio"].append(round_half_away(sw, 6))
+            out["quality"].append(round_half_away(score, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "n_chars": pa.array(out["n_chars"], type=pa.int64()),
+                "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+                "stopword_ratio": pa.array(out["stopword_ratio"], type=pa.float64()),
+                "quality": pa.array(out["quality"], type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def language_id(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None) -> ray.data.Dataset:
+    """Stopword-list language ID: argmax of per-language stopword hits with a
+    fixed priority tie-break; 'und' when no list scores > 0."""
+    tk_cfg = analyzer or AnalyzerConfig()
+    lang_sets = {lang: set(ws) for lang, ws in LANG_STOPWORDS.items()}
+
+    def f(batch: pa.Table) -> pa.Table:
+        tk = Tokenizer(tk_cfg)
+        preds = []
+        for text in batch.column("content").to_pylist():
+            toks = tk.tokens(text)
+            best_lang, best = "und", 0
+            for lang in LANG_PRIORITY:
+                s = sum(1 for t in toks if t in lang_sets[lang])
+                if s > best:
+                    best, best_lang = s, lang
+            preds.append(best_lang)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(preds, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def fingerprints(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None) -> ray.data.Dataset:
+    """(doc_id, rolling_fp, simhash) deterministic document fingerprints."""
+    tk_cfg = analyzer or AnalyzerConfig()
+
+    def f(batch: pa.Table) -> pa.Table:
+        tk = Tokenizer(tk_cfg)
+        roll, sim = [], []
+        for text in batch.column("content").to_pylist():
+            roll.append(rolling_fingerprint(text))
+            sim.append(int(np.uint64(simhash64(tk.tokens(text))).astype(np.int64)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "rolling_fp": pa.array(roll, type=pa.int64()),
+                "simhash": pa.array(sim, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -71,11 +71,16 @@ class IndexView:
         self.N = int(self.meta["N"])
         self.avgdl = float(self.meta["avgdl"])
         self.hot_df = {k: int(v) for k, v in self.meta["hot_df"].items()}
+        # a multi-partition (salted) term may have postings in its base
+        # partition too (shards decide salting locally) — probe base + salts
         self._salt_parts = {
-            t: [
-                stable_u64(f"{t}#{s}") % self.cfg.num_partitions
-                for s in range(self.cfg.salt_buckets)
-            ]
+            t: sorted(
+                {term_partition(t, self.cfg.num_partitions)}
+                | {
+                    stable_u64(f"{t}#{s}") % self.cfg.num_partitions
+                    for s in range(self.cfg.salt_buckets)
+                }
+            )
             for t in self.hot_df
         }
         self._readers: OrderedDict[int, SegmentReader] = OrderedDict()

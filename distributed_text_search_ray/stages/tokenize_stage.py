@@ -1,16 +1,30 @@
-"""Phase-B tokenize stage: corpus shards -> posting-pair checkpoint files.
+"""Phase-A tokenize+partition stage: corpus shards -> per-partition pair files.
 
 One work item per input corpus shard (parquet file). Each task streams its
-shard's row groups through the analyzer and writes a pairs file
-``(term, doc_id, tf, dl)`` plus a lineage manifest, atomically. A rerun skips
-shards whose manifest matches the current corpus fingerprint — this is the
-"resumes without re-tokenizing completed partitions" contract (north_rule).
+shard's row groups through the analyzer, assigns every ``(term, doc_id, tf,
+dl)`` pair its explicit term-hash partition (salting heavy terms), and writes
+one pairs file **per partition** — ``pairs/part=P/shard_S.parquet`` — plus a
+lineage manifest. This is deliberate map-side partitioning: the segment
+builders then read exactly their partition's files, so the build needs NO
+Ray all-to-all exchange (measured: Ray's sort-based groupby shuffle added a
+~15 s serial component that capped 8->32-CPU scaling efficiency at ~0.5; the
+explicit layout is embarrassingly parallel in both phases). The reference
+analog of the exchange is the Isend/Recv byte-range exchange at
+``src/flexible_mpi.c:398-447`` — there too the partitioning is computed
+up front (``fill_data_bounds``) rather than discovered by a shuffle.
 
-Expressed as a Dataset pipeline (``from_items(shards) ->
-map_batches(TokenizeShard, ...)``) so Ray's streaming executor handles
-scheduling and backpressure; the per-shard granularity is what makes exact
-resume possible (the reference analog: rank ``i`` owns ``dir/i.txt``,
-``src/flexible_mpi.c:232-233`` — but shards here are decoupled from workers).
+Skew (north_rule): a term whose document frequency within the shard exceeds
+``salt_df_threshold`` of the shard's docs is salted — its pairs spread over
+``salt_buckets`` partitions keyed by ``doc_id``. Shards may disagree on what
+is hot; that is safe because each pair still lands in exactly one partition,
+the query side probes base + salt partitions for any term the finalize step
+saw in more than one partition, and exact global df for those terms is
+re-aggregated at finalize.
+
+A rerun skips shards whose manifest matches the current corpus fingerprint —
+"resumes without re-tokenizing completed partitions". Stale part files from
+an older fingerprint are ignored because phase C only reads files listed in
+current manifests.
 """
 
 from __future__ import annotations
@@ -22,8 +36,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from distributed_text_search_ray.config import IndexConfig
-from distributed_text_search_ray.functions.hashing import doc_fingerprint
-from distributed_text_search_ray.functions.tokenize import Tokenizer, pairs_table
+from distributed_text_search_ray.functions.hashing import doc_fingerprint, stable_u64, term_partition
+from distributed_text_search_ray.functions.tokenize import Tokenizer
 from distributed_text_search_ray.state import manifest as mf
 
 PAIRS_SCHEMA = pa.schema(
@@ -36,28 +50,76 @@ PAIRS_SCHEMA = pa.schema(
 )
 
 
+def shard_manifest_dir(pairs_dir: str) -> str:
+    return os.path.join(pairs_dir, "manifests")
+
+
 class TokenizeShard:
-    """Actor-pool stage: analyzer compiled once per actor (T1 analog —
-    the reference allocates DP scratch once per thread,
-    ``src/flexible_mpi.c:478-485``)."""
+    """Per-shard tokenize + explicit partition + write (used as a plain
+    task-pool function via a closure; construction is just a regex compile)."""
 
     def __init__(self, pairs_dir: str, fingerprint: str, cfg: IndexConfig):
         self.pairs_dir = pairs_dir
         self.fingerprint = fingerprint
         self.cfg = cfg
         self.tokenizer = Tokenizer(cfg.analyzer)
+        self._part_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {k: [] for k in ("shard_id", "n_docs", "n_tokens", "n_pairs", "skipped")}
+        out = {
+            "shard_id": [], "n_docs": [], "n_tokens": [], "n_pairs": [], "skipped": [],
+        }
         for row in batch.to_pylist():
             res = self._process_shard(row["shard_id"], row["file"])
             for k in out:
                 out[k].append(res[k])
         return pa.table(out)
 
+    # ---- internals ----
+
+    def _assign_parts(
+        self,
+        codes: np.ndarray,
+        dictionary: list[str],
+        df: np.ndarray,
+        doc_ids: np.ndarray,
+        shard_docs: int,
+    ) -> tuple[np.ndarray, list[str]]:
+        """Partition id per pair row + the shard's salted-term list.
+
+        ``codes``/``dictionary``: arrow dictionary encoding of the pair terms
+        (only the vocabulary-sized dictionary touches Python); ``df``: per-
+        dictionary-entry document frequency within this shard."""
+        cfg = self.cfg
+        base = np.empty(len(dictionary), dtype=np.int64)
+        for i, t in enumerate(dictionary):
+            p = self._part_cache.get(t)
+            if p is None:
+                p = term_partition(t, cfg.num_partitions)
+                self._part_cache[t] = p
+            base[i] = p
+        parts = base[codes]
+        hot_threshold = max(2.0, cfg.salt_df_threshold * shard_docs)
+        salted = []
+        for i in np.flatnonzero(df >= hot_threshold):
+            t = dictionary[i]
+            salted.append(t)
+            table = np.array(
+                [
+                    stable_u64(f"{t}#{s}") % cfg.num_partitions
+                    for s in range(cfg.salt_buckets)
+                ],
+                dtype=np.int64,
+            )
+            mask = codes == i
+            parts[mask] = table[doc_ids[mask] % cfg.salt_buckets]
+        return parts, salted
+
     def _process_shard(self, shard_id: int, file: str) -> dict:
-        out_dir = os.path.join(self.pairs_dir, f"shard={shard_id:05d}")
-        existing = mf.read_manifest(out_dir)
+        man_dir = shard_manifest_dir(self.pairs_dir)
+        os.makedirs(man_dir, exist_ok=True)
+        man_path = os.path.join(man_dir, f"shard_{shard_id:05d}.json")
+        existing = mf.read_manifest_file(man_path)
         if existing is not None and existing.get("fingerprint") == self.fingerprint:
             return {
                 "shard_id": shard_id,
@@ -66,50 +128,98 @@ class TokenizeShard:
                 "n_pairs": existing["n_pairs"],
                 "skipped": True,
             }
-        n_docs = n_tokens = n_pairs = 0
         pf = pq.ParquetFile(file)
         has_doc_id = "doc_id" in pf.schema_arrow.names
         cols = (["doc_id"] if has_doc_id else ["repo", "path"]) + ["content"]
-        with mf.AtomicDir(out_dir) as tmp:
-            writer = pq.ParquetWriter(os.path.join(tmp, "pairs.parquet"), PAIRS_SCHEMA)
-            for rb in pf.iter_batches(batch_size=8192, columns=cols):
-                t = pa.Table.from_batches([rb])
-                texts = t.column("content").to_pylist()
-                if has_doc_id:
-                    ids = t.column("doc_id").to_numpy()
-                else:
-                    ids = np.fromiter(
-                        (
-                            doc_fingerprint(r, p)
-                            for r, p in zip(
-                                t.column("repo").to_pylist(), t.column("path").to_pylist()
-                            )
-                        ),
-                        dtype=np.int64,
-                        count=len(t),
-                    )
-                terms, pdoc, tfs, dls, counts = self.tokenizer.batch_pairs(ids, texts)
-                writer.write_table(pairs_table(terms, pdoc, tfs, dls))
-                n_docs += len(texts)
-                n_tokens += int(counts.sum())
-                n_pairs += len(terms)
-            writer.close()
-            mf.write_manifest(
-                tmp,
+        # Python strings live only within one chunk — each chunk is converted
+        # to Arrow immediately, so a 32-task node never holds millions of
+        # PyObjects concurrently (that allocator pressure halved tokenize
+        # throughput at high parallelism)
+        term_chunks: list[pa.Array] = []
+        doc_chunks, tf_chunks, dl_chunks = [], [], []
+        n_docs = n_tokens = 0
+        for rb in pf.iter_batches(batch_size=2048, columns=cols):
+            t = pa.Table.from_batches([rb])
+            texts = t.column("content").to_pylist()
+            if has_doc_id:
+                ids = t.column("doc_id").to_numpy()
+            else:
+                ids = np.fromiter(
+                    (
+                        doc_fingerprint(r, p)
+                        for r, p in zip(
+                            t.column("repo").to_pylist(), t.column("path").to_pylist()
+                        )
+                    ),
+                    dtype=np.int64,
+                    count=len(t),
+                )
+            terms, pdoc, tfs, dls, counts = self.tokenizer.batch_pairs(ids, texts)
+            term_chunks.append(pa.array(terms, type=pa.string()))
+            doc_chunks.append(pdoc)
+            tf_chunks.append(tfs)
+            dl_chunks.append(dls)
+            n_docs += len(texts)
+            n_tokens += int(counts.sum())
+        if term_chunks:
+            term_col = pa.chunked_array(term_chunks).combine_chunks()
+            doc_ids = np.concatenate(doc_chunks)
+            tfs = np.concatenate(tf_chunks)
+            dls = np.concatenate(dl_chunks)
+        else:
+            term_col = pa.array([], type=pa.string())
+            doc_ids = tfs = dls = np.empty(0, np.int64)
+
+        enc = term_col.dictionary_encode()
+        codes = enc.indices.to_numpy() if len(enc) else np.empty(0, np.int64)
+        dictionary = enc.dictionary.to_pylist()
+        # per-pair rows are (doc, term)-distinct, so bincount of codes = df
+        df = np.bincount(codes, minlength=len(dictionary)) if len(dictionary) else np.empty(0, np.int64)
+        parts, salted = self._assign_parts(codes, dictionary, df, doc_ids, n_docs)
+        order = np.argsort(parts, kind="stable")
+        parts_sorted = parts[order]
+        boundaries = np.flatnonzero(np.diff(parts_sorted)) + 1
+        groups = np.split(order, boundaries)
+        written: dict[str, int] = {}
+        fname = f"shard_{shard_id:05d}.parquet"
+        take = pa.compute.take
+        for g in groups:
+            if g.size == 0:
+                continue
+            p = int(parts[g[0]])
+            part_dir = os.path.join(self.pairs_dir, f"part={p:05d}")
+            os.makedirs(part_dir, exist_ok=True)
+            idx = pa.array(g)
+            table = pa.table(
                 {
-                    "kind": "pairs_shard",
-                    "shard_id": shard_id,
-                    "input_file": os.path.basename(file),
-                    "fingerprint": self.fingerprint,
-                    "n_docs": n_docs,
-                    "n_tokens": n_tokens,
-                    "n_pairs": n_pairs,
-                },
+                    "term": take(term_col, idx),
+                    "doc_id": pa.array(doc_ids[g], type=pa.int64()),
+                    "tf": pa.array(tfs[g], type=pa.int64()),
+                    "dl": pa.array(dls[g], type=pa.int64()),
+                }
             )
+            tmp = os.path.join(part_dir, f".tmp-{fname}")
+            pq.write_table(table, tmp)
+            os.replace(tmp, os.path.join(part_dir, fname))
+            written[f"part={p:05d}/{fname}"] = len(g)
+        mf.write_manifest_file(
+            man_path,
+            {
+                "kind": "pairs_shard",
+                "shard_id": shard_id,
+                "input_file": os.path.basename(file),
+                "fingerprint": self.fingerprint,
+                "n_docs": n_docs,
+                "n_tokens": n_tokens,
+                "n_pairs": int(len(terms)),
+                "salted_terms": sorted(salted),
+                "files": written,
+            },
+        )
         return {
             "shard_id": shard_id,
             "n_docs": n_docs,
             "n_tokens": n_tokens,
-            "n_pairs": n_pairs,
+            "n_pairs": int(len(terms)),
             "skipped": False,
         }

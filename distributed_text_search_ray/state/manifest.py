@@ -56,6 +56,29 @@ def read_manifest(dir_path: str) -> dict[str, Any] | None:
     return m if m.get("status") == "complete" else None
 
 
+def write_manifest_file(path: str, payload: dict[str, Any]) -> None:
+    """Standalone manifest file (for work units whose outputs are spread
+    across several directories, e.g. per-partition pair files)."""
+    payload = dict(payload)
+    payload.setdefault("written_at", time.time())
+    payload.setdefault("status", "complete")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def read_manifest_file(path: str) -> dict[str, Any] | None:
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            m = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+    return m if m.get("status") == "complete" else None
+
+
 def is_complete(dir_path: str, fingerprint: str) -> bool:
     m = read_manifest(dir_path)
     return m is not None and m.get("fingerprint") == fingerprint

@@ -45,7 +45,8 @@ STREAMS = ("docs.bin", "tfs.bin", "dls.bin")
 
 
 def build_segment_tables(
-    terms: np.ndarray,
+    term_codes: np.ndarray,
+    term_strings,
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
@@ -54,13 +55,20 @@ def build_segment_tables(
     cfg: IndexConfig,
 ) -> tuple[pa.Table, bytes, bytes, bytes, dict]:
     """Encode one partition's pairs (already sorted by (term, doc_id)) into
-    (terms table, docs stream, tfs stream, dls stream, stats)."""
-    n = len(terms)
+    (terms table, docs stream, tfs stream, dls stream, stats).
+
+    ``term_codes``: int codes per pair row, non-decreasing (dictionary codes
+    of the sorted term column); ``term_strings``: the dictionary — strings
+    for each distinct code, in code order. Keeping the hot path on int codes
+    avoids materializing millions of Python strings per partition.
+    """
+    n = len(term_codes)
     if n == 0:
         empty = pa.table(
             {
                 "term": pa.array([], type=pa.string()),
                 "df": pa.array([], type=pa.int64()),
+                "cf": pa.array([], type=pa.int64()),
                 "doc_off": pa.array([], type=pa.int64()),
                 "doc_nbytes": pa.array([], type=pa.int64()),
                 "tf_off": pa.array([], type=pa.int64()),
@@ -74,12 +82,13 @@ def build_segment_tables(
         return empty, b"", b"", b"", {"n_terms": 0, "n_postings": 0, "sum_tf": 0}
 
     # term boundaries (input sorted by term, doc_id)
+    codes = np.asarray(term_codes)
     is_start = np.empty(n, dtype=bool)
     is_start[0] = True
-    is_start[1:] = terms[1:] != terms[:-1]
+    is_start[1:] = codes[1:] != codes[:-1]
     starts = np.flatnonzero(is_start)
     df = np.diff(np.concatenate((starts, [n])))
-    uniq_terms = terms[starts]
+    uniq_terms = [term_strings[c] for c in codes[starts]]
 
     deltas = segmented_delta_encode(doc_ids, starts)
     doc_stream, doc_w = varbyte_encode(deltas)
@@ -121,10 +130,12 @@ def build_segment_tables(
     block_last = doc_ids[block_ends - 1] if len(block_ends) else np.empty(0, np.int64)
     block_offsets = block_offsets.astype(np.int32)
 
+    cf = np.add.reduceat(tfs, starts)
     terms_table = pa.table(
         {
             "term": pa.array(uniq_terms, type=pa.string()),
             "df": pa.array(df, type=pa.int64()),
+            "cf": pa.array(cf, type=pa.int64()),
             "doc_off": pa.array(doc_off, type=pa.int64()),
             "doc_nbytes": pa.array(doc_nb, type=pa.int64()),
             "tf_off": pa.array(tf_off, type=pa.int64()),

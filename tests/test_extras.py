@@ -1,0 +1,219 @@
+"""Tests for the training-data pipeline extras: dedup, ANN, text stats,
+relational aggregates. Oracles are in-test brute-force (numpy / DuckDB)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from distributed_text_search_ray.functions.hashing import md5_hex
+from distributed_text_search_ray.pipelines.ann import ann_brute_topk, ann_lsh_topk
+from distributed_text_search_ray.pipelines.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_near_dup_pairs,
+)
+from distributed_text_search_ray.pipelines.relational import events_window_agg, tpch_q1
+from distributed_text_search_ray.pipelines.textstats import (
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_ds():
+    t = pq.read_table(f"{SF}/documents.parquet")
+    return ray.data.from_arrow(
+        pa.table({"doc_id": t.column("doc_id"), "content": t.column("text")})
+    )
+
+
+def test_exact_dedup_with_planted_dupes():
+    t = pq.read_table(f"{SF}/documents.parquet")
+    base = pa.table({"doc_id": t.column("doc_id"), "content": t.column("text")})
+    dupe = pa.table(
+        {
+            "doc_id": pa.array([10_000, 10_001], type=pa.int64()),
+            "content": pa.array([t.column("text")[0].as_py()] * 2, type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([base, dupe]))
+    out = exact_dedup(ds).take_all()
+    target = md5_hex(t.column("text")[0].as_py())
+    row = next(r for r in out if r["content_md5"] == target)
+    assert row["n_copies"] == 3
+    assert row["representative_doc_id"] == t.column("doc_id")[0].as_py()
+    assert sum(r["n_copies"] for r in out) == 502
+
+
+def test_minhash_finds_planted_near_dupes():
+    t = pq.read_table(f"{SF}/documents.parquet")
+    text0 = t.column("text")[0].as_py()
+    words = text0.split()
+    words[3] = "mutated"
+    near = " ".join(words)
+    base = pa.table({"doc_id": t.column("doc_id"), "content": t.column("text")})
+    extra = pa.table(
+        {
+            "doc_id": pa.array([20_000], type=pa.int64()),
+            "content": pa.array([near], type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([base, extra]))
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).take_all()
+    doc0 = t.column("doc_id")[0].as_py()
+    assert any(
+        {p["doc_a"], p["doc_b"]} == {doc0, 20_000} and p["jaccard"] >= 0.5 for p in pairs
+    )
+
+
+def test_simhash_pairs_on_near_dupes():
+    # near-dup = one mutated word in a real doc (hamming ~4); far doc ~40
+    t0 = pq.read_table(f"{SF}/documents.parquet").column("text")[1].as_py()
+    words = t0.split()
+    words[5] = "mutated"
+    texts = [t0, " ".join(words), "completely different words entirely unrelated " * 10]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    pairs = simhash_near_dup_pairs(ds, max_hamming=6).take_all()
+    assert any({p["doc_a"], p["doc_b"]} == {1, 2} for p in pairs)
+    assert not any(3 in {p["doc_a"], p["doc_b"]} for p in pairs)
+
+
+def _emb_table():
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+def test_ann_brute_matches_numpy():
+    t = _emb_table()
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = t.column("vec_id").to_numpy()
+    queries = [(int(ids[i]), X[i].tolist()) for i in range(3)]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    got = ann_brute_topk(ds, queries, k=5).take_all()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for qid, qv in queries:
+        qn = np.array(qv) / np.linalg.norm(qv)
+        sims = np.round(Xn @ qn, 6)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -sims[mask]))[:5]
+        want = list(zip(ids[mask][order].tolist(), sims[mask][order].tolist()))
+        mine = [
+            (r["vec_id"], r["cosine"])
+            for r in sorted((x for x in got if x["query_vec_id"] == qid), key=lambda r: r["rank"])
+        ]
+        assert mine == want
+
+
+def test_ann_lsh_recall_reasonable():
+    t = _emb_table()
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = t.column("vec_id").to_numpy()
+    queries = [(int(ids[i]), X[i].tolist()) for i in range(5)]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    brute = ann_brute_topk(ds, queries, k=10).take_all()
+    lsh = ann_lsh_topk(ds, queries, k=10, n_bits=6).take_all()
+    hits = total = 0
+    for qid, _ in queries:
+        b = {r["vec_id"] for r in brute if r["query_vec_id"] == qid}
+        l = {r["vec_id"] for r in lsh if r["query_vec_id"] == qid}
+        hits += len(b & l)
+        total += len(b)
+    assert hits / total > 0.3  # multi-probe 1-bit LSH, 64-dim: modest recall
+
+
+def test_textstats_match_duckdb():
+    ds = docs_ds()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    got_tc = {r["doc_id"]: r["n_tokens"] for r in token_counts(ds).take_all()}
+    want_tc = dict(
+        con.execute(
+            "SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> ''))"
+            " FROM documents"
+        ).fetchall()
+    )
+    assert got_tc == want_tc
+
+    got_q = {r["doc_id"]: (r["stopword_ratio"], r["quality"]) for r in quality_scores(ds).take_all()}
+    want_q = dict(
+        con.execute(
+            """
+            WITH tok AS (
+              SELECT doc_id, t.term FROM documents,
+              unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS t(term)
+            ), agg AS (
+              SELECT doc_id, count(*) n,
+                     sum(CASE WHEN term IN ('a','and','in','is','it','of','the','to') THEN 1 ELSE 0 END) sw
+              FROM tok GROUP BY 1)
+            SELECT doc_id, (round(sw/n::DOUBLE, 6), round(sw/n::DOUBLE*0.5 + least(n,200)/400.0, 6))
+            FROM agg
+            """
+        ).fetchall()
+    )
+    for d, (swr, q) in want_q.items():
+        assert got_q[d][0] == pytest.approx(swr, abs=1e-9)
+        assert got_q[d][1] == pytest.approx(q, abs=1e-9)
+
+    preds = {r["doc_id"]: r["pred_lang"] for r in language_id(ds).take_all()}
+    assert set(preds.values()) <= {"en", "es", "de", "fr", "und"}
+
+
+def test_tpch_q1_matches_duckdb():
+    got = tpch_q1("/root/testdata/sf0.001").take_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = con.execute(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) sum_qty,
+               round(sum(l_extendedprice),4) sum_base_price,
+               round(sum(l_extendedprice*(1-l_discount)),4) sum_disc_price,
+               round(avg(l_quantity),4) avg_qty, count(*) count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1,2 ORDER BY 1,2
+        """
+    ).fetchall()
+    got_rows = sorted(
+        (
+            r["l_returnflag"],
+            r["l_linestatus"],
+            r["sum_qty"],
+            r["sum_base_price"],
+            r["sum_disc_price"],
+            r["avg_qty"],
+            r["count_order"],
+        )
+        for r in got
+    )
+    assert got_rows == [tuple(w) for w in want]
+
+
+def test_events_window_matches_duckdb():
+    got = events_window_agg(SF, window_minutes=60).take_all()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = con.execute(
+        """
+        SELECT event_type, to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP window_start,
+               count(*) n_events, round(sum(value),4) sum_value
+        FROM events GROUP BY 1,2 ORDER BY 1,2
+        """
+    ).fetchall()
+    got_rows = sorted(
+        (r["event_type"], r["window_start"], r["n_events"], r["sum_value"]) for r in got
+    )
+    assert got_rows == [tuple(w) for w in want]

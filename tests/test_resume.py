@@ -24,12 +24,12 @@ def test_resume_skips_completed(code_corpus, tmp_path):
         for r in search_topk(index_dir, [(0, "def data"), (1, "merge index")]).take_all()
     )
 
-    # simulate a crash mid-build: lose 2 segment partitions + 1 pairs shard +
-    # the final meta, leave a stale tmp dir behind
+    # simulate a crash mid-build: lose 2 segment partitions + 1 tokenize-shard
+    # manifest + the final meta, leave a stale tmp dir behind
     os.remove(os.path.join(index_dir, "index_meta.json"))
     shutil.rmtree(os.path.join(index_dir, "segments", "part=00001"))
     shutil.rmtree(os.path.join(index_dir, "segments", "part=00003"))
-    shutil.rmtree(os.path.join(index_dir, "pairs", "shard=00002"))
+    os.remove(os.path.join(index_dir, "pairs", "manifests", "shard_00002.json"))
     os.makedirs(os.path.join(index_dir, "segments", ".tmp-part=00001-dead"))
 
     r2 = build_index(corpus_dir, index_dir, CFG)
@@ -75,3 +75,27 @@ def test_input_change_invalidates(code_corpus, tmp_path):
         open(os.path.join(index_dir, "segments", "part=00000", "MANIFEST.json"))
     )
     assert m["fingerprint"] == r2["fingerprint"]
+
+
+def test_salted_term_in_single_partition_still_searchable(tmp_path):
+    """Regression: with salt_buckets=1 every salted term's postings land in
+    exactly ONE partition (hash(t#0) % P), which generally differs from its
+    base partition — multi-partition detection by n_parts>1 misses it. The
+    salted-term union from the shard manifests must route the query side."""
+    from distributed_text_search_ray.oracle import oracle_bm25_topk
+    from distributed_text_search_ray.pipelines.search import search_topk
+    from distributed_text_search_ray.sources.synth import write_corpus
+    from tests.conftest import corpus_docs
+
+    corpus = tmp_path / "c"
+    write_corpus(str(corpus), n_shards=2, docs_per_shard=30, seed=3)
+    cfg = IndexConfig(num_partitions=7, salt_buckets=1, salt_df_threshold=0.3)
+    index_dir = str(tmp_path / "idx")
+    report = build_index(str(corpus), index_dir, cfg)
+    assert report["hot_df"]  # something actually got salted
+    docs = corpus_docs(str(corpus))
+    queries = [(i, t) for i, t in enumerate(sorted(report["hot_df"]))]
+    expected = oracle_bm25_topk(docs, queries, k=5, cfg=cfg)
+    got = search_topk(index_dir, queries, topk=5).take_all()
+    got_rows = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in got)
+    assert got_rows == sorted(expected)
