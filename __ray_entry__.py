@@ -275,8 +275,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(to_epoch, batch_format="pyarrow")
 
+    def revenue_by_nation(sf_dir):
+        from distributed_text_search_ray.pipelines.joins import revenue_by_nation as rn
+
+        return rn(sf_dir)
+
+    def sessionize_30m(sf_dir):
+        return relational.sessionize(sf_dir, gap_minutes=30)
+
+    def embedding_dup_pairs(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return ann.cosine_dup_pairs(ds, threshold=0.45)
+
+    def media_features(sf_dir):
+        import ray.data
+
+        from distributed_text_search_ray.pipelines.multimodal import (
+            decode_and_featurize,
+            synthetic_media,
+        )
+
+        media = ray.data.from_arrow(synthetic_media(96, seed=11))
+        return decode_and_featurize(media, fake=True)
+
     return {
         "bm25_topk": bm25_topk,
+        "revenue_by_nation": revenue_by_nation,
+        "sessionize_30m": sessionize_30m,
+        "embedding_dup_pairs": embedding_dup_pairs,
+        "media_features": media_features,
         "bm25_topk_wand": bm25_topk_wand,
         "apm_counts": apm_counts,
         "fuzzy_term_stats": fuzzy_term_stats,
@@ -494,9 +523,42 @@ SELECT event_type,
 FROM events GROUP BY 1, 2
 """
 
+    revenue_nation = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) revenue,
+       count(*)::BIGINT n_rows
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+    sessions = """
+WITH e AS (SELECT user_id, epoch_us(ts) tus, value FROM events),
+o AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus) prev FROM e),
+s AS (SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                    THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) sid
+      FROM o)
+SELECT user_id, (min(tus) // 1000000)::BIGINT session_start,
+       count(*)::BIGINT n_events, round(sum(value), 4) sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+    emb_dups = """
+SELECT a.vec_id vec_id_a, b.vec_id vec_id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
     return {
         "bm25_topk": bm25,
         "bm25_topk_wand": bm25,
+        "revenue_by_nation": revenue_nation,
+        "sessionize_30m": sessions,
+        "embedding_dup_pairs": emb_dups,
         "apm_counts": apm,
         "fuzzy_term_stats": fuzzy,
         "term_dictionary": term_dict,

@@ -27,7 +27,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_CORPUS = "/tmp/dts_bench_corpus"
 SCALING_SHARDS = 64
-SCALING_DOCS_PER_SHARD = 18000
+SCALING_DOCS_PER_SHARD = 36000
 SCALING_MEAN_TOKENS = 260
 
 
@@ -117,7 +117,7 @@ def ensure_scaling_corpus() -> str:
         "shards": SCALING_SHARDS,
         "docs": SCALING_DOCS_PER_SHARD,
         "mean_tokens": SCALING_MEAN_TOKENS,
-        "v": 4,
+        "v": 5,
     }
     if os.path.exists(marker):
         with open(marker) as f:

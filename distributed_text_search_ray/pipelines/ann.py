@@ -101,6 +101,50 @@ def ann_brute_topk(
     )
 
 
+def cosine_dup_pairs(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.9,
+    column: str = "embedding",
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs: (vec_id_a < vec_id_b, cosine)
+    with cosine >= threshold.
+
+    The full normalized matrix is broadcast once (fits memory at these
+    scales); each batch computes its block of the similarity matrix — a
+    distributed O(N^2/B) block sweep. For corpora where the matrix does not
+    fit, bucket with ``ann_lsh_topk``'s hyperplane hashing first.
+    """
+    full = embeddings.select_columns(["vec_id", column]).take_all()
+    ids_all = np.array([r["vec_id"] for r in full], dtype=np.int64)
+    X = np.array([r[column] for r in full], dtype=np.float64)
+    Xn_all = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    import ray as _ray
+
+    ref = _ray.put((ids_all, Xn_all))
+
+    def block(batch: pa.Table) -> pa.Table:
+        ids_a, Xn = _ray.get(ref)
+        B = _batch_matrix(batch, column)
+        ids_b = batch.column("vec_id").to_numpy()
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+        sims = Bn @ Xn.T  # (b, N)
+        bi, ai = np.nonzero(sims >= threshold)
+        keep = ids_b[bi] < ids_a[ai]
+        a = ids_b[bi][keep]
+        b = ids_a[ai][keep]
+        c = round_half_away(sims[bi, ai][keep], 6)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a, type=pa.int64()),
+                "vec_id_b": pa.array(b, type=pa.int64()),
+                "cosine": pa.array(c, type=pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(block, batch_format="pyarrow")
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, n_bits))

@@ -160,35 +160,59 @@ def build_index(
             hot_df = {k: int(v) for k, v in json.load(f)["hot_df"].items()}
         report["phases"]["dictionary"] = {"sec": time.perf_counter() - t0, "skipped": True}
     else:
-        merged = (
-            ray.data.read_parquet(terms_files, columns=["term", "df", "cf"])
-            .groupby("term")
-            .aggregate(
-                Sum("df", alias_name="df"),
-                Sum("cf", alias_name="cf"),
-                Count(alias_name="n_parts"),
+        total_terms = sum(
+            mf.read_manifest(os.path.join(seg_parent, f"part={p:05d}"))["n_terms"]
+            for p in range(cfg.num_partitions)
+        )
+        if total_terms <= 5_000_000:
+            # vocabulary is small: merge the per-partition term tables on the
+            # driver with pure pyarrow — saves two Ray execution startups of
+            # fixed cost per build. The Ray groupby path below handles
+            # vocabularies that do not fit one process.
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq_
+
+            t = pa.concat_tables(
+                pq_.read_table(f, columns=["term", "df", "cf"]) for f in terms_files
             )
-            .sort("term")
-            .materialize()  # vocabulary-sized — tiny next to the pairs
-        )
-        with mf.AtomicDir(dict_dir) as tmp:
-            merged.select_columns(["term", "df", "cf"]).write_parquet(tmp)
-            mf.write_manifest(tmp, {"kind": "dictionary", "fingerprint": fp})
-        # exact global df for every term any shard salted (n_parts>1 alone is
-        # NOT sufficient: all of a term's salt buckets can hash to a single
-        # partition that differs from its base partition)
-        salted = salted_union
+            g = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+            g = g.rename_columns(["term", "df", "cf"]).sort_by("term")
+            with mf.AtomicDir(dict_dir) as tmp:
+                pq_.write_table(g, os.path.join(tmp, "dictionary.parquet"))
+                mf.write_manifest(tmp, {"kind": "dictionary", "fingerprint": fp})
+            if salted_union:
+                keep = pc.is_in(
+                    g.column("term"), value_set=pa.array(sorted(salted_union))
+                )
+                sel = g.filter(keep)
+                hot_df = {
+                    t_: int(d)
+                    for t_, d in zip(
+                        sel.column("term").to_pylist(), sel.column("df").to_pylist()
+                    )
+                }
+        else:
+            merged = (
+                ray.data.read_parquet(terms_files, columns=["term", "df", "cf"])
+                .groupby("term")
+                .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+                .sort("term")
+                .materialize()
+            )
+            with mf.AtomicDir(dict_dir) as tmp:
+                merged.write_parquet(tmp)
+                mf.write_manifest(tmp, {"kind": "dictionary", "fingerprint": fp})
+            # exact global df for every term any shard salted (n_parts>1 alone
+            # is NOT sufficient: all of a term's salt buckets can hash to a
+            # single partition that differs from its base partition)
+            salted = salted_union
 
-        def pick_salted(batch: pa.Table) -> pa.Table:
-            keep = [t in salted for t in batch.column("term").to_pylist()]
-            return batch.filter(pa.array(keep))
+            def pick_salted(batch: pa.Table) -> pa.Table:
+                keep = [t in salted for t in batch.column("term").to_pylist()]
+                return batch.filter(pa.array(keep))
 
-        multi = (
-            merged.select_columns(["term", "df"])
-            .map_batches(pick_salted, batch_format="pyarrow")
-            .take_all()
-        )
-        hot_df = {r["term"]: int(r["df"]) for r in multi}
+            multi = merged.map_batches(pick_salted, batch_format="pyarrow").take_all()
+            hot_df = {r["term"]: int(r["df"]) for r in multi}
         stats_path = os.path.join(index_dir, "stats.json")
         with open(stats_path + ".tmp", "w") as f:
             json.dump(

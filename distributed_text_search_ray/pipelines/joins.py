@@ -1,0 +1,123 @@
+"""Join strategies (SURVEY.md section 2.4).
+
+The reference has no joins (patterns x corpus is a broadcast nested loop);
+a general engine needs them:
+
+- ``broadcast_lookup``: small side shipped once per task/actor, applied as a
+  vectorized pandas merge inside ``map_batches`` — no shuffle. The right
+  strategy for dimension tables, vocab maps, blocklists.
+- ``hash_join``: both sides large — Ray's hash-partitioned ``Dataset.join``
+  with an explicit ``num_partitions`` (an all-to-all on both sides; keep keys
+  low-skew or pre-salt).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def broadcast_lookup(
+    large: ray.data.Dataset,
+    small_df: pd.DataFrame,
+    on: str,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Join a large Dataset against a small in-memory table by broadcast.
+
+    ``small_df`` rides into each task via closure capture (Ray ships it to
+    the object store once and workers share the copy)."""
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(small_df, on=on, how=how)
+
+    return large.map_batches(merge, batch_format="pandas")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    num_partitions: int = 32,
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Hash-partitioned join of two large Datasets (explicit partition count;
+    this is an all-to-all exchange of both sides)."""
+    return left.join(
+        right, join_type=join_type, num_partitions=num_partitions, on=(on,)
+    )
+
+
+def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Demo pipeline: lineitem revenue rolled up to customer nation.
+
+    Strategy mix on purpose: nation and customer are broadcast (small side),
+    orders join lineitem is the large hash join. Output
+    (n_name, revenue, n_orders) with revenue rounded to 4 dp (SQL-identical).
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from distributed_text_search_ray.pipelines.relational import sql_round
+
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))[
+        ["n_nationkey", "n_name"]
+    ]
+    customer = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"))[
+        ["c_custkey", "c_nationkey"]
+    ]
+    cust_nation = customer.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "revenue": rev})
+
+    joined = orders.join(
+        lineitem.map_batches(revenue, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=16,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    with_nation = broadcast_lookup(
+        joined.map_batches(
+            lambda t: pa.table(
+                {"c_custkey": t.column("o_custkey"), "revenue": t.column("revenue")}
+            ),
+            batch_format="pyarrow",
+        ),
+        cust_nation,
+        on="c_custkey",
+    )
+    agg = with_nation.groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue"), Count(alias_name="n_rows")
+    )
+
+    def round_rev(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "revenue": sql_round(batch.column("revenue"), 4),
+                "n_rows": batch.column("n_rows"),
+            }
+        )
+
+    return agg.map_batches(round_rev, batch_format="pyarrow")

@@ -125,3 +125,44 @@ def events_window_agg(sf_dir: str, window_minutes: int = 60) -> ray.data.Dataset
         )
 
     return agg.map_batches(round_floats, batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Session windows per user over the events stream table.
+
+    Ray Data has no event-time sessions; per the streaming-shaped-workload
+    pattern, partition by key and window inside ``groupby(key).map_groups``
+    over the ts-sorted group. A new session starts when the gap to the
+    previous event exceeds ``gap_minutes``. Output one row per session:
+    (user_id, session_start (epoch s), n_events, sum_value 4dp).
+    """
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        vals = g.column("value").to_numpy()
+        user = g.column("user_id")[0].as_py()
+        new_session = np.empty(len(ts), dtype=bool)
+        new_session[0] = True
+        np.greater(np.diff(ts), gap_us, out=new_session[1:])
+        sid = np.cumsum(new_session) - 1
+        n_sessions = int(sid[-1]) + 1
+        starts = ts[new_session] // 1_000_000
+        n_events = np.bincount(sid, minlength=n_sessions)
+        sum_value = np.bincount(sid, weights=vals, minlength=n_sessions)
+        return pa.table(
+            {
+                "user_id": pa.array([user] * n_sessions, type=pa.int64()),
+                "session_start": pa.array(starts, type=pa.int64()),
+                "n_events": pa.array(n_events, type=pa.int64()),
+                "sum_value": sql_round(sum_value, 4),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")

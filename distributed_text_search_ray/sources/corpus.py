@@ -98,6 +98,41 @@ def read_documents_table(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(adapt_documents_batch, batch_format="pyarrow")
 
 
+def read_text_dir(path: str, repo: str | None = None) -> ray.data.Dataset:
+    """Reference-format corpus source: a directory of flat text files
+    (``dir/<rank>.txt``, ``src/flexible_mpi.c:232-233``) -> canonical corpus
+    rows. One row per file; byte content decoded as UTF-8 (latin-1 fallback
+    keeps arbitrary bytes representable). A user of the reference can point
+    this at its ``dna/`` fixtures directly."""
+    repo = repo or os.path.basename(os.path.normpath(path))
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        contents, paths = [], []
+        for raw, p in zip(
+            batch.column("bytes").to_pylist(), batch.column("path").to_pylist()
+        ):
+            try:
+                contents.append(raw.decode("utf-8"))
+            except UnicodeDecodeError:
+                contents.append(raw.decode("latin-1"))
+            paths.append(os.path.basename(p))
+        n = len(paths)
+        return pa.table(
+            {
+                "repo": pa.array([repo] * n, type=pa.string()),
+                "path": pa.array(paths, type=pa.string()),
+                "commit": pa.array([""] * n, type=pa.string()),
+                "lang": pa.array(["txt"] * n, type=pa.string()),
+                "content": pa.array(contents, type=pa.string()),
+            }
+        )
+
+    ds = ray.data.read_binary_files(path, include_paths=True)
+    return ds.map_batches(to_rows, batch_format="pyarrow").map_batches(
+        _add_doc_ids, batch_format="pyarrow"
+    )
+
+
 def add_sha256(batch: pa.Table) -> pa.Table:
     """Per-row content sha256 (the end-to-end invariant, input_hint)."""
     shas = [sha256_hex(t) for t in batch.column("content").to_pylist()]

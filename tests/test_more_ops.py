@@ -1,0 +1,142 @@
+"""Tests: joins, session windows, multimodal stubs, reference-format source."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from distributed_text_search_ray.pipelines.joins import (
+    broadcast_lookup,
+    hash_join,
+    revenue_by_nation,
+)
+from distributed_text_search_ray.pipelines.multimodal import (
+    MediaDecoder,
+    decode_and_featurize,
+    frame_sample_stub,
+    synthetic_media,
+)
+from distributed_text_search_ray.pipelines.relational import sessionize
+from distributed_text_search_ray.sources.corpus import read_text_dir
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_broadcast_lookup():
+    import pandas as pd
+
+    big = ray.data.from_items([{"k": i % 3, "v": i} for i in range(100)])
+    small = pd.DataFrame({"k": [0, 1], "name": ["zero", "one"]})
+    out = broadcast_lookup(big, small, on="k").take_all()
+    assert len(out) == 67  # k==2 rows dropped (34 of them)
+    assert all(r["name"] in ("zero", "one") for r in out)
+
+
+def test_hash_join_matches_duckdb():
+    left = ray.data.from_items([{"id": i, "a": i * 2} for i in range(50)])
+    right = ray.data.from_items([{"id": i, "b": i * 3} for i in range(25, 75)])
+    out = hash_join(left, right, on="id", num_partitions=4).take_all()
+    rows = sorted((r["id"], r["a"], r["b"]) for r in out)
+    assert rows == [(i, i * 2, i * 3) for i in range(25, 50)]
+
+
+def test_revenue_by_nation_matches_duckdb():
+    got = revenue_by_nation(SF).take_all()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    want = con.execute(
+        """
+        SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) revenue,
+               count(*)::BIGINT n_rows
+        FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+             JOIN customer ON o_custkey=c_custkey
+             JOIN nation ON c_nationkey=n_nationkey
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    got_rows = sorted((r["n_name"], r["revenue"], r["n_rows"]) for r in got)
+    assert got_rows == [tuple(w) for w in want]
+
+
+def test_sessionize_matches_duckdb():
+    got = sessionize(SF, gap_minutes=30).take_all()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = con.execute(
+        """
+        WITH e AS (SELECT user_id, epoch_us(ts) tus, value FROM events),
+        o AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus) prev FROM e),
+        s AS (SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                           THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY tus
+                       ROWS UNBOUNDED PRECEDING) sid FROM o)
+        SELECT user_id, (min(tus) // 1000000)::BIGINT session_start,
+               count(*)::BIGINT n_events, round(sum(value), 4) sum_value
+        FROM s GROUP BY user_id, sid ORDER BY 1, 2
+        """
+    ).fetchall()
+    got_rows = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"]) for r in got
+    )
+    assert got_rows == [tuple(w) for w in want]
+
+
+def test_media_decode_stub_raises_without_fake():
+    dec = MediaDecoder(fake=False)
+    batch = synthetic_media(2)
+    with pytest.raises(NotImplementedError):
+        dec(batch)
+
+
+def test_media_pipeline_deterministic():
+    media = ray.data.from_arrow(synthetic_media(30, seed=4))
+    out1 = sorted(
+        (r["media_id"], tuple(r["embedding"]))
+        for r in decode_and_featurize(media, fake=True).take_all()
+    )
+    media2 = ray.data.from_arrow(synthetic_media(30, seed=4))
+    out2 = sorted(
+        (r["media_id"], tuple(r["embedding"]))
+        for r in decode_and_featurize(media2, fake=True).take_all()
+    )
+    assert out1 == out2
+    assert len(out1) == 30
+    assert all(len(e) == 64 for _, e in out1)
+
+
+def test_frame_sample():
+    media = ray.data.from_arrow(synthetic_media(30, seed=1))
+    frames = frame_sample_stub(media, every_ms=1000).take_all()
+    vids = {r["media_id"] for r in frames}
+    meta = {r["media_id"]: r for r in synthetic_media(30, seed=1).to_pylist()}
+    for mid in vids:
+        assert meta[mid]["modality"] == "video"
+        n = len([f for f in frames if f["media_id"] == mid])
+        assert n == len(range(0, meta[mid]["duration_ms"], 1000))
+
+
+def test_read_text_dir_reference_fixture(tmp_path):
+    # reference-style corpus: dir of <rank>.txt files (src/flexible_mpi.c:232)
+    d = tmp_path / "dna"
+    d.mkdir()
+    (d / "0.txt").write_text("ACGTACGT")
+    (d / "1.txt").write_text("TTTT\n")
+    ds = read_text_dir(str(d))
+    rows = sorted((r["path"], r["content"]) for r in ds.take_all())
+    assert rows == [("0.txt", "ACGTACGT"), ("1.txt", "TTTT\n")]
+    # and it indexes + searches end-to-end
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.apm import windowed_match_counts
+
+    got = windowed_match_counts(ds, [(0, "ACGT", 0), (1, "TTTT", 1)]).take_all()
+    counts = {r["query_id"]: r["n_matches"] for r in got}
+    assert counts[0] == 2  # "ACGT" at j=0 and j=4; truncated tails don't match
+    from distributed_text_search_ray.oracle import oracle_windowed_counts
+
+    docs = [(r["doc_id"], r["content"]) for r in ds.take_all()]
+    want = dict(oracle_windowed_counts(docs, [(0, "ACGT", 0), (1, "TTTT", 1)]))
+    assert counts == want
