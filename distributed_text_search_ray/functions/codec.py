@@ -65,23 +65,38 @@ def varbyte_decode(stream: np.ndarray, count: int | None = None) -> np.ndarray:
     """Decode a varbyte stream back into a uint64 array.
 
     ``count`` (if given) asserts the expected number of values.
+
+    Hot-path layout: most streams are dominated by 1-2 byte values (doc-id
+    deltas of frequent terms are tiny; tf is small; dl < 16k), so decoding
+    proceeds per byte-length class — a handful of fully vectorized gathers —
+    instead of a cumsum + scatter-add over the whole byte stream (which
+    profiled ~10x slower on long posting lists).
     """
     b = np.ascontiguousarray(stream, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (b & 0x80) == 0
-    n_vals = int(is_end.sum())
+    if is_end.all():  # pure 1-byte stream
+        if count is not None and b.size != count:
+            raise ValueError(f"varbyte stream holds {b.size} values, expected {count}")
+        return b.astype(np.uint64)
+    ends = np.flatnonzero(is_end)
+    n_vals = ends.size
     if count is not None and n_vals != count:
         raise ValueError(f"varbyte stream holds {n_vals} values, expected {count}")
-    # group id per byte: number of terminators strictly before this byte
-    group = np.zeros(b.shape, dtype=np.int64)
-    np.cumsum(is_end[:-1], out=group[1:])
-    # position of byte within its group
-    ends = np.flatnonzero(is_end)
-    starts = np.concatenate(([0], ends[:-1] + 1))
-    pos = np.arange(b.size, dtype=np.int64) - starts[group]
-    vals = np.zeros(n_vals, dtype=np.uint64)
-    np.add.at(vals, group, (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64)))
+    starts = np.empty(n_vals, dtype=np.int64)
+    starts[0] = 0
+    np.add(ends[:-1], 1, out=starts[1:])
+    lens = ends - starts + 1
+    vals = np.empty(n_vals, dtype=np.uint64)
+    payload = (b & np.uint8(0x7F)).astype(np.uint64)
+    for L in np.unique(lens):
+        m = lens == L
+        s = starts[m]
+        acc = payload[s].copy()
+        for j in range(1, int(L)):
+            acc |= payload[s + j] << np.uint64(7 * j)
+        vals[m] = acc
     return vals
 
 

@@ -236,10 +236,13 @@ def build_index(
 
     # ---- Phase D: finalize ----
     part_stats = {}
+    max_doc_id = -1
     for p in range(cfg.num_partitions):
         m = mf.read_manifest(os.path.join(seg_parent, f"part={p:05d}"))
         part_stats[p] = {k: m[k] for k in ("n_terms", "n_postings", "sum_tf")}
+        max_doc_id = max(max_doc_id, m.get("max_doc_id", -1))
     meta = {
+        "max_doc_id": max_doc_id,
         "fingerprint": fp,
         "config": asdict(cfg),
         "N": N,

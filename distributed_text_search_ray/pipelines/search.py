@@ -47,7 +47,7 @@ def search_topk(
         QueryExecutor,
         fn_constructor_kwargs={"index_dir": index_dir, "topk": topk, "mode": mode},
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=8,  # small batches spread a query set across the pool
         concurrency=resolve_concurrency(concurrency),
     )
 

@@ -85,6 +85,11 @@ class IndexView:
         }
         self._readers: OrderedDict[int, SegmentReader] = OrderedDict()
         self._max_cached = max_cached_parts
+        # decoded-postings LRU (hot query terms recur): bounded by total
+        # cached postings, not entry count — one Zipf-head term can be huge
+        self._postings_cache: OrderedDict[str, tuple] = OrderedDict()
+        self._cached_postings = 0
+        self._max_cached_postings = 32_000_000
 
     def reader(self, part: int) -> SegmentReader:
         r = self._readers.get(part)
@@ -104,6 +109,10 @@ class IndexView:
 
     def term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
         """(doc_ids, tfs, dls, global_df); empty arrays if term unknown."""
+        hit = self._postings_cache.get(term)
+        if hit is not None:
+            self._postings_cache.move_to_end(term)
+            return hit
         chunks = []
         for p in self.term_parts(term):
             got = self.reader(p).postings(term)
@@ -116,7 +125,13 @@ class IndexView:
         tfs = np.concatenate([c[1] for c in chunks])
         dls = np.concatenate([c[2] for c in chunks])
         df = self.hot_df.get(term, len(docs))
-        return docs, tfs, dls, df
+        out = (docs, tfs, dls, df)
+        self._postings_cache[term] = out
+        self._cached_postings += len(docs)
+        while self._cached_postings > self._max_cached_postings and len(self._postings_cache) > 1:
+            _, old = self._postings_cache.popitem(last=False)
+            self._cached_postings -= len(old[0])
+        return out
 
     def term_df(self, term: str) -> int:
         if term in self.hot_df:
@@ -192,13 +207,62 @@ class QueryExecutor:
         if not all_docs:
             z = np.empty(0, dtype=np.int64)
             return z, z.astype(np.float64)
+        buf = self._dense_buffer()
+        if buf is not None:
+            # dense doc-id space: accumulate straight into a reusable float64
+            # array — no sort. Per-doc addition order is still ascending term
+            # order (one fancy-index += per term), bit-identical to the
+            # oracle; BM25 contributions are > 0, so score 0 == unscored.
+            for docs, contrib in zip(all_docs, all_contrib):
+                buf[docs] += contrib
+            out = self._dense_topk(buf, k)
+            for docs in all_docs:  # reset only the touched slots
+                buf[docs] = 0.0
+            return out
         docs = np.concatenate(all_docs)
         contrib = np.concatenate(all_contrib)
-        uniq, inv = np.unique(docs, return_inverse=True)
-        # np.bincount accumulates in input order -> per-doc addition order is
-        # ascending term order, bit-identical to the oracle
-        scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
+        # one stable argsort + segmented reduce (cheaper than np.unique with
+        # return_inverse, which sorts twice). Stable sort keeps equal doc ids
+        # in concatenation order = ascending term order, and reduceat adds
+        # left-to-right within each segment -> float64 accumulation order is
+        # bit-identical to the oracle.
+        order = np.argsort(docs, kind="stable")
+        sdocs = docs[order]
+        scontrib = contrib[order]
+        is_start = np.empty(len(sdocs), dtype=bool)
+        is_start[0] = True
+        np.not_equal(sdocs[1:], sdocs[:-1], out=is_start[1:])
+        starts = np.flatnonzero(is_start)
+        uniq = sdocs[starts]
+        # bincount is a strictly sequential accumulate over the input array
+        # (reduceat is pairwise and can differ in the last ulp)
+        seg_ids = np.cumsum(is_start) - 1
+        scores = np.bincount(seg_ids, weights=scontrib, minlength=len(starts))
         return _topk_rows(uniq, scores, k)
+
+    def _dense_buffer(self) -> np.ndarray | None:
+        """Reusable score accumulator when doc ids are dense (driver-style
+        0..N ids). Sparse 63-bit fingerprint ids fall back to np.unique."""
+        m = self.view.meta.get("max_doc_id", -1)
+        if m < 0 or m + 1 > max(4 * self.view.N, 1 << 22):
+            return None
+        if getattr(self, "_buf", None) is None or len(self._buf) < m + 1:
+            self._buf = np.zeros(m + 1, dtype=np.float64)
+        return self._buf
+
+    @staticmethod
+    def _dense_topk(buf: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        if k < len(buf):
+            cut = np.partition(buf, len(buf) - k)[len(buf) - k]
+        else:
+            cut = 0.0
+        if cut > 0.0:
+            cand = np.flatnonzero(buf >= cut)  # keeps kth-score ties for the
+        else:                                  # doc_id tie-break
+            cand = np.flatnonzero(buf > 0.0)
+        scores = buf[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        return cand[order], scores[order]
 
     # ---- document-at-a-time block-max WAND ----
     def _score_wand(self, terms: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:

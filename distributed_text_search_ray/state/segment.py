@@ -79,7 +79,9 @@ def build_segment_tables(
                 "block_last": pa.array([], type=pa.list_(pa.int64())),
             }
         )
-        return empty, b"", b"", b"", {"n_terms": 0, "n_postings": 0, "sum_tf": 0}
+        return empty, b"", b"", b"", {
+            "n_terms": 0, "n_postings": 0, "sum_tf": 0, "max_doc_id": -1,
+        }
 
     # term boundaries (input sorted by term, doc_id)
     codes = np.asarray(term_codes)
@@ -154,6 +156,7 @@ def build_segment_tables(
         "n_terms": int(len(uniq_terms)),
         "n_postings": int(n),
         "sum_tf": int(tfs.sum()),
+        "max_doc_id": int(doc_ids.max()),
     }
     return terms_table, doc_stream.tobytes(), tf_stream.tobytes(), dl_stream.tobytes(), stats
 
