@@ -57,4 +57,10 @@ class IndexConfig:
 
     def fingerprint(self) -> str:
         d = asdict(self)
+        d["__format_version__"] = INDEX_FORMAT_VERSION
         return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]
+
+
+# bumped whenever the on-disk segment/manifest layout changes, so an index
+# built by an older layout is never silently reused on resume
+INDEX_FORMAT_VERSION = 2

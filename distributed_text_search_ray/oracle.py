@@ -152,6 +152,29 @@ def oracle_fuzzy_terms(
     return out
 
 
+def oracle_fuzzy_topk(
+    docs: list[tuple[int, str]],
+    patterns: list[tuple[int, str, int]],
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+) -> list[tuple[int, int, int, float]]:
+    """BM25 top-k over the OR of the fuzzy-expanded term set (each matched
+    dictionary term scored with its own df; expansion = standard Levenshtein
+    <= k over the vocabulary). Mirrors FuzzyTopkExecutor."""
+    cfg = cfg or IndexConfig()
+    idx = build_oracle_index(docs, cfg.analyzer)
+    tk = Tokenizer(cfg.analyzer)
+    out = []
+    for qid, pattern, k_lev in patterns:
+        toks = tk.tokens(pattern)
+        p = toks[0] if toks else ""
+        matched = sorted(t for t in idx.postings if levenshtein(p, t) <= k_lev)
+        scores = bm25_scores(idx, matched, cfg.bm25_k1, cfg.bm25_b)
+        for rank, doc_id, s in topk(scores, k):
+            out.append((qid, rank, doc_id, s))
+    return out
+
+
 def oracle_token_stats(docs: list[tuple[int, str]], analyzer=None) -> dict:
     tk = Tokenizer(analyzer)
     lens = {d: tk.token_count(t) for d, t in docs}
