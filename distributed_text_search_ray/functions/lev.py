@@ -113,6 +113,63 @@ def windowed_match_count(text: str, pattern: str, k: int) -> int:
     return count
 
 
+def windowed_match_count_many(texts: list[str], pattern: str, k: int) -> int:
+    """Sum of :func:`windowed_match_count` over many documents, with ONE
+    banded DP over the concatenation of all full windows.
+
+    Per-document calls pay m*(2k+1) numpy dispatches per ~300-char doc —
+    pure Python overhead on short documents. Here all documents' full windows
+    run as one vector (windows crossing document boundaries are computed but
+    masked out; the waste is m-1 windows per boundary). Truncated tail
+    positions (size < m) fall back to the per-document scalar path, which is
+    O(m^2) per document at most.
+    """
+    m = len(pattern)
+    if m == 0 or not texts:
+        return 0
+    P = codepoints(pattern)
+    arrs = [codepoints(t) for t in texts if len(t) > 0]
+    if not arrs:
+        return 0
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    T = np.concatenate(arrs)
+    N = T.size
+    count = 0
+    W = N - m + 1
+    if W > 0:
+        # a window starting at j is valid iff it does not cross a doc
+        # boundary: j + m <= end_of_doc(j)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        valid = np.zeros(W, dtype=bool)
+        for s, e in zip(starts, ends):
+            if e - s >= m:
+                valid[s : e - m + 1] = True
+        wins = np.lib.stride_tricks.sliding_window_view(T, m)
+        for s in range(0, W, _CHUNK):
+            e = min(W, s + _CHUNK)
+            v = valid[s:e]
+            if not v.any():
+                continue
+            dists = _banded_window_pass(np.ascontiguousarray(wins[s:e]), P, k)
+            count += int(((dists <= k) & v).sum())
+    # truncated tails per document
+    for t in texts:
+        n = len(t)
+        if n == 0:
+            continue
+        for j in range(max(0, n - m + 1), n):
+            size = n - j
+            if size >= m:
+                continue
+            if k >= size:
+                count += 1
+                continue
+            if levenshtein(pattern[:size], t[j : j + size]) <= k:
+                count += 1
+    return count
+
+
 def bounded_term_distances(pattern: str, terms: list[str], k: int) -> np.ndarray:
     """Standard Levenshtein distance between ``pattern`` and each term,
     vectorized across terms, capped at k+1.

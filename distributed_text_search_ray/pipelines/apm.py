@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from distributed_text_search_ray.functions.lev import windowed_match_count
+from distributed_text_search_ray.functions.lev import windowed_match_count_many
 from distributed_text_search_ray.util import resolve_concurrency
 
 
@@ -38,11 +38,8 @@ class ApmScan:
         texts = batch.column(self.text_column).to_pylist()
         qids, counts = [], []
         for qid, pattern, k in self.patterns:
-            c = 0
-            for t in texts:
-                c += windowed_match_count(t, pattern, k)
             qids.append(qid)
-            counts.append(c)
+            counts.append(windowed_match_count_many(texts, pattern, k))
         return pa.table(
             {
                 "query_id": pa.array(qids, type=pa.int64()),

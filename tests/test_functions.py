@@ -198,3 +198,14 @@ def test_simhash_near_dup():
 def test_rolling_fingerprint_deterministic():
     assert hashing.rolling_fingerprint("hello") == hashing.rolling_fingerprint("hello")
     assert hashing.rolling_fingerprint("hello") != hashing.rolling_fingerprint("hellp")
+
+
+@given(
+    st.lists(st.text(alphabet="ABC", max_size=25), max_size=8),
+    st.text(alphabet="ABC", min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_windowed_count_many_equals_per_doc(texts, pattern, k):
+    want = sum(py_windowed_count(t, pattern, k) for t in texts)
+    assert lev.windowed_match_count_many(texts, pattern, k) == want
