@@ -190,7 +190,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return search.fuzzy_term_search(_index_for(sf_dir), FUZZY_PATTERNS)
 
     def fuzzy_topk(sf_dir):
-        return search.fuzzy_search_topk(_index_for(sf_dir), FUZZY_PATTERNS, topk=10)
+        rows = search.fuzzy_search_topk(
+            _index_for(sf_dir), FUZZY_PATTERNS, topk=BM25_TOPK + 10
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
 
     def term_dictionary(sf_dir):
         import ray.data
@@ -409,6 +412,38 @@ SELECT p.query_id,
 FROM pats p LEFT JOIN agg USING (query_id) LEFT JOIN docs USING (query_id)
 """
 
+    fuzzy_topk_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+pats(query_id, p, k) AS (VALUES {_values(FUZZY_PATTERNS)}),
+qterms AS (
+  SELECT DISTINCT pats.query_id, df.term
+  FROM pats, df WHERE levenshtein(df.term, pats.p) <= pats.k
+),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
     term_dict = f"""
 WITH {_TOK_CTE}
 SELECT term, count(DISTINCT doc_id)::BIGINT df, count(*)::BIGINT cf
@@ -561,6 +596,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "embedding_dup_pairs": emb_dups,
         "apm_counts": apm,
         "fuzzy_term_stats": fuzzy,
+        "fuzzy_topk": fuzzy_topk_sql,
         "term_dictionary": term_dict,
         "token_counts": token_counts,
         "quality_scores": quality,

@@ -124,6 +124,12 @@ class IndexView:
         docs = np.concatenate([c[0] for c in chunks])
         tfs = np.concatenate([c[1] for c in chunks])
         dls = np.concatenate([c[2] for c in chunks])
+        if len(chunks) > 1 and (np.diff(docs) <= 0).any():
+            # salted terms concatenate salt buckets — re-sort by doc id so
+            # every consumer can rely on sorted posting lists (each doc
+            # appears once per term, so this never affects per-doc sums)
+            o = np.argsort(docs, kind="stable")
+            docs, tfs, dls = docs[o], tfs[o], dls[o]
         df = self.hot_df.get(term, len(docs))
         out = (docs, tfs, dls, df)
         self._postings_cache[term] = out
@@ -175,6 +181,8 @@ class QueryExecutor:
             terms = sorted(set(self.tokenizer.tokens(qtext)))
             if self.mode == "wand":
                 docs, scores = self._score_wand(terms, k)
+            elif self.mode == "maxscore":
+                docs, scores = self._score_maxscore(terms, k)
             else:
                 docs, scores = self._score_taat(terms, k)
             for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), start=1):
@@ -263,6 +271,81 @@ class QueryExecutor:
         scores = buf[cand]
         order = np.lexsort((cand, -scores))[:k]
         return cand[order], scores[order]
+
+    # ---- MaxScore: rank-safe candidate pruning, fully vectorized ----
+    def _score_maxscore(self, terms: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k with MaxScore-style pruning.
+
+        Terms are split into essential / non-essential by upper bound: with a
+        cheap lower bound theta on the kth-best score (kth largest single-term
+        contribution), any suffix of ub-ascending terms whose ub sum is
+        strictly below theta cannot by itself lift a doc into the top-k — so
+        only docs appearing in an essential term's postings are candidates.
+        Full scores are then computed for candidates only (ascending-term
+        gather order keeps float64 accumulation bit-identical to TAAT/oracle).
+        Wins when a query mixes rare terms with Zipf-head terms; falls back to
+        plain TAAT when every term is essential.
+        """
+        v = self.view
+        cfg = v.cfg
+        posts = []
+        for term in terms:  # ascending order (determinism contract)
+            docs, tfs, dls, df = v.term_postings(term)
+            if df == 0:
+                continue
+            w = bm25.idf(v.N, df)
+            contrib = w * bm25.tf_part(tfs, dls, v.avgdl, cfg.bm25_k1, cfg.bm25_b)
+            posts.append((docs, contrib, float(contrib.max())))
+        if not posts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        # lower bound on the kth best final score: kth largest per-doc best
+        # single-term contribution (final score >= any single contribution)
+        best: dict[int, float] = {}
+        for docs, contrib, _ub in posts:
+            kk = min(k, len(contrib))
+            idx = np.argpartition(-contrib, kk - 1)[:kk] if len(contrib) > kk else np.arange(len(contrib))
+            for d, c in zip(docs[idx].tolist(), contrib[idx].tolist()):
+                if c > best.get(d, 0.0):
+                    best[d] = c
+        if len(best) < k:
+            return self._taat_accumulate(posts, k)
+        theta = sorted(best.values(), reverse=True)[k - 1]
+        # maximal ub-ascending suffix with sum < theta -> non-essential
+        order = np.argsort([p[2] for p in posts], kind="stable")
+        acc = 0.0
+        non_essential = set()
+        for i in order:
+            if acc + posts[i][2] < theta:
+                acc += posts[i][2]
+                non_essential.add(i)
+            else:
+                break
+        if not non_essential:
+            return self._taat_accumulate(posts, k)
+        ess_docs = [posts[i][0] for i in range(len(posts)) if i not in non_essential]
+        cand = np.unique(np.concatenate(ess_docs))
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for docs, contrib, _ub in posts:  # ascending term order preserved
+            pos = np.searchsorted(docs, cand)
+            pos_c = np.minimum(pos, len(docs) - 1)
+            hit = docs[pos_c] == cand
+            np.add(scores, np.where(hit, contrib[pos_c], 0.0), out=scores)
+        return _topk_rows(cand, scores, k)
+
+    def _taat_accumulate(self, posts, k: int) -> tuple[np.ndarray, np.ndarray]:
+        docs = np.concatenate([p[0] for p in posts])
+        contrib = np.concatenate([p[1] for p in posts])
+        order = np.argsort(docs, kind="stable")
+        sdocs = docs[order]
+        scontrib = contrib[order]
+        is_start = np.empty(len(sdocs), dtype=bool)
+        is_start[0] = True
+        np.not_equal(sdocs[1:], sdocs[:-1], out=is_start[1:])
+        starts = np.flatnonzero(is_start)
+        seg_ids = np.cumsum(is_start) - 1
+        scores = np.bincount(seg_ids, weights=scontrib, minlength=len(starts))
+        return _topk_rows(sdocs[starts], scores, k)
 
     # ---- document-at-a-time block-max WAND ----
     def _score_wand(self, terms: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:

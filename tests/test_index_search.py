@@ -72,19 +72,35 @@ def test_topk_matches_oracle_exactly(built_index):
     assert got_rows == sorted(expected)  # includes bit-exact float64 scores
 
 
-def test_wand_equals_taat(built_index):
+def test_wand_and_maxscore_equal_taat(built_index):
     corpus_dir, index_dir, _ = built_index
-    ex_taat = QueryExecutor(index_dir, topk=10, mode="taat")
-    ex_wand = QueryExecutor(index_dir, topk=10, mode="wand")
     import pyarrow as pa
 
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.sources.synth import make_vocab
+
+    # fixture queries + a seeded grid of random rare/hot term mixes
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vocab = make_vocab(200, seed=7)
+    extra = [
+        (100 + i, " ".join(rng.choice(vocab, rng.integers(1, 5)).tolist()
+                           + (["def"] if rng.random() < 0.5 else [])))
+        for i in range(30)
+    ]
+    all_q = QUERIES + extra
     batch = pa.table(
         {
-            "query_id": pa.array([q for q, _ in QUERIES], type=pa.int64()),
-            "query": pa.array([t for _, t in QUERIES], type=pa.string()),
+            "query_id": pa.array([q for q, _ in all_q], type=pa.int64()),
+            "query": pa.array([t for _, t in all_q], type=pa.string()),
         }
     )
-    assert ex_wand(batch).to_pylist() == ex_taat(batch).to_pylist()
+    ex_taat = QueryExecutor(index_dir, topk=10, mode="taat")
+    want = ex_taat(batch).to_pylist()
+    for mode in ("wand", "maxscore"):
+        got = QueryExecutor(index_dir, topk=10, mode=mode)(batch).to_pylist()
+        assert got == want, mode
 
 
 def test_postings_roundtrip_and_salting(built_index):
