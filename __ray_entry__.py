@@ -257,6 +257,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return ann.ann_lsh_topk(ds, _ann_queries(sf_dir), k=ANN_TOPK, n_bits=6)
 
+    def ann_ivf(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return ann.ann_ivf_topk(ds, _ann_queries(sf_dir), k=ANN_TOPK, n_centroids=8, nprobe=3)
+
     def tpch_q1(sf_dir):
         return relational.tpch_q1(sf_dir)
 
@@ -324,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": fingerprints,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": ann_ivf,
         "tpch_q1": tpch_q1,
         "events_window_1h": events_window_1h,
     }

@@ -217,3 +217,27 @@ def test_events_window_matches_duckdb():
         (r["event_type"], r["window_start"], r["n_events"], r["sum_value"]) for r in got
     )
     assert got_rows == [tuple(w) for w in want]
+
+
+def test_ann_ivf_recall_reasonable():
+    from distributed_text_search_ray.pipelines.ann import ann_ivf_topk
+
+    t = _emb_table()
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = t.column("vec_id").to_numpy()
+    queries = [(int(ids[i]), X[i].tolist()) for i in range(5)]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    brute = ann_brute_topk(ds, queries, k=10).take_all()
+    ivf = ann_ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=3).take_all()
+    hits = total = 0
+    for qid, _ in queries:
+        b = {r["vec_id"] for r in brute if r["query_vec_id"] == qid}
+        l = {r["vec_id"] for r in ivf if r["query_vec_id"] == qid}
+        hits += len(b & l)
+        total += len(b)
+    assert hits / total > 0.5  # probing 3/8 cells
+
+    # determinism: same seed -> same result
+    ivf2 = ann_ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=3).take_all()
+    key = lambda rows: sorted((r["query_vec_id"], r["rank"], r["vec_id"]) for r in rows)
+    assert key(ivf) == key(ivf2)
