@@ -77,13 +77,65 @@ def minhash_signature(shingle_hashes: np.ndarray, num_perm: int, seed: int = 0) 
     return splitmix64(x).min(axis=0)
 
 
+_token_hash_cache: dict[str, int] = {}
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """stable_u64 per token with a process-level cache (vocabularies are
+    small relative to token streams)."""
+    c = _token_hash_cache
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = c.get(t)
+        if h is None:
+            h = stable_u64(t)
+            if len(c) < 1_000_000:
+                c[t] = h
+        out[i] = h
+    return out
+
+
 def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
-    """Hashes of n-gram token shingles (strings joined by \\x1f)."""
+    """Distinct hashes of n-gram token shingles.
+
+    Shingle hash = splitmix64 fold of the n token hashes with positional
+    multipliers — fully vectorized over the token stream (hashing each
+    shingle string individually profiled ~10x slower); deterministic across
+    processes."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hashes(tokens)
     if len(tokens) < n:
-        joined = {"\x1f".join(tokens)} if tokens else set()
-    else:
-        joined = {"\x1f".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
-    return np.fromiter((stable_u64(s) for s in joined), dtype=np.uint64, count=len(joined))
+        acc = np.zeros(1, dtype=np.uint64)
+        for j in range(len(tokens)):
+            acc = splitmix64(acc * np.uint64(0x9E3779B97F4A7C15) + th[j : j + 1])
+        return np.unique(acc)
+    acc = th[: len(th) - n + 1].copy()
+    for j in range(1, n):
+        acc = splitmix64(acc * np.uint64(0x9E3779B97F4A7C15) + th[j : len(th) - n + 1 + j])
+    return np.unique(acc)
+
+
+def minhash_signatures_batch(
+    shingles_concat: np.ndarray,
+    doc_starts: np.ndarray,
+    num_perm: int,
+    seed: int = 0,
+) -> np.ndarray:
+    """MinHash signatures for many docs at once: (n_docs, num_perm).
+
+    ``shingles_concat``: all docs' shingle hashes concatenated;
+    ``doc_starts``: start offset per doc (first 0). 128 vectorized
+    min-reduceat passes beat per-doc signature calls ~10x. Empty docs (zero
+    shingles) must be filtered by the caller."""
+    keys = splitmix64(np.arange(seed, seed + num_perm, dtype=np.uint64))
+    n_docs = len(doc_starts)
+    out = np.empty((n_docs, num_perm), dtype=np.uint64)
+    x = shingles_concat.astype(np.uint64)
+    for i in range(num_perm):
+        mixed = splitmix64(x ^ keys[i])
+        out[:, i] = np.minimum.reduceat(mixed, doc_starts)
+    return out
 
 
 def simhash64(tokens: list[str]) -> int:

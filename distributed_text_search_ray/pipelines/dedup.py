@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
@@ -76,38 +77,47 @@ class _MinhashBands:
         return minhash_signature(shingle_hashes(toks, self.shingle_n), self.num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        band_ids, band_hashes, doc_ids = [], [], []
+        # batch-vectorized: concatenate every doc's shingles, one signature
+        # matrix for the whole batch, band hashes folded vectorized
+        from distributed_text_search_ray.functions.hashing import minhash_signatures_batch
+
+        sh_chunks, lens, kept_ids = [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
         ):
-            sig = self.signature(text)
-            if sig is None:
+            sh = shingle_hashes(self.tokenizer.tokens(text), self.shingle_n)
+            if sh.size == 0:
                 continue
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                h = int(splitmix64(chunk ^ np.uint64(b + 1)).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
-                band_ids.append(b)
-                band_hashes.append(h)
-                doc_ids.append(doc_id)
+            sh_chunks.append(sh)
+            lens.append(sh.size)
+            kept_ids.append(doc_id)
+        if not sh_chunks:
+            return pa.table(
+                {
+                    "band_id": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+        sigs = minhash_signatures_batch(np.concatenate(sh_chunks), starts, self.num_perm)
+        n = len(kept_ids)
+        # fold each band's rows into one hash: (docs, bands, r) -> (docs, bands)
+        cube = sigs.reshape(n, self.bands, self.rows_per_band)
+        acc = np.zeros((n, self.bands), dtype=np.uint64)
+        for j in range(self.rows_per_band):
+            acc = splitmix64(acc * np.uint64(0x9E3779B97F4A7C15) + cube[:, :, j])
+        acc ^= splitmix64(np.arange(1, self.bands + 1, dtype=np.uint64))[None, :]
+        band_hash = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        doc_rep = np.repeat(np.asarray(kept_ids, dtype=np.int64), self.bands)
         return pa.table(
             {
                 "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_hash": pa.array(band_hashes, type=pa.int64()),
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band_hash": pa.array(band_hash.reshape(-1), type=pa.int64()),
+                "doc_id": pa.array(doc_rep, type=pa.int64()),
             }
         )
-
-
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    ids = sorted(set(group.column("doc_id").to_pylist()))
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table(
-        {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
-    )
 
 
 def minhash_lsh_pairs(
@@ -134,13 +144,60 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=resolve_concurrency(concurrency),
     )
-    cand = (
-        band_rows.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_buckets"))
-    )
-    cand_pairs = [(r["doc_a"], r["doc_b"]) for r in cand.take_all()]
+    # candidate detection, size-aware (same pattern as the dictionary merge):
+    # band rows are 32/doc — under ~5M rows bucket on the driver with one
+    # vectorized pass; above, a distributed aggregate finds the >=2-member
+    # bucket keys first and only those rows come back
+    def key_col(batch: pa.Table) -> pa.Table:
+        key = (
+            batch.column("band_hash").to_numpy() * np.int64(64)
+            + batch.column("band_id").to_numpy()
+        )
+        return pa.table({"key": pa.array(key, type=pa.int64()), "doc_id": batch.column("doc_id")})
+
+    keyed = band_rows.map_batches(key_col, batch_format="pyarrow").materialize()
+    if keyed.count() <= 5_000_000:
+        t = pa.concat_tables(ray.get(keyed.to_arrow_refs()))
+        keys = t.column("key").to_numpy()
+        docs_col = t.column("doc_id").to_numpy()
+        order = np.argsort(keys, kind="stable")
+        ks, ds_ = keys[order], docs_col[order]
+        is_start = np.empty(len(ks), dtype=bool)
+        is_start[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=is_start[1:])
+        starts = np.flatnonzero(is_start)
+        ends = np.concatenate((starts[1:], [len(ks)]))
+        pair_set = set()
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = sorted(set(ds_[s:e].tolist()))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pair_set.add((ids[i], ids[j]))
+        cand_pairs = sorted(pair_set)
+    else:
+        counts = keyed.groupby("key").aggregate(Count(alias_name="n"))
+        hot_keys = {r["key"] for r in counts.filter(expr="n >= 2").take_all()}
+        if not hot_keys:
+            cand_pairs = []
+        else:
+
+            def keep_hot(batch: pa.Table) -> pa.Table:
+                keep = [k in hot_keys for k in batch.column("key").to_pylist()]
+                return batch.filter(pa.array(keep))
+
+            rows = keyed.map_batches(keep_hot, batch_format="pyarrow").take_all()
+            buckets: dict[int, set[int]] = {}
+            for r in rows:
+                buckets.setdefault(r["key"], set()).add(r["doc_id"])
+            pair_set = set()
+            for ids_set in buckets.values():
+                ids = sorted(ids_set)
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        pair_set.add((ids[i], ids[j]))
+            cand_pairs = sorted(pair_set)
     if not cand_pairs:
         return ray.data.from_arrow(
             pa.table(
