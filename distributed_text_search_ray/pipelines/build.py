@@ -108,9 +108,12 @@ def build_index(
         "n_pairs": int(sum(r["n_pairs"] for r in shard_stats)),
     }
 
-    # collect the per-partition file lists from the shard manifests (ONLY
-    # manifest-listed files — stale files from older fingerprints are ignored)
-    part_files: dict[int, list[str]] = {p: [] for p in range(cfg.num_partitions)}
+    # collect per-partition (file, row-group) lists from the shard manifests
+    # (ONLY manifest-listed row groups — stale files from older fingerprints
+    # are ignored)
+    part_files: dict[int, list[tuple[str, list[int]]]] = {
+        p: [] for p in range(cfg.num_partitions)
+    }
     salted_union: set[str] = set()
     man_dir = shard_manifest_dir(pairs_dir)
     for name in sorted(os.listdir(man_dir)):
@@ -119,9 +122,9 @@ def build_index(
         m = mf.read_manifest_file(os.path.join(man_dir, name))
         if m is None or m.get("fingerprint") != fp:
             continue
-        for rel in m["files"]:
-            p = int(rel.split("=")[1].split("/")[0])
-            part_files[p].append(os.path.join(pairs_dir, rel))
+        path = os.path.join(pairs_dir, m["pairs_file"])
+        for p_str, rgs in m["part_row_groups"].items():
+            part_files[int(p_str)].append((path, [int(r) for r in rgs]))
         salted_union.update(m.get("salted_terms", []))
 
     # ---- Phase B: per-partition segment build (no all-to-all) ----
@@ -132,7 +135,12 @@ def build_index(
         return builder(batch)
 
     part_items = [
-        {"part": p, "files": part_files[p]} for p in range(cfg.num_partitions)
+        {
+            "part": p,
+            "files": [f for f, _ in part_files[p]],
+            "row_groups": [rgs for _, rgs in part_files[p]],
+        }
+        for p in range(cfg.num_partitions)
     ]
     seg_results = (
         ray.data.from_items(part_items)

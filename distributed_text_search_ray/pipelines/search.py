@@ -178,6 +178,24 @@ class FuzzyTopkExecutor(QueryExecutor):
         )
 
 
+def fetch_docs(
+    corpus_path: str, doc_ids: Iterable[int], columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Retrieve document rows for a set of result doc ids (the join back from
+    search results to content): broadcast the small id set, vectorized filter
+    per batch — no shuffle."""
+    import pyarrow.compute as pc
+
+    from distributed_text_search_ray.sources.corpus import read_corpus
+
+    ids = pa.array(sorted(set(int(d) for d in doc_ids)), type=pa.int64())
+    ds = read_corpus(corpus_path, columns=columns)
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=ids)),
+        batch_format="pyarrow",
+    )
+
+
 def fuzzy_search_topk(
     index_dir: str,
     patterns: Iterable[tuple[int, str, int]],

@@ -44,14 +44,30 @@ class SegmentBuilder:
         self.N = N
         self.avgdl = avgdl
 
-    def build_part(self, part: int, files: list[str]) -> dict:
+    def build_part(
+        self, part: int, files: list[str], row_groups: list[list[int]] | None = None
+    ) -> dict:
+        """``files`` + parallel ``row_groups``: each pair file's row groups
+        holding this partition's rows (row groups are partition-aligned at
+        write time, so this reads exactly the partition's bytes)."""
         seg_dir = os.path.join(self.index_dir, "segments", f"part={part:05d}")
         if mf.is_complete(seg_dir, self.fingerprint):
             m = mf.read_manifest(seg_dir)
             return {"part": part, "n_terms": m["n_terms"], "n_postings": m["n_postings"],
                     "skipped": True}
         if files:
-            g = pa.concat_tables(pq.read_table(f) for f in files)
+            if row_groups is None:
+                tables = [pq.read_table(f) for f in files]
+            else:
+                tables = [
+                    pq.ParquetFile(f).read_row_groups(rgs)
+                    for f, rgs in zip(files, row_groups)
+                    if rgs
+                ]
+            g = pa.concat_tables(tables) if tables else None
+        else:
+            g = None
+        if g is not None and len(g):
             g = g.combine_chunks().sort_by(
                 [("term", "ascending"), ("doc_id", "ascending")]
             )
@@ -89,7 +105,12 @@ class SegmentBuilder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"part": [], "n_terms": [], "n_postings": [], "skipped": []}
         for row in batch.to_pylist():
-            res = self.build_part(int(row["part"]), list(row["files"]))
+            rgs = row.get("row_groups")
+            res = self.build_part(
+                int(row["part"]),
+                list(row["files"]),
+                [list(r) for r in rgs] if rgs is not None else None,
+            )
             for k in out:
                 out[k].append(res[k])
         return pa.table(

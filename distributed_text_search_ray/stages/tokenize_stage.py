@@ -178,30 +178,36 @@ class TokenizeShard:
         parts, salted = self._assign_parts(codes, dictionary, df, doc_ids, n_docs)
         order = np.argsort(parts, kind="stable")
         parts_sorted = parts[order]
+        # ONE output file per shard, sorted by partition, with parquet row
+        # groups aligned to partition boundaries; the manifest records
+        # part -> row-group indices so builders read exactly their bytes.
+        # (One file per (shard, part) meant 96 takes + 96 parquet writes per
+        # shard — write overhead dilated heavily under 16-way concurrency.)
+        idx = pa.array(order)
+        sorted_table = pa.table(
+            {
+                "term": pa.compute.take(term_col, idx),
+                "doc_id": pa.array(doc_ids[order], type=pa.int64()),
+                "tf": pa.array(tfs[order], type=pa.int64()),
+                "dl": pa.array(dls[order], type=pa.int64()),
+            }
+        )
         boundaries = np.flatnonzero(np.diff(parts_sorted)) + 1
-        groups = np.split(order, boundaries)
-        written: dict[str, int] = {}
+        starts = np.concatenate(([0], boundaries)) if len(parts_sorted) else np.empty(0, np.int64)
+        ends = np.concatenate((boundaries, [len(parts_sorted)])) if len(parts_sorted) else np.empty(0, np.int64)
         fname = f"shard_{shard_id:05d}.parquet"
-        take = pa.compute.take
-        for g in groups:
-            if g.size == 0:
-                continue
-            p = int(parts[g[0]])
-            part_dir = os.path.join(self.pairs_dir, f"part={p:05d}")
-            os.makedirs(part_dir, exist_ok=True)
-            idx = pa.array(g)
-            table = pa.table(
-                {
-                    "term": take(term_col, idx),
-                    "doc_id": pa.array(doc_ids[g], type=pa.int64()),
-                    "tf": pa.array(tfs[g], type=pa.int64()),
-                    "dl": pa.array(dls[g], type=pa.int64()),
-                }
+        os.makedirs(self.pairs_dir, exist_ok=True)
+        tmp = os.path.join(self.pairs_dir, f".tmp-{fname}")
+        part_row_groups: dict[str, list[int]] = {}
+        writer = pq.ParquetWriter(tmp, PAIRS_SCHEMA)
+        for rg, (s, e) in enumerate(zip(starts, ends)):
+            p = int(parts_sorted[s])
+            writer.write_table(
+                sorted_table.slice(int(s), int(e - s)), row_group_size=int(e - s)
             )
-            tmp = os.path.join(part_dir, f".tmp-{fname}")
-            pq.write_table(table, tmp)
-            os.replace(tmp, os.path.join(part_dir, fname))
-            written[f"part={p:05d}/{fname}"] = len(g)
+            part_row_groups.setdefault(str(p), []).append(rg)
+        writer.close()
+        os.replace(tmp, os.path.join(self.pairs_dir, fname))
         mf.write_manifest_file(
             man_path,
             {
@@ -211,15 +217,16 @@ class TokenizeShard:
                 "fingerprint": self.fingerprint,
                 "n_docs": n_docs,
                 "n_tokens": n_tokens,
-                "n_pairs": int(len(terms)),
+                "n_pairs": int(len(term_col)),
                 "salted_terms": sorted(salted),
-                "files": written,
+                "pairs_file": fname,
+                "part_row_groups": part_row_groups,
             },
         )
         return {
             "shard_id": shard_id,
             "n_docs": n_docs,
             "n_tokens": n_tokens,
-            "n_pairs": int(len(terms)),
+            "n_pairs": int(len(term_col)),
             "skipped": False,
         }

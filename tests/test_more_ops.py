@@ -140,3 +140,20 @@ def test_read_text_dir_reference_fixture(tmp_path):
     docs = [(r["doc_id"], r["content"]) for r in ds.take_all()]
     want = dict(oracle_windowed_counts(docs, [(0, "ACGT", 0), (1, "TTTT", 1)]))
     assert counts == want
+
+
+def test_fetch_docs_roundtrip(code_corpus):
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import fetch_docs, search_topk
+    import tempfile
+
+    corpus_dir, _ = code_corpus
+    with tempfile.TemporaryDirectory() as td:
+        from distributed_text_search_ray import IndexConfig
+
+        build_index(corpus_dir, f"{td}/idx", IndexConfig(num_partitions=4))
+        hits = search_topk(f"{td}/idx", [(0, "def data")], topk=5).take_all()
+        ids = [r["doc_id"] for r in hits]
+        docs = fetch_docs(corpus_dir, ids, columns=["content"]).take_all()
+        assert {d["doc_id"] for d in docs} == set(ids)
+        assert all("content" in d and d["content"] for d in docs)
