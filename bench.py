@@ -29,8 +29,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_CORPUS = "/dev/shm/dts_bench_corpus"  # tmpfs: measurements reflect
 # compute+shuffle, not shared-VM disk writeback variance (runs on /tmp varied
 # by ~20% between identical invocations)
-SCALING_SHARDS = 64
-SCALING_DOCS_PER_SHARD = 36000
+SCALING_SHARDS = 128
+SCALING_DOCS_PER_SHARD = 18000
 SCALING_MEAN_TOKENS = 260
 
 
@@ -120,7 +120,7 @@ def ensure_scaling_corpus() -> str:
         "shards": SCALING_SHARDS,
         "docs": SCALING_DOCS_PER_SHARD,
         "mean_tokens": SCALING_MEAN_TOKENS,
-        "v": 5,
+        "v": 6,
     }
     if os.path.exists(marker):
         with open(marker) as f:
