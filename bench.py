@@ -248,8 +248,55 @@ def run_scaling(repeats: int = 3) -> dict:
     }
 
 
+# ---------------------- reference-shape comparison ----------------------
+
+def run_reference_shapes() -> dict:
+    """Replicate the reference's benchmark scenarios (generate_results.py:48-58:
+    (file_size_chars, nb_patterns, pattern_len, k=4, files=4)) with the APM
+    operator and report seconds — directly comparable to results_v4.csv
+    (BASELINE.md: L1 seq 2.05s / full stack 0.363s, etc.)."""
+    import numpy as np
+
+    ray = _init_ray(NUM_CPUS)
+    import ray.data
+    import pyarrow as pa
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from distributed_text_search_ray.pipelines.apm import windowed_match_counts
+
+    scenarios = {
+        "L1_large_files_1_large_pattern": (10_000, 1, 100),
+        "L100_large_files_100_patterns": (10_000, 100, 10),
+        "S10_small_files_10_large_patterns": (1_000, 10, 100),
+        "S1000_small_files_1000_patterns": (1_000, 1_000, 10),
+    }
+    rng = np.random.default_rng(0)
+    letters = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+    out = {}
+    for name, (size, n_pat, pat_len) in scenarios.items():
+        docs = ["".join(rng.choice(letters, size)) for _ in range(4)]
+        patterns = [
+            (i, "".join(rng.choice(letters, pat_len)), 4) for i in range(n_pat)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"content": pa.array(docs, type=pa.string())})
+        ).repartition(4)
+        windowed_match_counts(ds, patterns[:1]).take_all()  # warm the pool path
+        t0 = time.perf_counter()
+        res = windowed_match_counts(ds, patterns).take_all()
+        out[name] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "n_queries": n_pat,
+            "total_matches": int(sum(r["n_matches"] for r in res)),
+        }
+    ray.shutdown()
+    return {"metric": "reference_scenarios_apm", "num_cpus": NUM_CPUS, "scenarios": out}
+
+
 if __name__ == "__main__":
-    if "--scaling-worker" in sys.argv:
+    if "--reference-shapes" in sys.argv:
+        print(json.dumps(run_reference_shapes()))
+    elif "--scaling-worker" in sys.argv:
         scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

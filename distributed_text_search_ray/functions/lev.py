@@ -80,6 +80,79 @@ def _banded_window_pass(wins: np.ndarray, P: np.ndarray, k: int) -> np.ndarray:
     return prev[m]
 
 
+def _banded_diag_pass(
+    wins: np.ndarray, P: np.ndarray, k: int, sizes: np.ndarray
+) -> np.ndarray:
+    """Per-row distance lev(P[:s], w[:s]) for row-specific sizes s, capped at
+    k+1 — the truncated-tail semantics. Uses the fact that DP cell (s, s) of
+    the full lev(P, w_padded) table equals lev(P[:s], w[:s]) regardless of
+    padding, so one banded pass serves every size (capture cur[x=y] when the
+    outer column y hits a row's s)."""
+    W, m = wins.shape
+    INF = np.int32(k + 1)
+    out = np.full(W, INF, dtype=np.int32)
+    done0 = sizes == 0
+    if done0.any():
+        out[done0] = 0
+    prev = np.minimum(np.arange(m + 1, dtype=np.int32), INF)[:, None] * np.ones(
+        (1, W), dtype=np.int32
+    )
+    cur = np.empty_like(prev)
+    for y in range(1, m + 1):
+        cur.fill(INF)
+        cur[0] = min(y, k + 1)
+        wy = wins[:, y - 1]
+        lo = max(1, y - k)
+        hi = min(m, y + k)
+        for x in range(lo, hi + 1):
+            sub = prev[x - 1] + (P[x - 1] != wy)
+            np.minimum(sub, prev[x] + 1, out=sub)
+            np.minimum(sub, cur[x - 1] + 1, out=sub)
+            np.minimum(sub, INF, out=sub)
+            cur[x] = sub
+        finished = sizes == y
+        if finished.any():
+            out[finished] = cur[y][finished]  # D[x=s][y=s]
+        prev, cur = cur, prev
+    return out
+
+
+def _tail_counts(texts: list[str], P: np.ndarray, pattern_len: int, k: int) -> int:
+    """Vectorized truncated-tail positions (size = N - j < m) across docs."""
+    m = pattern_len
+    rows = []
+    sizes = []
+    for t in texts:
+        n = len(t)
+        if n == 0:
+            continue
+        a = codepoints(t)
+        for j in range(max(0, n - m + 1), n):
+            size = n - j
+            if size >= m:
+                continue
+            rows.append((a, j))
+            sizes.append(size)
+    if not rows:
+        return 0
+    sizes_arr = np.asarray(sizes, dtype=np.int64)
+    # k >= size always matches (lev of two length-s strings <= s <= k)
+    always = sizes_arr <= k
+    todo = np.flatnonzero(~always)
+    count = int(always.sum())
+    if todo.size == 0:
+        return count
+    wins = np.zeros((todo.size, m), dtype=np.uint32)
+    wins.fill(0xFFFFFFFF)  # sentinel pad never equals a real codepoint
+    for out_i, i in enumerate(todo.tolist()):
+        a, j = rows[i]
+        seg = a[j:]
+        wins[out_i, : seg.size] = seg
+    dists = _banded_diag_pass(wins, P, k, sizes_arr[todo])
+    count += int((dists <= k).sum())
+    return count
+
+
 def windowed_match_count(text: str, pattern: str, k: int) -> int:
     """Number of matching positions of ``pattern`` in ``text`` under the
     reference's truncated-window semantics (module docstring, use 1)."""
@@ -97,19 +170,8 @@ def windowed_match_count(text: str, pattern: str, k: int) -> int:
             wins = np.lib.stride_tricks.sliding_window_view(T, m)[s:e]
             dists = _banded_window_pass(np.ascontiguousarray(wins), P, k)
             count += int((dists <= k).sum())
-        tail_start = W
-    else:
-        tail_start = 0
     # Tail positions: size = N - j < m; BOTH strings truncated to size.
-    for j in range(tail_start, N):
-        size = N - j
-        if size >= m:
-            continue
-        if k >= size:  # lev of two length-`size` strings is <= size <= k
-            count += 1
-            continue
-        if levenshtein(pattern[:size], text[j : j + size]) <= k:
-            count += 1
+    count += _tail_counts([text], P, m, k)
     return count
 
 
@@ -153,20 +215,8 @@ def windowed_match_count_many(texts: list[str], pattern: str, k: int) -> int:
                 continue
             dists = _banded_window_pass(np.ascontiguousarray(wins[s:e]), P, k)
             count += int(((dists <= k) & v).sum())
-    # truncated tails per document
-    for t in texts:
-        n = len(t)
-        if n == 0:
-            continue
-        for j in range(max(0, n - m + 1), n):
-            size = n - j
-            if size >= m:
-                continue
-            if k >= size:
-                count += 1
-                continue
-            if levenshtein(pattern[:size], t[j : j + size]) <= k:
-                count += 1
+    # truncated tails per document (vectorized diagonal pass)
+    count += _tail_counts(texts, P, m, k)
     return count
 
 

@@ -60,11 +60,56 @@ def windowed_match_counts(
 
         docs = read_corpus(docs, columns=[text_column])
     pats = [(int(q), str(p), int(k)) for q, p, k in patterns]
-    partials = docs.map_batches(
-        ApmScan,
-        fn_constructor_kwargs={"patterns": pats, "text_column": text_column},
-        batch_format="pyarrow",
-        concurrency=resolve_concurrency(concurrency),
+    # 2-D decomposition (the reference's DISTRIBUTE_PATTERNS strategy,
+    # src/flexible_mpi.c:154-190): when the pattern set is large and the
+    # corpus is small (the reference's S1000 / weak-scaling regime), broadcast
+    # the documents ONCE (ray.put) and make pattern-chunks the dataset --
+    # parallelism = n_chunks, zero shuffle. Otherwise one scan stage over the
+    # doc stream with partial counts + groupby-sum (the large-corpus regime).
+    try:
+        approx_bytes = docs.size_bytes()
+    except Exception:
+        approx_bytes = None
+    if len(pats) > 64 and approx_bytes is not None and approx_bytes < 256 * 1024 * 1024:
+        import ray as _ray
+
+        texts = [
+            r[text_column] for r in docs.select_columns([text_column]).take_all()
+        ]
+        texts_ref = _ray.put(texts)
+        chunk_size = 16
+        items = [
+            {"chunk": pats[i : i + chunk_size]}
+            for i in range(0, len(pats), chunk_size)
+        ]
+
+        def scan_chunk(batch: pa.Table) -> pa.Table:
+            docs_local = _ray.get(texts_ref)
+            qids, counts = [], []
+            for row in batch.to_pylist():
+                for qid, pattern, k in row["chunk"]:
+                    qids.append(int(qid))
+                    counts.append(
+                        windowed_match_count_many(docs_local, pattern, int(k))
+                    )
+            return pa.table(
+                {
+                    "query_id": pa.array(qids, type=pa.int64()),
+                    "n_matches": pa.array(counts, type=pa.int64()),
+                }
+            )
+
+        return ray.data.from_items(items).map_batches(
+            scan_chunk, batch_size=1, batch_format="pyarrow"
+        )
+
+    scan = ApmScan(patterns=pats, text_column=text_column)
+
+    def apm_scan(batch: pa.Table) -> pa.Table:
+        return scan(batch)
+
+    partials = docs.map_batches(apm_scan, batch_format="pyarrow")
+    out = partials.groupby("query_id").aggregate(
+        Sum("n_partial", alias_name="n_matches")
     )
-    out = partials.groupby("query_id").aggregate(Sum("n_partial", alias_name="n_matches"))
     return out
