@@ -23,7 +23,10 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from distributed_text_search_ray.functions.lev import windowed_match_count_many
+from distributed_text_search_ray.functions.lev import (
+    windowed_match_count_many,
+    windowed_match_counts_multi,
+)
 from distributed_text_search_ray.util import resolve_concurrency
 
 
@@ -36,10 +39,9 @@ class ApmScan:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
-        qids, counts = [], []
-        for qid, pattern, k in self.patterns:
-            qids.append(qid)
-            counts.append(windowed_match_count_many(texts, pattern, k))
+        got = windowed_match_counts_multi(texts, self.patterns)
+        qids = [q for q, _, _ in self.patterns]
+        counts = [got[q] for q in qids]
         return pa.table(
             {
                 "query_id": pa.array(qids, type=pa.int64()),
@@ -77,7 +79,14 @@ def windowed_match_counts(
             r[text_column] for r in docs.select_columns([text_column]).take_all()
         ]
         texts_ref = _ray.put(texts)
-        chunk_size = 16
+        try:
+            import ray as _r
+            ncpu = int(_r.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        # small chunks maximize task parallelism; the multi-lane DP already
+        # amortizes numpy dispatch within a chunk
+        chunk_size = max(4, len(pats) // (2 * ncpu))
         items = [
             {"chunk": pats[i : i + chunk_size]}
             for i in range(0, len(pats), chunk_size)
@@ -87,11 +96,11 @@ def windowed_match_counts(
             docs_local = _ray.get(texts_ref)
             qids, counts = [], []
             for row in batch.to_pylist():
-                for qid, pattern, k in row["chunk"]:
-                    qids.append(int(qid))
-                    counts.append(
-                        windowed_match_count_many(docs_local, pattern, int(k))
-                    )
+                chunk = [(int(q), p, int(k)) for q, p, k in row["chunk"]]
+                got = windowed_match_counts_multi(docs_local, chunk)
+                for q, _, _ in chunk:
+                    qids.append(q)
+                    counts.append(got[q])
             return pa.table(
                 {
                     "query_id": pa.array(qids, type=pa.int64()),

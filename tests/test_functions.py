@@ -209,3 +209,20 @@ def test_rolling_fingerprint_deterministic():
 def test_windowed_count_many_equals_per_doc(texts, pattern, k):
     want = sum(py_windowed_count(t, pattern, k) for t in texts)
     assert lev.windowed_match_count_many(texts, pattern, k) == want
+
+
+@given(
+    st.lists(st.text(alphabet="ABC", max_size=25), max_size=6),
+    st.lists(
+        st.tuples(st.text(alphabet="ABC", min_size=1, max_size=6),
+                  st.integers(min_value=0, max_value=3)),
+        min_size=1, max_size=8,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_windowed_counts_multi_equals_per_pattern(texts, pats):
+    patterns = [(i, p, k) for i, (p, k) in enumerate(pats)]
+    got = lev.windowed_match_counts_multi(texts, patterns)
+    for qid, p, k in patterns:
+        want = sum(py_windowed_count(t, p, k) for t in texts)
+        assert got[qid] == want, (p, k)
