@@ -69,12 +69,24 @@ class DictionaryExpander:
             for f in os.listdir(os.path.join(index_dir, "dictionary"))
             if f.endswith(".parquet")
         )
-        t = pa.concat_tables([pq.read_table(f, columns=["term", "df", "cf"]) for f in files])
-        self.terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        t = pa.concat_tables(
+            [pq.read_table(f, columns=["term", "df", "cf"]) for f in files]
+        ).combine_chunks()
+        # terms stay as an Arrow array (no per-term Python objects resident);
+        # only a query's length band materializes to strings
+        self._terms_arr = t.column("term").combine_chunks()
         self.df = t.column("df").to_numpy()
         self.cf = t.column("cf").to_numpy()
-        lens = np.fromiter((len(x) for x in self.terms), dtype=np.int64, count=len(self.terms))
-        self.lens = lens
+        import pyarrow.compute as pc
+
+        self.lens = pc.utf8_length(self._terms_arr).to_numpy()
+
+    def term_at(self, i: int) -> str:
+        return self._terms_arr[int(i)].as_py()
+
+    @property
+    def terms(self):
+        return self._terms_arr
 
     def expand(self, pattern: str, k: int) -> np.ndarray:
         """Indices of dictionary terms within Levenshtein distance k."""
@@ -82,7 +94,7 @@ class DictionaryExpander:
         band = np.flatnonzero(np.abs(self.lens - m) <= k)
         if band.size == 0:
             return band
-        cand = [self.terms[i] for i in band]
+        cand = self._terms_arr.take(pa.array(band)).to_pylist()
         dists = bounded_term_distances(pattern, cand, k)
         return band[dists <= k]
 
@@ -111,7 +123,7 @@ class FuzzyCountExecutor:
             occ = int(self.expander.cf[idxs].sum()) if idxs.size else 0
             docs: set[int] = set()
             for i in idxs:
-                d, _, _, _ = self.view.term_postings(str(self.expander.terms[i]))
+                d, _, _, _ = self.view.term_postings(self.expander.term_at(i))
                 docs.update(d.tolist())
             out["query_id"].append(int(row["query_id"]))
             out["n_matching_terms"].append(int(idxs.size))
@@ -161,7 +173,7 @@ class FuzzyTopkExecutor(QueryExecutor):
             p = toks[0] if toks else ""
             k_lev = int(row["k"]) if "k" in batch.column_names else self.k_lev
             idxs = self.expander.expand(p, k_lev)
-            terms = sorted(str(self.expander.terms[i]) for i in idxs)
+            terms = sorted(self.expander.term_at(i) for i in idxs)
             docs, scores = self._score_taat(terms, self.topk)
             for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), start=1):
                 out_q.append(int(row["query_id"]))

@@ -115,3 +115,45 @@ def test_kill9_mid_build_resumes(tmp_path):
     a = sorted(map(tuple, (r.values() for r in search_topk(index_dir, queries).take_all())))
     b = sorted(map(tuple, (r.values() for r in search_topk(clean_dir, queries).take_all())))
     assert a == b
+
+
+def test_dna_scenario_grid_matches_oracle(tmp_path):
+    """Seeded randomized differential grid mirroring the reference's diverse
+    scenario sweep (test_generation.py:70-93): DNA-profile corpora, pattern
+    lengths {1, 10, 20, 100}, k in {0, 1, 4}, truncated patterns included."""
+    import numpy as np
+
+    from distributed_text_search_ray.pipelines.apm import windowed_match_counts
+    from distributed_text_search_ray.sources.synth import write_corpus
+    from tests.conftest import corpus_docs
+
+    corpus = tmp_path / "dna"
+    write_corpus(str(corpus), n_shards=2, docs_per_shard=10, profile="dna",
+                 doc_len=2_000, seed=9)
+    docs = corpus_docs(str(corpus))
+    rng = np.random.default_rng(17)
+    letters = list("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    patterns = []
+    qid = 0
+    for plen in (1, 10, 20, 100):
+        for k in (0, 1, 4):
+            # random pattern + a pattern sampled from a real doc (guaranteed hits)
+            rand_p = "".join(rng.choice(letters, plen))
+            src = docs[int(rng.integers(len(docs)))][1]
+            if len(src) > plen:
+                j = int(rng.integers(0, len(src) - plen))
+                real_p = src[j : j + plen]
+            else:
+                real_p = src
+            patterns.append((qid, rand_p, k)); qid += 1
+            patterns.append((qid, real_p, k)); qid += 1
+    expected = dict(oracle_windowed_counts(docs, patterns))
+    got = {
+        r["query_id"]: r["n_matches"]
+        for r in windowed_match_counts(str(corpus), patterns).take_all()
+    }
+    assert got == expected
+    # sampled-from-doc patterns with k=0 must have at least one hit
+    for (qid_, p, k), _ in zip(patterns, range(len(patterns))):
+        if k == 0 and expected[qid_] == 0 and p in "".join(t for _, t in docs):
+            raise AssertionError("sampled pattern missing")
