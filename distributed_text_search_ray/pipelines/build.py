@@ -116,11 +116,18 @@ def build_index(
     }
     salted_union: set[str] = set()
     man_dir = shard_manifest_dir(pairs_dir)
+    # accept a manifest iff it belongs to a CURRENT corpus file and its
+    # per-file fingerprint matches (append-only corpus growth leaves old
+    # shards' manifests valid; removed/changed files' manifests are ignored)
+    expected_fp = {
+        mf.safe_name(f): mf.shard_fingerprint(f, cfg.fingerprint()) for f in files
+    }
     for name in sorted(os.listdir(man_dir)):
         if not name.endswith(".json"):
             continue
+        safe = name[: -len(".json")]
         m = mf.read_manifest_file(os.path.join(man_dir, name))
-        if m is None or m.get("fingerprint") != fp:
+        if m is None or expected_fp.get(safe) != m.get("shard_fp"):
             continue
         path = os.path.join(pairs_dir, m["pairs_file"])
         for p_str, rgs in m["part_row_groups"].items():

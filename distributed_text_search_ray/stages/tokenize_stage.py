@@ -118,9 +118,13 @@ class TokenizeShard:
     def _process_shard(self, shard_id: int, file: str) -> dict:
         man_dir = shard_manifest_dir(self.pairs_dir)
         os.makedirs(man_dir, exist_ok=True)
-        man_path = os.path.join(man_dir, f"shard_{shard_id:05d}.json")
+        # keyed by file identity (not position): an appended corpus leaves
+        # existing shards' manifests valid
+        safe = mf.safe_name(file)
+        shard_fp = mf.shard_fingerprint(file, self.cfg.fingerprint())
+        man_path = os.path.join(man_dir, f"{safe}.json")
         existing = mf.read_manifest_file(man_path)
-        if existing is not None and existing.get("fingerprint") == self.fingerprint:
+        if existing is not None and existing.get("shard_fp") == shard_fp:
             return {
                 "shard_id": shard_id,
                 "n_docs": existing["n_docs"],
@@ -195,7 +199,7 @@ class TokenizeShard:
         boundaries = np.flatnonzero(np.diff(parts_sorted)) + 1
         starts = np.concatenate(([0], boundaries)) if len(parts_sorted) else np.empty(0, np.int64)
         ends = np.concatenate((boundaries, [len(parts_sorted)])) if len(parts_sorted) else np.empty(0, np.int64)
-        fname = f"shard_{shard_id:05d}.parquet"
+        fname = f"{safe}.pairs.parquet"
         os.makedirs(self.pairs_dir, exist_ok=True)
         tmp = os.path.join(self.pairs_dir, f".tmp-{fname}")
         part_row_groups: dict[str, list[int]] = {}
@@ -215,6 +219,7 @@ class TokenizeShard:
                 "shard_id": shard_id,
                 "input_file": os.path.basename(file),
                 "fingerprint": self.fingerprint,
+                "shard_fp": shard_fp,
                 "n_docs": n_docs,
                 "n_tokens": n_tokens,
                 "n_pairs": int(len(term_col)),

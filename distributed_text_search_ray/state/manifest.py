@@ -34,6 +34,23 @@ def corpus_fingerprint(files: list[str], config_fingerprint: str) -> str:
     return h.hexdigest()[:24]
 
 
+def shard_fingerprint(file: str, config_fingerprint: str) -> str:
+    """Per-input-file fingerprint: an appended corpus re-tokenizes only new
+    shards (the whole-corpus fingerprint still gates segment/dictionary
+    state, which any corpus change invalidates)."""
+    st = os.stat(file)
+    h = hashlib.sha256()
+    h.update(f"{os.path.basename(file)}:{st.st_size}".encode())
+    h.update(config_fingerprint.encode())
+    return h.hexdigest()[:24]
+
+
+def safe_name(file: str) -> str:
+    """Filesystem-safe stable key for a corpus file (manifest/pairs naming)."""
+    base = os.path.basename(file)
+    return "".join(c if c.isalnum() or c in "._-" else "_" for c in base)
+
+
 def write_manifest(out_dir: str, payload: dict[str, Any]) -> None:
     payload = dict(payload)
     payload.setdefault("written_at", time.time())

@@ -29,7 +29,9 @@ def test_resume_skips_completed(code_corpus, tmp_path):
     os.remove(os.path.join(index_dir, "index_meta.json"))
     shutil.rmtree(os.path.join(index_dir, "segments", "part=00001"))
     shutil.rmtree(os.path.join(index_dir, "segments", "part=00003"))
-    os.remove(os.path.join(index_dir, "pairs", "manifests", "shard_00002.json"))
+    os.remove(
+        os.path.join(index_dir, "pairs", "manifests", "shard_00002.parquet.json")
+    )
     os.makedirs(os.path.join(index_dir, "segments", ".tmp-part=00001-dead"))
 
     r2 = build_index(corpus_dir, index_dir, CFG)
@@ -99,3 +101,36 @@ def test_salted_term_in_single_partition_still_searchable(tmp_path):
     got = search_topk(index_dir, queries, topk=5).take_all()
     got_rows = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in got)
     assert got_rows == sorted(expected)
+
+
+def test_incremental_corpus_append(tmp_path):
+    """Appending shards to an indexed corpus re-tokenizes ONLY the new shards
+    (per-file fingerprints); segments/dictionary rebuild (their inputs
+    changed) and results match a from-scratch build of the full corpus."""
+    from distributed_text_search_ray.pipelines.search import search_topk
+    from distributed_text_search_ray.sources.synth import code_like_shard
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    for s in range(3):
+        pq.write_table(code_like_shard(s, 30, seed=6), corpus / f"shard_{s:05d}.parquet")
+    idx = str(tmp_path / "idx")
+    r1 = build_index(str(corpus), idx, CFG)
+    assert r1["phases"]["tokenize"]["skipped"] == 0
+
+    # append two new shards
+    for s in (3, 4):
+        pq.write_table(code_like_shard(s, 30, seed=6), corpus / f"shard_{s:05d}.parquet")
+    r2 = build_index(str(corpus), idx, CFG)
+    assert r2["fingerprint"] != r1["fingerprint"]
+    tk = r2["phases"]["tokenize"]
+    assert tk["skipped"] == 3 and tk["shards"] == 5  # only new shards tokenized
+    assert r2["N"] == 150
+
+    clean = str(tmp_path / "idx_clean")
+    build_index(str(corpus), clean, CFG)
+    queries = [(0, "def data"), (1, "merge index value"), (2, "self")]
+    a = sorted(map(tuple, (r.values() for r in search_topk(idx, queries).take_all())))
+    b = sorted(map(tuple, (r.values() for r in search_topk(clean, queries).take_all())))
+    assert a == b
