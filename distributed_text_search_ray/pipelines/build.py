@@ -115,6 +115,7 @@ def build_index(
         p: [] for p in range(cfg.num_partitions)
     }
     salted_union: set[str] = set()
+    current_pairs_files: set[str] = set()
     man_dir = shard_manifest_dir(pairs_dir)
     # accept a manifest iff it belongs to a CURRENT corpus file and its
     # per-file fingerprint matches (append-only corpus growth leaves old
@@ -133,6 +134,15 @@ def build_index(
         for p_str, rgs in m["part_row_groups"].items():
             part_files[int(p_str)].append((path, [int(r) for r in rgs]))
         salted_union.update(m.get("salted_terms", []))
+        current_pairs_files.add(m["pairs_file"])
+    # gc pair files from removed/changed corpus files (their manifests no
+    # longer validate, so nothing reads them)
+    for name in os.listdir(pairs_dir):
+        if name.endswith(".pairs.parquet") and name not in current_pairs_files:
+            try:
+                os.remove(os.path.join(pairs_dir, name))
+            except OSError:
+                pass
 
     # ---- Phase B: per-partition segment build (no all-to-all) ----
     t0 = time.perf_counter()

@@ -3,8 +3,9 @@
 One work item per input corpus shard (parquet file). Each task streams its
 shard's row groups through the analyzer, assigns every ``(term, doc_id, tf,
 dl)`` pair its explicit term-hash partition (salting heavy terms), and writes
-one pairs file **per partition** — ``pairs/part=P/shard_S.parquet`` — plus a
-lineage manifest. This is deliberate map-side partitioning: the segment
+ONE pairs file sorted by partition with parquet **row groups aligned to
+partition boundaries**; the lineage manifest records part -> row-group
+indices so segment builders read exactly their partition's bytes. This is deliberate map-side partitioning: the segment
 builders then read exactly their partition's files, so the build needs NO
 Ray all-to-all exchange (measured: Ray's sort-based groupby shuffle added a
 ~15 s serial component that capped 8->32-CPU scaling efficiency at ~0.5; the
@@ -21,10 +22,11 @@ the query side probes base + salt partitions for any term the finalize step
 saw in more than one partition, and exact global df for those terms is
 re-aggregated at finalize.
 
-A rerun skips shards whose manifest matches the current corpus fingerprint —
-"resumes without re-tokenizing completed partitions". Stale part files from
-an older fingerprint are ignored because phase C only reads files listed in
-current manifests.
+A rerun skips shards whose manifest matches the shard's per-FILE fingerprint
+— "resumes without re-tokenizing completed partitions", including after
+appending new corpus files (only the new shards tokenize). Stale pair files
+are ignored (phase B reads only manifest-listed row groups) and garbage-
+collected by the next build.
 """
 
 from __future__ import annotations
