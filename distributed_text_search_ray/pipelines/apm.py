@@ -88,7 +88,11 @@ def windowed_match_counts(
         # amortizes numpy dispatch within a chunk
         chunk_size = max(4, len(pats) // (2 * ncpu))
         items = [
-            {"chunk": pats[i : i + chunk_size]}
+            {
+                "qids": [int(q) for q, _, _ in pats[i : i + chunk_size]],
+                "pats": [p for _, p, _ in pats[i : i + chunk_size]],
+                "ks": [int(k) for _, _, k in pats[i : i + chunk_size]],
+            }
             for i in range(0, len(pats), chunk_size)
         ]
 
@@ -96,10 +100,10 @@ def windowed_match_counts(
             docs_local = _ray.get(texts_ref)
             qids, counts = [], []
             for row in batch.to_pylist():
-                chunk = [(int(q), p, int(k)) for q, p, k in row["chunk"]]
+                chunk = list(zip(row["qids"], row["pats"], row["ks"]))
                 got = windowed_match_counts_multi(docs_local, chunk)
                 for q, _, _ in chunk:
-                    qids.append(q)
+                    qids.append(int(q))
                     counts.append(got[q])
             return pa.table(
                 {
