@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash_fp(sf_dir):
         return dedup.simhash_fingerprints(_docs_ds(sf_dir))
 
+    def simhash_near_dup(sf_dir):
+        return dedup.simhash_near_dup_pairs(_docs_ds(sf_dir), max_hamming=3)
+
     def fingerprints(sf_dir):
         return textstats.fingerprints(_docs_ds(sf_dir))
 
@@ -327,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": exact_dedup,
         "minhash_near_dup": minhash_near_dup,
         "simhash_fp": simhash_fp,
+        "simhash_near_dup": simhash_near_dup,
         "fingerprints": fingerprints,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh,
@@ -586,6 +590,38 @@ SELECT user_id, (min(tus) // 1000000)::BIGINT session_start,
 FROM s GROUP BY user_id, sid
 """
 
+    # simhash: token hash = md5_number_lower (matches functions/hashing.md5_u64
+    # byte-for-byte); bit b set iff sum over terms of (+tf if hash bit b else
+    # -tf) > 0; bit_or packs exactly (sum() would round through DOUBLE)
+    simhash_cte = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT w FROM tok GROUP BY 1, 2),
+hb AS (SELECT doc_id, md5_number_lower(term) h, w FROM tf),
+bits AS (
+  SELECT doc_id, b.b, sum(CASE WHEN (h >> b.b) & 1 = 1 THEN w ELSE -w END) s
+  FROM hb, (SELECT unnest(range(64)) b) b GROUP BY 1, 2
+),
+packed AS (
+  SELECT doc_id, bit_or(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) v
+  FROM bits GROUP BY 1
+),
+sim AS (
+  SELECT d.doc_id,
+         (CASE WHEN coalesce(p.v, 0) >= 9223372036854775808::UBIGINT
+               THEN coalesce(p.v, 0)::HUGEINT - 18446744073709551616
+               ELSE coalesce(p.v, 0)::HUGEINT END)::BIGINT AS simhash
+  FROM documents d LEFT JOIN packed p USING (doc_id)
+)"""
+
+    simhash_fp_sql = simhash_cte + "\nSELECT doc_id, simhash FROM sim"
+
+    simhash_pairs_sql = simhash_cte + """
+SELECT a.doc_id doc_a, b.doc_id doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT hamming_min
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
     emb_dups = """
 SELECT a.vec_id vec_id_a, b.vec_id vec_id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -611,9 +647,12 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "doc_sha256": sha,
         "exact_dedup": exact_dd,
         "minhash_near_dup": minhash,
+        "simhash_fp": simhash_fp_sql,
+        "simhash_near_dup": simhash_pairs_sql,
         "ann_cosine_topk": ann,
         "tpch_q1": q1,
         "events_window_1h": events,
-        # fuzzy_topk, simhash_fp, fingerprints, ann_lsh_topk: not SQL-expressible
-        # (index-scored fuzzy OR-query, bitwise sketches, LSH) -> rows-only check
+        # fingerprints, ann_lsh_topk, ann_ivf_topk, media_features: not
+        # SQL-expressible (rolling-hash mod 2^61-1, LSH/IVF, media stubs)
+        # -> rows-only check
     }

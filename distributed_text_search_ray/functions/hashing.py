@@ -138,22 +138,57 @@ def minhash_signatures_batch(
     return out
 
 
+def md5_u64(s: str) -> int:
+    """64-bit token hash = little-endian of the LAST 8 md5 digest bytes.
+
+    Chosen to equal DuckDB's ``md5_number_lower`` so simhash fingerprints are
+    SQL-oracle-checkable bit-for-bit (verified empirically against duckdb
+    1.0.0)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+
+
+_md5_hash_cache: dict[str, int] = {}
+
+
+def _md5_token_hashes(tokens: list[str]) -> np.ndarray:
+    c = _md5_hash_cache
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = c.get(t)
+        if h is None:
+            h = md5_u64(t)
+            if len(c) < 1_000_000:
+                c[t] = h
+        out[i] = h
+    return out
+
+
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token unigrams (weight = term frequency)."""
+    """64-bit SimHash over token unigrams (weight = term frequency).
+
+    Token hash is ``md5_u64`` (= DuckDB md5_number_lower), bit b of the
+    fingerprint is 1 iff sum over distinct hashes of (+tf if bit set else
+    -tf) > 0. Grouping by hash instead of by term is contribution-identical
+    (a hash's bit vector is fixed, weights are additive)."""
     if not tokens:
         return 0
-    from collections import Counter
+    th = _md5_token_hashes(tokens)
+    uniq, w = np.unique(th, return_counts=True)
+    bits = ((uniq[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    acc = ((2 * bits - 1) * w[:, None].astype(np.int64)).sum(axis=0)
+    return int(sum(1 << int(b) for b in np.flatnonzero(acc > 0)))
 
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, w in Counter(tokens).items():
-        h = stable_u64(tok)
-        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), w, -w)
-    out = np.uint64(0)
-    for b in range(64):
-        if acc[b] > 0:
-            out |= np.uint64(1) << np.uint64(b)
-    return int(out)
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count of a uint64 array (numpy<2 has no
+    bitwise_count)."""
+    b = np.ascontiguousarray(x.astype(np.uint64)).view(np.uint8).reshape(-1, 8)
+    return _POP8[b].sum(axis=1, dtype=np.int64)
 
 
 def rolling_fingerprint(text: str, base: int = 1000003, mod: int = (1 << 61) - 1) -> int:

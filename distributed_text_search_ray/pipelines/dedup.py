@@ -6,17 +6,20 @@ Ray-Data-first:
 - exact: vectorized content-hash in ``map_batches`` then a partial+final
   ``groupby`` (hash-partition + per-group aggregate) — the only shuffle moves
   one row per (batch, hash).
-- MinHash-LSH: shingle -> minhash -> band rows -> ``groupby(band)`` ->
-  candidate pairs -> exact shingle-Jaccard verification. The verify step
-  re-reads only candidate docs (broadcast candidate-id set, no second
-  shuffle); the candidate set is assumed << corpus (true when the threshold
-  is meaningful).
+- MinHash-LSH: shingle -> minhash -> band rows -> coarse hash-partition
+  ``groupby`` -> vectorized in-partition bucket mining -> distinct pairs ->
+  distributed exact shingle-Jaccard verify (two hash joins of the
+  candidate-sized pair/shingle datasets). Nothing O(corpus) ever lands on
+  the driver; the only driver-held object is the distinct candidate-id
+  array (broadcast small side for the shingle filter stage).
 - SimHash: 64-bit fingerprints, banded into 4x16-bit chunks (pigeonhole: any
-  pair within Hamming distance 3 shares a chunk), ``groupby(chunk)`` ->
-  verified pairs.
+  pair within Hamming distance 3 shares a chunk — exact recall at <=3),
+  mined with the same coarse-partition vectorized bucket scan.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -24,10 +27,13 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
+logger = logging.getLogger(__name__)
+
 from distributed_text_search_ray.config import AnalyzerConfig
 from distributed_text_search_ray.functions.hashing import (
     md5_hex,
     minhash_signature,
+    popcount64,
     shingle_hashes,
     simhash64,
     splitmix64,
@@ -94,7 +100,6 @@ class _MinhashBands:
         if not sh_chunks:
             return pa.table(
                 {
-                    "band_id": pa.array([], type=pa.int32()),
                     "band_hash": pa.array([], type=pa.int64()),
                     "doc_id": pa.array([], type=pa.int64()),
                 }
@@ -102,20 +107,124 @@ class _MinhashBands:
         starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
         sigs = minhash_signatures_batch(np.concatenate(sh_chunks), starts, self.num_perm)
         n = len(kept_ids)
-        # fold each band's rows into one hash: (docs, bands, r) -> (docs, bands)
+        # fold each band's rows into one hash: (docs, bands, r) -> (docs, bands);
+        # the per-band salt (xor below) separates bands, so band_hash alone is
+        # the LSH bucket key
         cube = sigs.reshape(n, self.bands, self.rows_per_band)
         acc = np.zeros((n, self.bands), dtype=np.uint64)
         for j in range(self.rows_per_band):
             acc = splitmix64(acc * np.uint64(0x9E3779B97F4A7C15) + cube[:, :, j])
         acc ^= splitmix64(np.arange(1, self.bands + 1, dtype=np.uint64))[None, :]
         band_hash = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
         doc_rep = np.repeat(np.asarray(kept_ids, dtype=np.int64), self.bands)
         return pa.table(
             {
-                "band_id": pa.array(band_ids, type=pa.int32()),
                 "band_hash": pa.array(band_hash.reshape(-1), type=pa.int64()),
                 "doc_id": pa.array(doc_rep, type=pa.int64()),
+            }
+        )
+
+
+def _mine_bucket_pairs(
+    keys: np.ndarray, ids: np.ndarray, payload: np.ndarray | None, max_bucket_size: int
+):
+    """Vectorized bucket mining over (key, doc_id[, payload]) rows.
+
+    Sorts by (key, doc_id), finds >=2-member runs with run-length encoding,
+    emits all within-bucket pairs via ``triu_indices`` (doc_a < doc_b because
+    runs are id-sorted). Buckets over ``max_bucket_size`` are dropped with a
+    logged count — a bucket that large at a meaningful threshold means
+    degenerate content (empty/boilerplate docs), and emitting its O(n^2)
+    pairs would dominate the job.
+
+    Returns (doc_a, doc_b, pay_a, pay_b) int64/uint64 arrays (pay_* None when
+    payload is None).
+    """
+    order = np.lexsort((ids, keys))
+    ks, ds_ = keys[order], ids[order]
+    pay = payload[order] if payload is not None else None
+    n = len(ks)
+    out_a, out_b, out_pa, out_pb = [], [], [], []
+    if n:
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=is_start[1:])
+        starts = np.flatnonzero(is_start)
+        ends = np.append(starts[1:], n)
+        lens = ends - starts
+        dropped = 0
+        for idx in np.flatnonzero(lens >= 2):
+            s, e = starts[idx], ends[idx]
+            if e - s > max_bucket_size:
+                dropped += 1
+                continue
+            run_ids = ds_[s:e]
+            i, j = np.triu_indices(e - s, k=1)
+            keep = run_ids[i] != run_ids[j]  # duplicate doc rows in one bucket
+            out_a.append(run_ids[i][keep])
+            out_b.append(run_ids[j][keep])
+            if pay is not None:
+                out_pa.append(pay[s:e][i][keep])
+                out_pb.append(pay[s:e][j][keep])
+        if dropped:
+            logger.warning(
+                "bucket mining dropped %d over-size buckets (> %d rows)",
+                dropped,
+                max_bucket_size,
+            )
+    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+    if payload is None:
+        return a, b, None, None
+    pa_ = np.concatenate(out_pa) if out_pa else np.empty(0, dtype=payload.dtype)
+    pb_ = np.concatenate(out_pb) if out_pb else np.empty(0, dtype=payload.dtype)
+    return a, b, pa_, pb_
+
+
+def _empty_pairs_table() -> pa.Table:
+    return pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+
+
+class _CandidateShingles:
+    """Actor stage: emit (doc_id, sh) shingle sets for candidate docs only.
+
+    The sorted candidate-id array is the broadcast small side (shipped to the
+    object store once, shared by every actor); shingle sets are serialized as
+    binary (sorted-unique uint64 tobytes) so they survive the downstream
+    hash join (acero rejects list<> payload columns).
+    """
+
+    def __init__(self, analyzer: AnalyzerConfig, shingle_n: int, cand_ids: np.ndarray):
+        self.tokenizer = Tokenizer(analyzer)
+        self.shingle_n = shingle_n
+        self.cand_ids = cand_ids  # sorted int64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        if len(self.cand_ids):
+            pos = np.searchsorted(self.cand_ids, ids)
+            pos_c = np.minimum(pos, len(self.cand_ids) - 1)
+            keep = self.cand_ids[pos_c] == ids
+        else:
+            keep = np.zeros(len(ids), dtype=bool)
+        sub = batch.filter(pa.array(keep))
+        out_id, out_sh = [], []
+        for doc_id, text in zip(
+            sub.column("doc_id").to_pylist(), sub.column("content").to_pylist()
+        ):
+            sh = shingle_hashes(self.tokenizer.tokens(text), self.shingle_n)
+            out_id.append(doc_id)
+            out_sh.append(sh.tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "sh": pa.array(out_sh, type=pa.binary()),
             }
         )
 
@@ -128,13 +237,27 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     analyzer: AnalyzerConfig | None = None,
     concurrency=None,
+    pair_partitions: int = 64,
+    max_bucket_size: int = 4096,
+    join_partitions: int = 8,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs with exact shingle-set Jaccard >= threshold.
 
     LSH proposes candidates (recall ~1 - (1 - t^r)^b; for t=0.5, r=4, b=32
-    the miss probability is ~0.13 per pair at the threshold and vanishes
-    above it); exact Jaccard verification removes false positives, so output
-    precision is exact.
+    the miss probability is ~0.13 per pair at exactly the threshold and
+    vanishes above it); exact Jaccard verification removes false positives,
+    so output precision is exact. NOTE the recall caveat: a pair sitting at
+    jaccard ~= threshold may be missed — tune (bands, num_perm) for the
+    threshold in use.
+
+    Fully distributed: band rows are hash-partitioned by bucket into
+    ``pair_partitions`` coarse groups and mined vectorized inside each group
+    (one UDF call per partition, not per bucket); pairs are made distinct
+    with a groupby; verification joins the candidate-sized pair and shingle
+    datasets twice and computes exact Jaccard per batch. The driver never
+    holds more than the distinct candidate-id array (broadcast small side).
+    ``pair_partitions`` bounds per-group memory: size it so
+    corpus_rows * bands / pair_partitions rows (~24 B each) fit a worker.
     """
     analyzer = analyzer or AnalyzerConfig()
     bander = {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n, "analyzer": analyzer}
@@ -144,188 +267,200 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=resolve_concurrency(concurrency),
     )
-    # candidate detection, size-aware (same pattern as the dictionary merge):
-    # band rows are 32/doc — under ~5M rows bucket on the driver with one
-    # vectorized pass; above, a distributed aggregate finds the >=2-member
-    # bucket keys first and only those rows come back
-    def key_col(batch: pa.Table) -> pa.Table:
-        key = (
-            batch.column("band_hash").to_numpy() * np.int64(64)
-            + batch.column("band_id").to_numpy()
+
+    P = pair_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch.column("band_hash").to_numpy() % P).astype(np.int32)
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    def mine(group: pa.Table) -> pa.Table:
+        a, b, _, _ = _mine_bucket_pairs(
+            group.column("band_hash").to_numpy(),
+            group.column("doc_id").to_numpy(),
+            None,
+            max_bucket_size,
         )
-        return pa.table({"key": pa.array(key, type=pa.int64()), "doc_id": batch.column("doc_id")})
-
-    keyed = band_rows.map_batches(key_col, batch_format="pyarrow").materialize()
-    if keyed.count() <= 5_000_000:
-        t = pa.concat_tables(ray.get(keyed.to_arrow_refs()))
-        keys = t.column("key").to_numpy()
-        docs_col = t.column("doc_id").to_numpy()
-        order = np.argsort(keys, kind="stable")
-        ks, ds_ = keys[order], docs_col[order]
-        is_start = np.empty(len(ks), dtype=bool)
-        is_start[0] = True
-        np.not_equal(ks[1:], ks[:-1], out=is_start[1:])
-        starts = np.flatnonzero(is_start)
-        ends = np.concatenate((starts[1:], [len(ks)]))
-        pair_set = set()
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            ids = sorted(set(ds_[s:e].tolist()))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pair_set.add((ids[i], ids[j]))
-        cand_pairs = sorted(pair_set)
-    else:
-        counts = keyed.groupby("key").aggregate(Count(alias_name="n"))
-        hot_keys = {r["key"] for r in counts.filter(expr="n >= 2").take_all()}
-        if not hot_keys:
-            cand_pairs = []
-        else:
-
-            def keep_hot(batch: pa.Table) -> pa.Table:
-                keep = [k in hot_keys for k in batch.column("key").to_pylist()]
-                return batch.filter(pa.array(keep))
-
-            rows = keyed.map_batches(keep_hot, batch_format="pyarrow").take_all()
-            buckets: dict[int, set[int]] = {}
-            for r in rows:
-                buckets.setdefault(r["key"], set()).add(r["doc_id"])
-            pair_set = set()
-            for ids_set in buckets.values():
-                ids = sorted(ids_set)
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        pair_set.add((ids[i], ids[j]))
-            cand_pairs = sorted(pair_set)
-    if not cand_pairs:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
-                    "jaccard": pa.array([], type=pa.float64()),
-                }
-            )
-        )
-    cand_ids = sorted({d for p in cand_pairs for d in p})
-    id_set = set(cand_ids)
-
-    def shingles_of_candidates(batch: pa.Table) -> pa.Table:
-        tk = Tokenizer(analyzer)
-        out_id, out_sh = [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
-        ):
-            if doc_id in id_set:
-                out_id.append(doc_id)
-                out_sh.append(shingle_hashes(tk.tokens(text), shingle_n).tolist())
+        if len(a):  # in-partition distinct (same pair from 2+ buckets)
+            packed = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = packed[:, 0], packed[:, 1]
         return pa.table(
-            {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "shingles": pa.array(out_sh, type=pa.list_(pa.uint64())),
-            }
+            {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
         )
 
-    sh_rows = docs.map_batches(shingles_of_candidates, batch_format="pyarrow").take_all()
-    sh = {r["doc_id"]: set(np.asarray(r["shingles"]).tolist()) for r in sh_rows}
-    a_out, b_out, j_out = [], [], []
-    for a, b in sorted(cand_pairs):
-        sa, sb = sh.get(a, set()), sh.get(b, set())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            a_out.append(a)
-            b_out.append(b)
-            j_out.append(round_half_away(j, 6))
-    return ray.data.from_arrow(
-        pa.table(
+    mined = (
+        band_rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mine, batch_format="pyarrow")
+    )
+    # global distinct (same pair proposed by buckets in different partitions)
+    pairs = (
+        mined.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_buckets"))
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    if pairs.count() == 0:
+        return ray.data.from_arrow(_empty_pairs_table())
+
+    def both_ids(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [batch.column("doc_a").to_numpy(), batch.column("doc_b").to_numpy()]
+        )
+        return pa.table({"doc_id": pa.array(np.unique(ids), type=pa.int64())})
+
+    cand_ids = np.asarray(
+        sorted(pairs.map_batches(both_ids, batch_format="pyarrow").unique("doc_id")),
+        dtype=np.int64,
+    )
+    sh_ds = docs.map_batches(
+        _CandidateShingles,
+        fn_constructor_kwargs={
+            "analyzer": analyzer,
+            "shingle_n": shingle_n,
+            "cand_ids": cand_ids,
+        },
+        batch_format="pyarrow",
+        concurrency=resolve_concurrency(concurrency),
+    )
+    j1 = pairs.join(
+        sh_ds, join_type="inner", num_partitions=join_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).rename_columns({"sh": "sh_a"})
+    j2 = j1.join(
+        sh_ds, join_type="inner", num_partitions=join_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    ).rename_columns({"sh": "sh_b"})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_out, b_out, j_out = [], [], []
+        for a, b, sa, sb in zip(
+            batch.column("doc_a").to_pylist(),
+            batch.column("doc_b").to_pylist(),
+            batch.column("sh_a").to_pylist(),
+            batch.column("sh_b").to_pylist(),
+        ):
+            A = np.frombuffer(sa, dtype=np.uint64)
+            B = np.frombuffer(sb, dtype=np.uint64)
+            inter = np.intersect1d(A, B, assume_unique=True).size
+            union = A.size + B.size - inter
+            if union == 0:
+                continue
+            j = inter / union
+            if j >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(round_half_away(j, 6))
+        return pa.table(
             {
                 "doc_a": pa.array(a_out, type=pa.int64()),
                 "doc_b": pa.array(b_out, type=pa.int64()),
                 "jaccard": pa.array(j_out, type=pa.float64()),
             }
         )
-    )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
-def _simhash_batch(analyzer: AnalyzerConfig):
-    tk = Tokenizer(analyzer)
+class _SimhashFp:
+    """Actor stage: (doc_id, simhash int64 bit-pattern); tokenizer compiled
+    once per actor."""
 
-    def f(batch: pa.Table) -> pa.Table:
-        hashes = [
-            np.int64(np.uint64(simhash64(tk.tokens(t))).astype(np.int64))
-            for t in batch.column("content").to_pylist()
-        ]
+    def __init__(self, analyzer: AnalyzerConfig):
+        self.tokenizer = Tokenizer(analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = np.fromiter(
+            (simhash64(self.tokenizer.tokens(t)) for t in batch.column("content").to_pylist()),
+            dtype=np.uint64,
+            count=batch.num_rows,
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array(hashes, type=pa.int64()),
+                "simhash": pa.array(hashes.astype(np.int64), type=pa.int64()),
             }
         )
 
-    return f
-
 
 def simhash_fingerprints(
-    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None
+    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None, concurrency=None
 ) -> ray.data.Dataset:
-    """(doc_id, simhash) 64-bit fingerprints (stored as int64 bit-pattern)."""
-    return docs.map_batches(_simhash_batch(analyzer or AnalyzerConfig()), batch_format="pyarrow")
+    """(doc_id, simhash) 64-bit fingerprints (stored as int64 bit-pattern,
+    token hash = DuckDB md5_number_lower so the fingerprint is
+    SQL-oracle-checkable)."""
+    return docs.map_batches(
+        _SimhashFp,
+        fn_constructor_kwargs={"analyzer": analyzer or AnalyzerConfig()},
+        batch_format="pyarrow",
+        concurrency=resolve_concurrency(concurrency),
+    )
 
 
 def simhash_near_dup_pairs(
     docs: ray.data.Dataset,
     max_hamming: int = 3,
     analyzer: AnalyzerConfig | None = None,
+    pair_partitions: int = 64,
+    max_bucket_size: int = 4096,
 ) -> ray.data.Dataset:
-    """Pairs with simhash Hamming distance <= max_hamming (<= 3 for exact
-    recall with 4 x 16-bit banding; larger values lower recall)."""
+    """Pairs with simhash Hamming distance <= max_hamming.
+
+    4 x 16-bit chunk banding; by pigeonhole any pair with <= 3 differing bits
+    shares an identical chunk, so recall is EXACT for max_hamming <= 3
+    (larger values lower recall). Mining is the same coarse-partition
+    vectorized bucket scan as MinHash: bucket key = (band << 16) | chunk,
+    rows hash-grouped into ``pair_partitions`` groups, pair Hamming computed
+    as vectorized XOR + popcount; buckets over ``max_bucket_size`` rows are
+    dropped with a logged count.
+    """
     fp = simhash_fingerprints(docs, analyzer)
+    P = pair_partitions
 
     def band_rows(batch: pa.Table) -> pa.Table:
         h = batch.column("simhash").to_numpy().astype(np.uint64)
         ids = batch.column("doc_id").to_numpy()
-        bands, chunks, out_ids, sims = [], [], [], []
+        n = len(ids)
+        keys = np.empty(4 * n, dtype=np.int64)
         for b in range(4):
             chunk = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            bands.extend([b] * len(ids))
-            chunks.extend(chunk.tolist())
-            out_ids.extend(ids.tolist())
-            sims.extend(h.astype(np.int64).tolist())
+            keys[b * n : (b + 1) * n] = (np.int64(b) << np.int64(16)) | chunk
+        out_ids = np.tile(ids, 4)
+        sims = np.tile(h.astype(np.int64), 4)
         return pa.table(
             {
-                "band_id": pa.array(bands, type=pa.int32()),
-                "chunk": pa.array(chunks, type=pa.int64()),
+                "part": pa.array((keys % P).astype(np.int32), type=pa.int32()),
+                "key": pa.array(keys, type=pa.int64()),
                 "doc_id": pa.array(out_ids, type=pa.int64()),
                 "simhash": pa.array(sims, type=pa.int64()),
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist()))
+    def mine(group: pa.Table) -> pa.Table:
+        a, b, sim_a, sim_b = _mine_bucket_pairs(
+            group.column("key").to_numpy(),
+            group.column("doc_id").to_numpy(),
+            group.column("simhash").to_numpy(),
+            max_bucket_size,
         )
-        a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin((rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if ham <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(ham)
+        if len(a):
+            ham = popcount64(sim_a.astype(np.uint64) ^ sim_b.astype(np.uint64))
+            keep = ham <= max_hamming
+            a, b, ham = a[keep], b[keep], ham[keep]
+        else:
+            ham = np.empty(0, dtype=np.int64)
         return pa.table(
             {
                 "doc_a": pa.array(a, type=pa.int64()),
                 "doc_b": pa.array(b, type=pa.int64()),
-                "hamming": pa.array(d, type=pa.int64()),
+                "hamming": pa.array(ham, type=pa.int64()),
             }
         )
 
     pairs = (
         fp.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band_id", "chunk"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mine, batch_format="pyarrow")
     )
+    # distinct across bands/partitions (Hamming is identical per pair)
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming_min"))

@@ -71,6 +71,55 @@ def test_minhash_finds_planted_near_dupes():
     )
 
 
+def test_minhash_distributed_at_scale():
+    """2550 planted near-dup pairs (~100x the sf0.01 candidate count): the
+    distributed mining + verify path must find exactly the within-group
+    pairs, with exact shingle-Jaccard values (in-test numpy oracle)."""
+    from distributed_text_search_ray.config import AnalyzerConfig
+    from distributed_text_search_ray.functions.hashing import shingle_hashes
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+    rng = np.random.default_rng(7)
+    groups, per_group, n_words = 850, 3, 40
+    ids, texts = [], []
+    for g in range(groups):
+        base = [f"g{g}w{k}" for k in range(n_words)]
+        for v in range(per_group):
+            # one mutated word -> pair jaccard ~0.73, where LSH miss
+            # probability is ~3e-5 (at j~=0.5 it is ~0.13 — the documented
+            # recall caveat, deliberately avoided here)
+            words = list(base)
+            pos = int(rng.integers(0, n_words))
+            words[pos] = f"g{g}v{v}m{pos}"
+            ids.append(g * 10 + v)
+            texts.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(ds, threshold=0.5, pair_partitions=16).take_all()
+    }
+    tk = Tokenizer(AnalyzerConfig())
+    sh = {i: set(shingle_hashes(tk.tokens(t), 3).tolist()) for i, t in zip(ids, texts)}
+    want = {}
+    for g in range(groups):
+        gids = [g * 10 + v for v in range(per_group)]
+        for i in range(per_group):
+            for j in range(i + 1, per_group):
+                a, b = gids[i], gids[j]
+                jac = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if jac >= 0.5:
+                    want[(a, b)] = round(jac, 6)
+    assert len(want) >= 2500  # the construction keeps jaccard well above 0.5
+    assert got == want  # exact pair set AND exact jaccard values
+
+
 def test_simhash_pairs_on_near_dupes():
     # near-dup = one mutated word in a real doc (hamming ~4); far doc ~40
     t0 = pq.read_table(f"{SF}/documents.parquet").column("text")[1].as_py()

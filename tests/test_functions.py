@@ -191,7 +191,10 @@ def test_simhash_near_dup():
     a = hashing.simhash64(toks)
     b = hashing.simhash64(toks + ["extra"])
     ham = bin(a ^ b).count("1")
-    assert ham <= 8
+    # adding one weight-1 token can only flip bits whose 4-way +-10 sum was 0
+    # (P=6/16 per bit) and where the new hash bit is 1 (x1/2): E[ham]=12,
+    # sigma~2.9 -> 24 is a >4-sigma bound
+    assert ham <= 24
     assert hashing.simhash64([]) == 0
 
 
