@@ -95,25 +95,18 @@ def _index_for(sf_dir: str) -> str:
         with open(marker) as f:
             have = json.load(f)
     if have != sig:
-        t = pq.read_table(src)
-        adapted = adapt_documents_batch(
-            pa.table(
-                {
-                    "doc_id": t.column("doc_id"),
-                    "text": t.column("text"),
-                    "lang": t.column("lang"),
-                    "source": t.column("source"),
-                }
-            )
-        )
-        os.makedirs(corpus_dir, exist_ok=True)
-        n_shards = max(1, min(8, t.num_rows // 500))
-        rows_per = (t.num_rows + n_shards - 1) // n_shards
-        for s in range(n_shards):
-            pq.write_table(
-                adapted.slice(s * rows_per, rows_per),
-                os.path.join(corpus_dir, f"shard_{s:05d}.parquet"),
-            )
+        # adapt + reshard through Ray (no full-table driver read: at real
+        # scale this table is the 100 TB input)
+        import ray.data
+        import shutil
+
+        ds = ray.data.read_parquet(src, columns=["doc_id", "text", "lang", "source"])
+        n_rows = ds.count()  # parquet metadata, no scan
+        n_shards = max(1, min(8, n_rows // 500))
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        ds.map_batches(adapt_documents_batch, batch_format="pyarrow").repartition(
+            n_shards
+        ).write_parquet(corpus_dir)
         with open(marker, "w") as f:
             json.dump(sig, f)
     index_dir = os.path.join(root, "index")

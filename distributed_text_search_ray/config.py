@@ -63,4 +63,6 @@ class IndexConfig:
 
 # bumped whenever the on-disk segment/manifest layout changes, so an index
 # built by an older layout is never silently reused on resume
-INDEX_FORMAT_VERSION = 2
+# v3: per-block delta restarts + per-block byte offsets (independently
+# decodable blocks for block-max decode skipping)
+INDEX_FORMAT_VERSION = 3

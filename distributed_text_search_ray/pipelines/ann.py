@@ -47,7 +47,15 @@ class _BruteScorer:
         for qi in range(len(self.qids)):
             s = sims[:, qi]
             kk = min(self.k, len(ids))
-            part = np.argpartition(-s, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+            if len(ids) > kk:
+                # keep everything within a rounding step of the kth-best raw
+                # cosine: final ranking is by round(cosine, 6) desc, vec_id
+                # asc, so a batch dropping a boundary tie (or a raw value
+                # that ROUNDS equal to the cut) could lose the true winner
+                cut = np.partition(s, len(s) - kk)[len(s) - kk]
+                part = np.flatnonzero(s >= cut - 1e-6)
+            else:
+                part = np.arange(len(ids))
             out_q.extend([self.qids[qi]] * len(part))
             out_v.extend(ids[part].tolist())
             out_s.extend(s[part].tolist())
@@ -110,30 +118,46 @@ def cosine_dup_pairs(
     """Embedding-cosine near-duplicate pairs: (vec_id_a < vec_id_b, cosine)
     with cosine >= threshold.
 
-    The full normalized matrix is broadcast once (fits memory at these
-    scales); each batch computes its block of the similarity matrix — a
-    distributed O(N^2/B) block sweep. For corpora where the matrix does not
-    fit, bucket with ``ann_lsh_topk``'s hyperplane hashing first.
+    Exact, with no driver materialization: the dataset is repartitioned into
+    M blocks that stay in the OBJECT STORE (``to_arrow_refs`` — the driver
+    holds only refs), and the M*(M+1)/2 block-pair tasks each pull their two
+    blocks and compute one tile of the similarity matrix. Compute is
+    inherently O(N^2) for the exact operator — distributed over tiles here;
+    at billion-vector scale use the LSH/IVF bucketed paths (approximate)
+    instead.
     """
-    full = embeddings.select_columns(["vec_id", column]).take_all()
-    ids_all = np.array([r["vec_id"] for r in full], dtype=np.int64)
-    X = np.array([r[column] for r in full], dtype=np.float64)
-    Xn_all = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
     import ray as _ray
 
-    ref = _ray.put((ids_all, Xn_all))
+    norm = embeddings.select_columns(["vec_id", column]).materialize()
+    if norm.num_blocks() > 64:
+        norm = norm.repartition(64).materialize()
+    blocks = norm.to_arrow_refs()
+    tasks = [(i, j) for i in range(len(blocks)) for j in range(i, len(blocks))]
 
-    def block(batch: pa.Table) -> pa.Table:
-        ids_a, Xn = _ray.get(ref)
-        B = _batch_matrix(batch, column)
-        ids_b = batch.column("vec_id").to_numpy()
-        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
-        sims = Bn @ Xn.T  # (b, N)
-        bi, ai = np.nonzero(sims >= threshold)
-        keep = ids_b[bi] < ids_a[ai]
-        a = ids_b[bi][keep]
-        b = ids_a[ai][keep]
-        c = round_half_away(sims[bi, ai][keep], 6)
+    def tile(batch: pa.Table) -> pa.Table:
+        a_out, b_out, c_out = [], [], []
+        for i, j in zip(batch.column("i").to_pylist(), batch.column("j").to_pylist()):
+            A = _ray.get(blocks[i])
+            Bt = _ray.get(blocks[j])
+            ids_a = A.column("vec_id").to_numpy()
+            ids_b = Bt.column("vec_id").to_numpy()
+            An = _batch_matrix(A, column)
+            An /= np.maximum(np.linalg.norm(An, axis=1, keepdims=True), 1e-30)
+            Bn = _batch_matrix(Bt, column)
+            Bn /= np.maximum(np.linalg.norm(Bn, axis=1, keepdims=True), 1e-30)
+            sims = An @ Bn.T
+            ai, bi = np.nonzero(sims >= threshold)
+            lo = np.minimum(ids_a[ai], ids_b[bi])
+            hi = np.maximum(ids_a[ai], ids_b[bi])
+            keep = lo < hi  # drops self-pairs; i==j tiles double-count below
+            if i == j:
+                keep &= ids_a[ai] < ids_b[bi]
+            a_out.append(lo[keep])
+            b_out.append(hi[keep])
+            c_out.append(round_half_away(sims[ai, bi][keep], 6))
+        a = np.concatenate(a_out) if a_out else np.empty(0, dtype=np.int64)
+        b = np.concatenate(b_out) if b_out else np.empty(0, dtype=np.int64)
+        c = np.concatenate(c_out) if c_out else np.empty(0, dtype=np.float64)
         return pa.table(
             {
                 "vec_id_a": pa.array(a, type=pa.int64()),
@@ -142,7 +166,8 @@ def cosine_dup_pairs(
             }
         )
 
-    return embeddings.map_batches(block, batch_format="pyarrow")
+    pairs_in = ray.data.from_items([{"i": i, "j": j} for i, j in tasks])
+    return pairs_in.map_batches(tile, batch_format="pyarrow", batch_size=1)
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
@@ -211,8 +236,15 @@ def ann_ivf_topk(
     ``nprobe`` nearest centroids, brute-force over those cells only.
 
     Candidate fraction ~ nprobe / n_centroids. Recall measured vs brute force
-    in tests. The quantizer fits on a bounded sample (deterministic)."""
-    sample = embeddings.limit(fit_sample).take_all()
+    in tests. The quantizer fits on a bounded UNIFORM sample (seeded
+    ``random_sample`` — ``limit`` would take the first N rows, a biased
+    sample when the corpus is ordered/clustered)."""
+    n_total = embeddings.count()
+    if n_total > fit_sample:
+        frac = min(1.0, fit_sample / n_total)
+        sample = embeddings.random_sample(frac, seed=seed).limit(fit_sample).take_all()
+    else:
+        sample = embeddings.take_all()
     Xs = np.array([r[column] for r in sample], dtype=np.float64)
     C = kmeans_fit(Xs, n_centroids, seed=seed)
 

@@ -178,11 +178,20 @@ def build_index(
         os.path.join(seg_parent, f"part={p:05d}", "terms.parquet")
         for p in range(cfg.num_partitions)
     ]
+    stats_blob = None
     if mf.is_complete(dict_dir, fp) and os.path.exists(
         os.path.join(index_dir, "stats.json")
     ):
         with open(os.path.join(index_dir, "stats.json")) as f:
-            hot_df = {k: int(v) for k, v in json.load(f)["hot_df"].items()}
+            blob = json.load(f)
+        # a crash between the dictionary rename and the stats.json replace
+        # leaves a current dictionary next to a STALE stats.json — trusting
+        # it would silently resume with wrong global df / salt routing, so
+        # the skip requires BOTH fingerprints to match
+        if blob.get("fingerprint") == fp:
+            stats_blob = blob
+    if stats_blob is not None:
+        hot_df = {k: int(v) for k, v in stats_blob["hot_df"].items()}
         report["phases"]["dictionary"] = {"sec": time.perf_counter() - t0, "skipped": True}
     else:
         total_terms = sum(

@@ -4,8 +4,9 @@ The reference has no joins (patterns x corpus is a broadcast nested loop);
 a general engine needs them:
 
 - ``broadcast_lookup``: small side shipped once per task/actor, applied as a
-  vectorized pandas merge inside ``map_batches`` — no shuffle. The right
-  strategy for dimension tables, vocab maps, blocklists.
+  zero-copy ``pyarrow.Table.join`` inside ``map_batches`` — no shuffle, no
+  pandas conversion. The right strategy for dimension tables, vocab maps,
+  blocklists.
 - ``hash_join``: both sides large — Ray's hash-partitioned ``Dataset.join``
   with an explicit ``num_partitions`` (an all-to-all on both sides; keep keys
   low-skew or pre-salt).
@@ -17,22 +18,29 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+_PA_JOIN_TYPE = {"inner": "inner", "left": "left outer", "right": "right outer"}
+
 
 def broadcast_lookup(
     large: ray.data.Dataset,
-    small_df: pd.DataFrame,
+    small_df: "pd.DataFrame | pa.Table",
     on: str,
     how: str = "inner",
 ) -> ray.data.Dataset:
     """Join a large Dataset against a small in-memory table by broadcast.
 
-    ``small_df`` rides into each task via closure capture (Ray ships it to
-    the object store once and workers share the copy)."""
+    The small table rides into each task via closure capture (Ray ships it
+    to the object store once and workers share the copy); the per-batch
+    merge is an Arrow-native hash join."""
+    small = (
+        small_df if isinstance(small_df, pa.Table) else pa.Table.from_pandas(small_df)
+    )
+    jt = _PA_JOIN_TYPE.get(how, how)
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(small_df, on=on, how=how)
+    def merge(batch: pa.Table) -> pa.Table:
+        return batch.join(small, keys=on, join_type=jt)
 
-    return large.map_batches(merge, batch_format="pandas")
+    return large.map_batches(merge, batch_format="pyarrow")
 
 
 def hash_join(
@@ -64,15 +72,17 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
 
     from distributed_text_search_ray.pipelines.relational import sql_round
 
-    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))[
-        ["n_nationkey", "n_name"]
-    ]
-    customer = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"))[
-        ["c_custkey", "c_nationkey"]
-    ]
-    cust_nation = customer.merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
-    )[["c_custkey", "n_name"]]
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    customer = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    cust_nation = customer.join(
+        nation, keys="c_nationkey", right_keys="n_nationkey"
+    ).select(["c_custkey", "n_name"])
 
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
@@ -99,15 +109,13 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
 
     # broadcast merge + per-batch partial aggregation (SURVEY.md A1: combine
     # inside map_batches, then a tiny groupby over partials — the full-row
-    # groupby was ~4x the cost of the join itself)
-    def merge_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch.merge(cust_nation, left_on="o_custkey", right_on="c_custkey")
-        g = m.groupby("n_name", as_index=False).agg(
-            revenue_part=("revenue", "sum"), n_part=("revenue", "size")
-        )
-        return g
+    # groupby was ~4x the cost of the join itself), all zero-copy Arrow
+    def merge_and_partial(batch: pa.Table) -> pa.Table:
+        m = batch.join(cust_nation, keys="o_custkey", right_keys="c_custkey")
+        g = m.group_by("n_name").aggregate([("revenue", "sum"), ("revenue", "count")])
+        return g.rename_columns(["n_name", "revenue_part", "n_part"])
 
-    partials = joined.map_batches(merge_and_partial, batch_format="pandas")
+    partials = joined.map_batches(merge_and_partial, batch_format="pyarrow")
     agg = partials.groupby("n_name").aggregate(
         Sum("revenue_part", alias_name="revenue"), Sum("n_part", alias_name="n_rows")
     )

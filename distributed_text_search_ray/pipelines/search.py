@@ -44,8 +44,9 @@ def search_topk(
     """Top-k BM25 for each query. Returns (query_id, rank, doc_id, score).
 
     ``mode``: "maxscore" (default; rank-safe pruned, 2-3x faster on Zipfian
-    corpora), "taat" (exhaustive), "wand" (document-at-a-time block-max) —
-    all three produce bit-identical results (tested)."""
+    corpora), "taat" (exhaustive), "wand" (decode-skipping Block-Max
+    MaxScore over the stored block metadata) — all three produce
+    bit-identical results (tested)."""
     qds = _queries_dataset(queries)
     return qds.map_batches(
         QueryExecutor,
@@ -121,13 +122,16 @@ class FuzzyCountExecutor:
             p = toks[0] if toks else ""
             idxs = self.expander.expand(p, int(row["k"]))
             occ = int(self.expander.cf[idxs].sum()) if idxs.size else 0
-            docs: set[int] = set()
-            for i in idxs:
-                d, _, _, _ = self.view.term_postings(self.expander.term_at(i))
-                docs.update(d.tolist())
+            # distinct-doc count stays in numpy (concatenate + unique): a
+            # pattern matching a Zipf-head term would make a Python set of
+            # ~N ints (hundreds of bytes per int) the actor's peak memory
+            chunks = [
+                self.view.term_postings(self.expander.term_at(i))[0] for i in idxs
+            ]
+            n_docs = int(np.unique(np.concatenate(chunks)).size) if chunks else 0
             out["query_id"].append(int(row["query_id"]))
             out["n_matching_terms"].append(int(idxs.size))
-            out["n_docs"].append(len(docs))
+            out["n_docs"].append(n_docs)
             out["n_occurrences"].append(occ)
         return pa.table(
             {

@@ -3,7 +3,9 @@ document fingerprints.
 
 All are single-pass ``map_batches`` stages (no shuffle) with formulas chosen
 to be exactly replicable in ANSI SQL, so the DuckDB oracle can verify them
-value-for-value. Floats are rounded to 6 decimals at the producer.
+value-for-value. Floats are rounded to 6 decimals at the producer. Each stage
+is a callable CLASS (actor pool): the tokenizer regex compiles once per actor
+in ``__init__``, never per batch.
 """
 
 from __future__ import annotations
@@ -15,7 +17,7 @@ import ray.data
 from distributed_text_search_ray.config import AnalyzerConfig
 from distributed_text_search_ray.functions.hashing import rolling_fingerprint, simhash64
 from distributed_text_search_ray.functions.tokenize import Tokenizer
-from distributed_text_search_ray.util import round_half_away
+from distributed_text_search_ray.util import resolve_concurrency, round_half_away
 
 # fixed stopword lists (shared verbatim with the SQL oracles)
 STOPWORDS = ["a", "and", "in", "is", "it", "of", "the", "to"]
@@ -28,11 +30,16 @@ LANG_STOPWORDS = {
 LANG_PRIORITY = ["en", "es", "de", "fr"]  # deterministic tie-break order
 
 
-def token_counts(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None) -> ray.data.Dataset:
-    tk_cfg = analyzer or AnalyzerConfig()
+class _TokenizerStage:
+    """Base actor stage: tokenizer built once per actor."""
 
-    def f(batch: pa.Table) -> pa.Table:
-        tk = Tokenizer(tk_cfg)
+    def __init__(self, analyzer: AnalyzerConfig | None = None):
+        self.tokenizer = Tokenizer(analyzer or AnalyzerConfig())
+
+
+class _TokenCounts(_TokenizerStage):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tk = self.tokenizer
         counts = [tk.token_count(t) for t in batch.column("content").to_pylist()]
         return pa.table(
             {
@@ -41,20 +48,14 @@ def token_counts(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None)
             }
         )
 
-    return docs.map_batches(f, batch_format="pyarrow")
 
+class _QualityScores(_TokenizerStage):
+    def __init__(self, analyzer: AnalyzerConfig | None = None):
+        super().__init__(analyzer)
+        self.stop = set(STOPWORDS)
 
-def quality_scores(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None) -> ray.data.Dataset:
-    """Heuristic quality features + a fixed scalar score.
-
-    score = stopword_ratio * 0.5 + least(n_tokens, 200) / 400.0
-    (rounded to 6 dp; SQL-identical formula in the oracle).
-    """
-    tk_cfg = analyzer or AnalyzerConfig()
-    stop = set(STOPWORDS)
-
-    def f(batch: pa.Table) -> pa.Table:
-        tk = Tokenizer(tk_cfg)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tk, stop = self.tokenizer, self.stop
         out = {"doc_id": [], "n_chars": [], "n_tokens": [], "stopword_ratio": [], "quality": []}
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
@@ -78,23 +79,20 @@ def quality_scores(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = Non
             }
         )
 
-    return docs.map_batches(f, batch_format="pyarrow")
 
+class _LanguageId(_TokenizerStage):
+    def __init__(self, analyzer: AnalyzerConfig | None = None):
+        super().__init__(analyzer)
+        self.lang_sets = {lang: set(ws) for lang, ws in LANG_STOPWORDS.items()}
 
-def language_id(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None) -> ray.data.Dataset:
-    """Stopword-list language ID: argmax of per-language stopword hits with a
-    fixed priority tie-break; 'und' when no list scores > 0."""
-    tk_cfg = analyzer or AnalyzerConfig()
-    lang_sets = {lang: set(ws) for lang, ws in LANG_STOPWORDS.items()}
-
-    def f(batch: pa.Table) -> pa.Table:
-        tk = Tokenizer(tk_cfg)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tk = self.tokenizer
         preds = []
         for text in batch.column("content").to_pylist():
             toks = tk.tokens(text)
             best_lang, best = "und", 0
             for lang in LANG_PRIORITY:
-                s = sum(1 for t in toks if t in lang_sets[lang])
+                s = sum(1 for t in toks if t in self.lang_sets[lang])
                 if s > best:
                     best, best_lang = s, lang
             preds.append(best_lang)
@@ -105,15 +103,10 @@ def language_id(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None) 
             }
         )
 
-    return docs.map_batches(f, batch_format="pyarrow")
 
-
-def fingerprints(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None) -> ray.data.Dataset:
-    """(doc_id, rolling_fp, simhash) deterministic document fingerprints."""
-    tk_cfg = analyzer or AnalyzerConfig()
-
-    def f(batch: pa.Table) -> pa.Table:
-        tk = Tokenizer(tk_cfg)
+class _Fingerprints(_TokenizerStage):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tk = self.tokenizer
         roll, sim = [], []
         for text in batch.column("content").to_pylist():
             roll.append(rolling_fingerprint(text))
@@ -126,4 +119,43 @@ def fingerprints(docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None)
             }
         )
 
-    return docs.map_batches(f, batch_format="pyarrow")
+
+def _stage(docs: ray.data.Dataset, cls, analyzer, concurrency) -> ray.data.Dataset:
+    return docs.map_batches(
+        cls,
+        fn_constructor_kwargs={"analyzer": analyzer},
+        batch_format="pyarrow",
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+def token_counts(
+    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None, concurrency=None
+) -> ray.data.Dataset:
+    return _stage(docs, _TokenCounts, analyzer, concurrency)
+
+
+def quality_scores(
+    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None, concurrency=None
+) -> ray.data.Dataset:
+    """Heuristic quality features + a fixed scalar score.
+
+    score = stopword_ratio * 0.5 + least(n_tokens, 200) / 400.0
+    (rounded to 6 dp; SQL-identical formula in the oracle).
+    """
+    return _stage(docs, _QualityScores, analyzer, concurrency)
+
+
+def language_id(
+    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None, concurrency=None
+) -> ray.data.Dataset:
+    """Stopword-list language ID: argmax of per-language stopword hits with a
+    fixed priority tie-break; 'und' when no list scores > 0."""
+    return _stage(docs, _LanguageId, analyzer, concurrency)
+
+
+def fingerprints(
+    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None, concurrency=None
+) -> ray.data.Dataset:
+    """(doc_id, rolling_fp, simhash) deterministic document fingerprints."""
+    return _stage(docs, _Fingerprints, analyzer, concurrency)

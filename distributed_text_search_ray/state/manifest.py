@@ -24,11 +24,15 @@ MANIFEST_NAME = "MANIFEST.json"
 
 
 def corpus_fingerprint(files: list[str], config_fingerprint: str) -> str:
-    """Stable fingerprint of (input file list + sizes + engine config)."""
+    """Stable fingerprint of (input file list + sizes + mtimes + config).
+
+    mtime_ns is included so a corpus file rewritten with different content
+    but an identical size still invalidates resume state (size alone would
+    silently reuse stale tokenize shards and index segments)."""
     h = hashlib.sha256()
     for f in sorted(files):
         st = os.stat(f)
-        h.update(f"{os.path.basename(f)}:{st.st_size}".encode())
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
         h.update(b"\x00")
     h.update(config_fingerprint.encode())
     return h.hexdigest()[:24]
@@ -37,10 +41,11 @@ def corpus_fingerprint(files: list[str], config_fingerprint: str) -> str:
 def shard_fingerprint(file: str, config_fingerprint: str) -> str:
     """Per-input-file fingerprint: an appended corpus re-tokenizes only new
     shards (the whole-corpus fingerprint still gates segment/dictionary
-    state, which any corpus change invalidates)."""
+    state, which any corpus change invalidates). Includes mtime_ns for the
+    same same-size-rewrite reason as corpus_fingerprint."""
     st = os.stat(file)
     h = hashlib.sha256()
-    h.update(f"{os.path.basename(file)}:{st.st_size}".encode())
+    h.update(f"{os.path.basename(file)}:{st.st_size}:{st.st_mtime_ns}".encode())
     h.update(config_fingerprint.encode())
     return h.hexdigest()[:24]
 

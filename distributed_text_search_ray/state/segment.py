@@ -6,10 +6,15 @@ One segment per term-hash partition. On disk (inside ``part=NNNNN/``):
   ``term`` (sorted asc), ``df`` (local document frequency = list length),
   ``doc_off``/``doc_nbytes``, ``tf_off``/``tf_nbytes``, ``dl_off``/``dl_nbytes``
   (byte slices into the three streams), ``block_max`` (list<float64>,
-  per-block upper bound on the BM25 score — block-max WAND metadata) and
-  ``block_last`` (list<int64>, last doc_id per block, for skipping).
-- ``docs.bin`` — delta + varbyte doc ids (delta within each term's list,
-  first id absolute).
+  per-block upper bound on the BM25 score — block-max metadata),
+  ``block_last`` (list<int64>, last doc_id per block, for skipping) and
+  ``block_doc_off``/``block_tf_off``/``block_dl_off`` (list<int64>, absolute
+  byte offset of each block's first posting in the corresponding stream —
+  what lets the query side decode ONLY the blocks it needs).
+  ``block_size`` rides in the parquet schema metadata.
+- ``docs.bin`` — delta + varbyte doc ids. Deltas restart at every BLOCK
+  boundary (first id of each block absolute), so a block is independently
+  decodable — the decode-skipping contract of block-max scoring.
 - ``tfs.bin`` / ``dls.bin`` — varbyte term frequencies / document lengths.
   Embedding dl per posting trades space for never needing a doc->dl lookup
   table at query time (a doc-length table does not broadcast at 10^12-doc
@@ -35,6 +40,7 @@ import pyarrow.parquet as pq
 from distributed_text_search_ray.config import IndexConfig
 from distributed_text_search_ray.functions import bm25
 from distributed_text_search_ray.functions.codec import (
+    segmented_delta_decode,
     segmented_delta_encode,
     varbyte_decode,
     varbyte_encode,
@@ -77,8 +83,12 @@ def build_segment_tables(
                 "dl_nbytes": pa.array([], type=pa.int64()),
                 "block_max": pa.array([], type=pa.list_(pa.float64())),
                 "block_last": pa.array([], type=pa.list_(pa.int64())),
+                "block_doc_off": pa.array([], type=pa.list_(pa.int64())),
+                "block_tf_off": pa.array([], type=pa.list_(pa.int64())),
+                "block_dl_off": pa.array([], type=pa.list_(pa.int64())),
             }
         )
+        empty = empty.replace_schema_metadata({b"block_size": str(cfg.block_size).encode()})
         return empty, b"", b"", b"", {
             "n_terms": 0, "n_postings": 0, "sum_tf": 0, "max_doc_id": -1,
         }
@@ -92,23 +102,9 @@ def build_segment_tables(
     df = np.diff(np.concatenate((starts, [n])))
     uniq_terms = [term_strings[c] for c in codes[starts]]
 
-    deltas = segmented_delta_encode(doc_ids, starts)
-    doc_stream, doc_w = varbyte_encode(deltas)
-    tf_stream, tf_w = varbyte_encode(tfs.astype(np.uint64))
-    dl_stream, dl_w = varbyte_encode(dls.astype(np.uint64))
-
-    def offsets(widths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        ends = np.cumsum(widths)
-        posting_starts = np.concatenate(([0], ends[:-1]))
-        term_off = posting_starts[starts]
-        term_end = ends[np.concatenate((starts[1:] - 1, [n - 1]))]
-        return term_off, term_end - term_off
-
-    doc_off, doc_nb = offsets(doc_w)
-    tf_off, tf_nb = offsets(tf_w)
-    dl_off, dl_nb = offsets(dl_w)
-
-    # block-max metadata: blocks of cfg.block_size postings within each term
+    # block structure first (blocks of cfg.block_size postings within each
+    # term): doc-id deltas restart at every block so the query side can
+    # decode any block independently
     B = cfg.block_size
     n_blocks = (df + B - 1) // B
     block_offsets = np.concatenate(([0], np.cumsum(n_blocks)))
@@ -116,6 +112,23 @@ def build_segment_tables(
     within = np.arange(block_offsets[-1], dtype=np.int64) - block_offsets[block_term]
     block_starts = starts[block_term] + within * B
     block_ends = np.minimum(block_starts + B, np.repeat(starts + df, n_blocks))
+
+    deltas = segmented_delta_encode(doc_ids, block_starts)
+    doc_stream, doc_w = varbyte_encode(deltas)
+    tf_stream, tf_w = varbyte_encode(tfs.astype(np.uint64))
+    dl_stream, dl_w = varbyte_encode(dls.astype(np.uint64))
+
+    def offsets(widths: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(per-term byte offset, per-term nbytes, per-block byte offset)."""
+        ends = np.cumsum(widths)
+        posting_starts = np.concatenate(([0], ends[:-1]))
+        term_off = posting_starts[starts]
+        term_end = ends[np.concatenate((starts[1:] - 1, [n - 1]))]
+        return term_off, term_end - term_off, posting_starts[block_starts]
+
+    doc_off, doc_nb, block_doc_off = offsets(doc_w)
+    tf_off, tf_nb, block_tf_off = offsets(tf_w)
+    dl_off, dl_nb, block_dl_off = offsets(dl_w)
     # per-posting local score: idf(local df) * tf saturation. idf uses
     # math.log per term (not np.log, which can differ by 1 ulp) so stored
     # block maxima are bit-identical upper bounds of query-time scores.
@@ -150,7 +163,19 @@ def build_segment_tables(
             "block_last": pa.ListArray.from_arrays(
                 pa.array(block_offsets), pa.array(block_last, type=pa.int64())
             ),
+            "block_doc_off": pa.ListArray.from_arrays(
+                pa.array(block_offsets), pa.array(block_doc_off, type=pa.int64())
+            ),
+            "block_tf_off": pa.ListArray.from_arrays(
+                pa.array(block_offsets), pa.array(block_tf_off, type=pa.int64())
+            ),
+            "block_dl_off": pa.ListArray.from_arrays(
+                pa.array(block_offsets), pa.array(block_dl_off, type=pa.int64())
+            ),
         }
+    )
+    terms_table = terms_table.replace_schema_metadata(
+        {b"block_size": str(cfg.block_size).encode()}
     )
     stats = {
         "n_terms": int(len(uniq_terms)),
@@ -192,8 +217,13 @@ class SegmentReader:
         self.seg_dir = seg_dir
         t = pq.read_table(os.path.join(seg_dir, TERMS_FILE))
         self._terms = t
+        md = t.schema.metadata or {}
+        self.block_size = int(md.get(b"block_size", b"128"))
         self._lookup = {term: i for i, term in enumerate(t.column("term").to_pylist())}
         self._streams = {}
+        # posting-stream bytes fed to varbyte_decode (diagnostic: shows how
+        # much decode block-max scoring skipped relative to a full scan)
+        self.bytes_decoded = 0
         for name in STREAMS:
             p = os.path.join(seg_dir, name)
             self._streams[name] = (
@@ -221,11 +251,15 @@ class SegmentReader:
         row = {c: self._terms.column(c)[i].as_py() for c in (
             "df", "doc_off", "doc_nbytes", "tf_off", "tf_nbytes", "dl_off", "dl_nbytes")}
         df = row["df"]
-        docs = varbyte_decode(
+        self.bytes_decoded += row["doc_nbytes"] + row["tf_nbytes"] + row["dl_nbytes"]
+        deltas = varbyte_decode(
             self._streams["docs.bin"][row["doc_off"] : row["doc_off"] + row["doc_nbytes"]],
             count=df,
         )
-        doc_ids = np.cumsum(docs.astype(np.int64))
+        # deltas restart at every block boundary
+        B = self.block_size
+        nb = (df + B - 1) // B
+        doc_ids = segmented_delta_decode(deltas, np.arange(nb, dtype=np.int64) * B)
         tfs = varbyte_decode(
             self._streams["tfs.bin"][row["tf_off"] : row["tf_off"] + row["tf_nbytes"]], count=df
         ).astype(np.int64)
@@ -234,8 +268,46 @@ class SegmentReader:
         ).astype(np.int64)
         return doc_ids, tfs, dls
 
+    def postings_blocks(
+        self, term: str, sel: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """(doc_ids, tfs, dls) of the SELECTED blocks only (sorted block
+        indices) — decodes just those blocks' byte ranges. The decode-skip
+        path of block-max scoring."""
+        i = self._lookup.get(term)
+        if i is None or len(sel) == 0:
+            return None
+        cols = self._terms
+        df = cols.column("df")[i].as_py()
+        b_doc = np.asarray(cols.column("block_doc_off")[i].as_py(), dtype=np.int64)
+        b_tf = np.asarray(cols.column("block_tf_off")[i].as_py(), dtype=np.int64)
+        b_dl = np.asarray(cols.column("block_dl_off")[i].as_py(), dtype=np.int64)
+        nb = len(b_doc)
+        B = self.block_size
+        ends = {
+            "doc": cols.column("doc_off")[i].as_py() + cols.column("doc_nbytes")[i].as_py(),
+            "tf": cols.column("tf_off")[i].as_py() + cols.column("tf_nbytes")[i].as_py(),
+            "dl": cols.column("dl_off")[i].as_py() + cols.column("dl_nbytes")[i].as_py(),
+        }
+        out_d, out_t, out_l = [], [], []
+        for b in np.asarray(sel, dtype=np.int64):
+            cnt = B if b < nb - 1 else df - (nb - 1) * B
+            de = b_doc[b + 1] if b + 1 < nb else ends["doc"]
+            te = b_tf[b + 1] if b + 1 < nb else ends["tf"]
+            le = b_dl[b + 1] if b + 1 < nb else ends["dl"]
+            self.bytes_decoded += int(de - b_doc[b]) + int(te - b_tf[b]) + int(le - b_dl[b])
+            deltas = varbyte_decode(self._streams["docs.bin"][b_doc[b] : de], count=cnt)
+            out_d.append(np.cumsum(deltas.astype(np.int64)))  # first id absolute
+            out_t.append(varbyte_decode(self._streams["tfs.bin"][b_tf[b] : te], count=cnt))
+            out_l.append(varbyte_decode(self._streams["dls.bin"][b_dl[b] : le], count=cnt))
+        return (
+            np.concatenate(out_d),
+            np.concatenate(out_t).astype(np.int64),
+            np.concatenate(out_l).astype(np.int64),
+        )
+
     def block_meta(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
-        """(block_max_scores, block_last_docids) for WAND."""
+        """(block_max_scores, block_last_docids) for block-max scoring."""
         i = self._lookup.get(term)
         if i is None:
             return None
