@@ -179,6 +179,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return apm.windowed_match_counts(docs, APM_PATTERNS, text_column="text")
 
+    def apm_counts_concat(sf_dir):
+        import ray.data
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        # reference corpus model: one concatenated buffer in doc_id order
+        # (documents.parquet rows are doc_id-ordered)
+        return apm.windowed_match_counts(
+            docs, APM_PATTERNS, text_column="text", concat=True
+        )
+
     def fuzzy_term_stats(sf_dir):
         return search.fuzzy_term_search(_index_for(sf_dir), FUZZY_PATTERNS)
 
@@ -313,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "bm25_topk_wand": bm25_topk_wand,
         "apm_counts": apm_counts,
+        "apm_counts_concat": apm_counts_concat,
         "fuzzy_term_stats": fuzzy_term_stats,
         "fuzzy_topk": fuzzy_topk,
         "term_dictionary": term_dictionary,
@@ -393,6 +406,24 @@ SELECT query_id, count(*) FILTER (WHERE
                 substring(d.text, t.j, least(length(p), length(d.text) - t.j + 1))) <= k
   )::BIGINT AS n_matches
 FROM pats, documents d, unnest(range(1, length(d.text) + 1)) AS t(j)
+GROUP BY query_id
+"""
+
+    # windows CTE materializes each (short) window once — slicing the
+    # megastring inside the pats cross join was ~10x slower
+    apm_concat = f"""
+WITH pats(query_id, p, k) AS (VALUES {_values(APM_PATTERNS)}),
+corpus AS (SELECT string_agg(text, '' ORDER BY doc_id) t FROM documents),
+maxp AS (SELECT max(length(p)) ml FROM pats),
+wins AS (
+  SELECT substring(c.t, j.j, m.ml) w
+  FROM corpus c, maxp m, unnest(range(1, length(c.t) + 1)) AS j(j)
+)
+SELECT query_id, count(*) FILTER (WHERE
+    levenshtein(substring(p, 1, least(length(p), length(w))),
+                substring(w, 1, least(length(p), length(w)))) <= k
+  )::BIGINT AS n_matches
+FROM pats, wins
 GROUP BY query_id
 """
 
@@ -631,6 +662,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "sessionize_30m": sessions,
         "embedding_dup_pairs": emb_dups,
         "apm_counts": apm,
+        "apm_counts_concat": apm_concat,
         "fuzzy_term_stats": fuzzy,
         "fuzzy_topk": fuzzy_topk_sql,
         "term_dictionary": term_dict,

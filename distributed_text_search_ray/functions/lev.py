@@ -30,6 +30,17 @@ import numpy as np
 _CHUNK = 1 << 16
 
 
+def _dp_dtype(k: int, steps: int):
+    """DP cell dtype. With the capped init (row 0 clipped at k+1) and NO
+    per-step cap, any cell is bounded by k+1 plus one +1 per column, i.e.
+    <= k+1+steps; every value > k is equivalent for both the <= k test and
+    min-propagation (a true <= k distance is realized through a path of
+    true-valued cells that dominate the drifted ones). uint8 is exact when
+    that bound fits — 4x less memory traffic than int32 on the
+    bandwidth-bound window sweeps."""
+    return np.uint8 if k + 1 + steps <= 250 else np.int32
+
+
 def codepoints(s: str) -> np.ndarray:
     """str -> uint32 codepoint array (zero-copy-ish via utf-32 encode)."""
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
@@ -59,11 +70,15 @@ def _banded_window_pass(wins: np.ndarray, P: np.ndarray, k: int) -> np.ndarray:
     distances (values > k are reported as k+1).
     """
     W, m = wins.shape
-    INF = np.int32(k + 1)
-    prev = np.minimum(np.arange(m + 1, dtype=np.int32), INF)[:, None] * np.ones(
-        (1, W), dtype=np.int32
-    )  # column y=0: D[x][0] = x
+    dt = _dp_dtype(k, m)
+    INF = dt(k + 1)
+    base = np.minimum(np.arange(m + 1, dtype=np.int64), k + 1).astype(dt)
+    prev = np.broadcast_to(base[:, None], (m + 1, W)).copy()  # D[x][0] = x
     cur = np.empty_like(prev)
+    nb = np.empty(W, dtype=bool)
+    nb_u8 = nb.view(np.uint8)
+    t1 = np.empty(W, dtype=dt)
+    t2 = np.empty(W, dtype=dt)
     for y in range(1, m + 1):
         cur.fill(INF)
         cur[0] = min(y, k + 1)
@@ -71,13 +86,16 @@ def _banded_window_pass(wins: np.ndarray, P: np.ndarray, k: int) -> np.ndarray:
         lo = max(1, y - k)
         hi = min(m, y + k)
         for x in range(lo, hi + 1):
-            sub = prev[x - 1] + (P[x - 1] != wy)
-            np.minimum(sub, prev[x] + 1, out=sub)
-            np.minimum(sub, cur[x - 1] + 1, out=sub)
-            np.minimum(sub, INF, out=sub)
-            cur[x] = sub
+            # zero-alloc banded step (see _dp_dtype for the no-cap argument)
+            np.not_equal(P[x - 1], wy, out=nb)
+            np.add(prev[x - 1], nb_u8 if dt == np.uint8 else nb, out=t1)
+            np.add(prev[x], dt(1), out=t2)
+            np.minimum(t1, t2, out=t1)
+            np.add(cur[x - 1], dt(1), out=t2)
+            np.minimum(t1, t2, out=cur[x])
         prev, cur = cur, prev
-    return prev[m]
+    # re-clamp drifted >k values to the documented k+1 cap
+    return np.minimum(prev[m].astype(np.int32), k + 1)
 
 
 def _banded_window_pass_multi(wins: np.ndarray, Pmat: np.ndarray, k: int) -> np.ndarray:
@@ -90,11 +108,16 @@ def _banded_window_pass_multi(wins: np.ndarray, Pmat: np.ndarray, k: int) -> np.
     there)."""
     W, m = wins.shape
     P = Pmat.shape[0]
-    INF = np.int32(k + 1)
-    base = np.minimum(np.arange(m + 1, dtype=np.int32), INF)
+    dt = _dp_dtype(k, m)
+    INF = dt(k + 1)
+    base = np.minimum(np.arange(m + 1, dtype=np.int64), k + 1).astype(dt)
     prev = np.broadcast_to(base[:, None, None], (m + 1, P, W)).copy()
     cur = np.empty_like(prev)
     Pcol = Pmat.T[:, :, None]  # (m, P, 1)
+    nb = np.empty((P, W), dtype=bool)
+    nb_u8 = nb.view(np.uint8)  # same buffer: keeps the add a pure-uint8 loop
+    t1 = np.empty((P, W), dtype=dt)
+    t2 = np.empty((P, W), dtype=dt)
     for y in range(1, m + 1):
         cur.fill(INF)
         cur[0] = min(y, k + 1)
@@ -102,22 +125,37 @@ def _banded_window_pass_multi(wins: np.ndarray, Pmat: np.ndarray, k: int) -> np.
         lo = max(1, y - k)
         hi = min(m, y + k)
         for x in range(lo, hi + 1):
-            sub = prev[x - 1] + (Pcol[x - 1] != wy)
-            np.minimum(sub, prev[x] + 1, out=sub)
-            np.minimum(sub, cur[x - 1] + 1, out=sub)
-            np.minimum(sub, INF, out=sub)
-            cur[x] = sub
+            # zero-alloc banded step (see _dp_dtype for the no-cap argument)
+            np.not_equal(Pcol[x - 1], wy, out=nb)
+            np.add(prev[x - 1], nb_u8 if dt == np.uint8 else nb, out=t1)
+            np.add(prev[x], dt(1), out=t2)
+            np.minimum(t1, t2, out=t1)
+            np.add(cur[x - 1], dt(1), out=t2)
+            np.minimum(t1, t2, out=cur[x])
         prev, cur = cur, prev
-    return prev[m]
+    # re-clamp drifted >k values to the documented k+1 cap
+    return np.minimum(prev[m].astype(np.int32), k + 1)
 
 
 def windowed_match_counts_multi(
-    texts: list[str], patterns: list[tuple[int, str, int]]
+    texts: list[str],
+    patterns: list[tuple[int, str, int]],
+    owned: list[int] | None = None,
+    tails: list[bool] | None = None,
 ) -> dict[int, int]:
     """Counts for MANY patterns over many documents, grouping patterns by
     (length, k) so each group runs one multi-lane banded DP over the shared
     window matrix. Returns {query_id: count}. Exact same semantics as
-    summing :func:`windowed_match_count` per doc (fuzz-tested)."""
+    summing :func:`windowed_match_count` per doc (fuzz-tested).
+
+    ``owned``/``tails`` support halo'd document SEGMENTS (the reference's
+    neighbor-overlap trick, ``src/flexible_mpi.c:196-197``): ``owned[i]``
+    caps the counted full-window start positions of ``texts[i]`` (the extra
+    suffix chars are halo, owned by the next segment); ``tails[i]`` says
+    whether the truncated tail windows at the segment's end belong to it
+    (True only for a document's final segment). Defaults reproduce the plain
+    whole-document semantics.
+    """
     out: dict[int, int] = {}
     groups: dict[tuple[int, int], list[tuple[int, str]]] = {}
     for qid, pat, k in patterns:
@@ -125,7 +163,14 @@ def windowed_match_counts_multi(
             out[int(qid)] = 0
             continue
         groups.setdefault((len(pat), int(k)), []).append((int(qid), pat))
-    arrs = [codepoints(t) for t in texts if len(t) > 0]
+    if owned is None:
+        owned = [len(t) for t in texts]
+    if tails is None:
+        tails = [True] * len(texts)
+    keep = [i for i, t in enumerate(texts) if len(t) > 0]
+    arrs = [codepoints(texts[i]) for i in keep]
+    own = [owned[i] for i in keep]
+    tail_texts = [texts[i] for i in keep if tails[i]]
     lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
     T = np.concatenate(arrs) if arrs else np.empty(0, np.uint32)
     ends = np.cumsum(lens) if len(arrs) else np.empty(0, np.int64)
@@ -136,11 +181,12 @@ def windowed_match_counts_multi(
         W = T.size - m + 1
         if W > 0:
             valid = np.zeros(W, dtype=bool)
-            for s, e in zip(starts, ends):
-                if e - s >= m:
-                    valid[s : e - m + 1] = True
+            for s, e, o in zip(starts, ends, own):
+                n_full = min(int(o), int(e - s) - m + 1)
+                if n_full > 0:
+                    valid[s : s + n_full] = True
             wins_all = np.lib.stride_tricks.sliding_window_view(T, m)
-            # chunk so (P x chunk x (m+1)) int32 stays within ~256 MB
+            # chunk so the DP working set stays cache-sized
             chunk = max(1024, min(_CHUNK, (64 << 20) // max(1, len(group) * (m + 1))))
             for s in range(0, W, chunk):
                 e = min(W, s + chunk)
@@ -153,7 +199,7 @@ def windowed_match_counts_multi(
                 counts += ((d <= k) & v[None, :]).sum(axis=1)
         # truncated tails, per pattern (tail windows are few)
         for gi, (qid, pat) in enumerate(group):
-            c = int(counts[gi]) + _tail_counts(texts, Pmat[gi], m, k)
+            c = int(counts[gi]) + _tail_counts(tail_texts, Pmat[gi], m, k)
             out[qid] = out.get(qid, 0) + c
     return out
 
@@ -167,15 +213,19 @@ def _banded_diag_pass(
     padding, so one banded pass serves every size (capture cur[x=y] when the
     outer column y hits a row's s)."""
     W, m = wins.shape
-    INF = np.int32(k + 1)
-    out = np.full(W, INF, dtype=np.int32)
+    dt = _dp_dtype(k, m)
+    INF = dt(k + 1)
+    out = np.full(W, k + 1, dtype=np.int32)
     done0 = sizes == 0
     if done0.any():
         out[done0] = 0
-    prev = np.minimum(np.arange(m + 1, dtype=np.int32), INF)[:, None] * np.ones(
-        (1, W), dtype=np.int32
-    )
+    base = np.minimum(np.arange(m + 1, dtype=np.int64), k + 1).astype(dt)
+    prev = np.broadcast_to(base[:, None], (m + 1, W)).copy()
     cur = np.empty_like(prev)
+    nb = np.empty(W, dtype=bool)
+    nb_u8 = nb.view(np.uint8)
+    t1 = np.empty(W, dtype=dt)
+    t2 = np.empty(W, dtype=dt)
     for y in range(1, m + 1):
         cur.fill(INF)
         cur[0] = min(y, k + 1)
@@ -183,16 +233,17 @@ def _banded_diag_pass(
         lo = max(1, y - k)
         hi = min(m, y + k)
         for x in range(lo, hi + 1):
-            sub = prev[x - 1] + (P[x - 1] != wy)
-            np.minimum(sub, prev[x] + 1, out=sub)
-            np.minimum(sub, cur[x - 1] + 1, out=sub)
-            np.minimum(sub, INF, out=sub)
-            cur[x] = sub
+            np.not_equal(P[x - 1], wy, out=nb)
+            np.add(prev[x - 1], nb_u8 if dt == np.uint8 else nb, out=t1)
+            np.add(prev[x], dt(1), out=t2)
+            np.minimum(t1, t2, out=t1)
+            np.add(cur[x - 1], dt(1), out=t2)
+            np.minimum(t1, t2, out=cur[x])
         finished = sizes == y
         if finished.any():
             out[finished] = cur[y][finished]  # D[x=s][y=s]
         prev, cur = cur, prev
-    return out
+    return np.minimum(out, k + 1)
 
 
 def _tail_counts(texts: list[str], P: np.ndarray, pattern_len: int, k: int) -> int:
@@ -314,8 +365,9 @@ def bounded_term_distances(pattern: str, terms: list[str], k: int) -> np.ndarray
     P = codepoints(pattern)
     lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
     maxlen = int(lens.max()) if n else 0
-    INF = np.int32(k + 1)
-    out = np.full(n, INF, dtype=np.int32)
+    dt = _dp_dtype(k, maxlen)
+    INF = dt(k + 1)
+    out = np.full(n, k + 1, dtype=np.int32)
     if maxlen == 0:
         out[:] = min(m, k + 1)
         return out
@@ -324,14 +376,17 @@ def bounded_term_distances(pattern: str, terms: list[str], k: int) -> np.ndarray
     for i, t in enumerate(terms):
         if t:
             mat[i, : len(t)] = codepoints(t)
-    prev = np.minimum(np.arange(m + 1, dtype=np.int32), INF)[:, None] * np.ones(
-        (1, n), dtype=np.int32
-    )
+    base = np.minimum(np.arange(m + 1, dtype=np.int64), k + 1).astype(dt)
+    prev = np.broadcast_to(base[:, None], (m + 1, n)).copy()
     # terms of length 0: distance = m
     done0 = lens == 0
     if done0.any():
         out[done0] = min(m, k + 1)
     cur = np.empty_like(prev)
+    nb = np.empty(n, dtype=bool)
+    nb_u8 = nb.view(np.uint8)
+    t1 = np.empty(n, dtype=dt)
+    t2 = np.empty(n, dtype=dt)
     for y in range(1, maxlen + 1):
         cur.fill(INF)
         cur[0] = min(y, k + 1)
@@ -339,13 +394,14 @@ def bounded_term_distances(pattern: str, terms: list[str], k: int) -> np.ndarray
         lo = max(1, y - k)
         hi = min(m, y + k)
         for x in range(lo, hi + 1):
-            sub = prev[x - 1] + (P[x - 1] != wy)
-            np.minimum(sub, prev[x] + 1, out=sub)
-            np.minimum(sub, cur[x - 1] + 1, out=sub)
-            np.minimum(sub, INF, out=sub)
-            cur[x] = sub
+            np.not_equal(P[x - 1], wy, out=nb)
+            np.add(prev[x - 1], nb_u8 if dt == np.uint8 else nb, out=t1)
+            np.add(prev[x], dt(1), out=t2)
+            np.minimum(t1, t2, out=t1)
+            np.add(cur[x - 1], dt(1), out=t2)
+            np.minimum(t1, t2, out=cur[x])
         finished = lens == y
         if finished.any():
             out[finished] = cur[m][finished]
         prev, cur = cur, prev
-    return out
+    return np.minimum(out, k + 1)

@@ -29,6 +29,32 @@ from distributed_text_search_ray.functions.lev import (
 )
 from distributed_text_search_ray.util import resolve_concurrency
 
+import ray
+
+
+@ray.remote
+def _scan_chunk(texts: list[str], chunk: list[tuple[int, str, int]]) -> dict[int, int]:
+    """One pattern-chunk scored against the broadcast corpus (texts arrives
+    by ObjectRef — shipped to the object store once, shared by all tasks)."""
+    return windowed_match_counts_multi(texts, chunk)
+
+
+@ray.remote
+def _scan_tile(
+    texts: list[str],
+    chunk: list[tuple[int, str, int]],
+    seg: tuple[int, int, int, bool],
+    m_max: int,
+) -> dict[int, int]:
+    """One (pattern-chunk x window-segment) tile. ``seg`` =
+    (doc_idx, start, owned_len, is_final): the slice carries an m_max-1 halo
+    so every owned full window is complete; truncated tail windows count only
+    in the final segment (reference halo rule, src/flexible_mpi.c:196-197)."""
+    di, start, owned_len, is_final = seg
+    t = texts[di]
+    sub = t[start : min(len(t), start + owned_len + m_max - 1)]
+    return windowed_match_counts_multi([sub], chunk, owned=[owned_len], tails=[is_final])
+
 
 class ApmScan:
     """Actor-pool stage: patterns held once per actor (the broadcast side)."""
@@ -55,8 +81,19 @@ def windowed_match_counts(
     patterns: Iterable[tuple[int, str, int]],
     text_column: str = "content",
     concurrency: int | None = None,
+    concat: bool = False,
 ) -> ray.data.Dataset:
-    """(query_id, n_matches) for each (query_id, pattern, k)."""
+    """(query_id, n_matches) for each (query_id, pattern, k).
+
+    ``concat=True`` reproduces the reference's exact corpus model: documents
+    form ONE concatenated byte buffer in dataset row order and windows
+    STRADDLE document boundaries (``src/apm1.c:229-232``; each MPI rank's
+    slice carries an m-1 halo from its neighbor, ``src/flexible_mpi.c:
+    196-197``). The tiled plan already implements the halo rule per window
+    segment (owner counts the window), so concat mode just feeds it the
+    joined text. Default (False) is the engine's per-document model
+    (SURVEY.md section 8.3).
+    """
     if isinstance(docs, str):
         from distributed_text_search_ray.sources.corpus import read_corpus
 
@@ -72,50 +109,82 @@ def windowed_match_counts(
         approx_bytes = docs.size_bytes()
     except Exception:
         approx_bytes = None
-    if len(pats) > 64 and approx_bytes is not None and approx_bytes < 256 * 1024 * 1024:
+    if approx_bytes is not None and approx_bytes < 256 * 1024 * 1024:
+        # Raw-task exception (documented): this plan is a pure scatter/gather
+        # — the corpus is ONE broadcast object, each task scores a pattern
+        # chunk, the result is len(pats) integers. Ray Data's streaming
+        # executor adds ~0.3 s fixed latency per run, which swamps the
+        # compute at the reference's interactive scales; plain ray.remote
+        # tasks against the ray.put corpus are the right tool here (the
+        # large-corpus regime below stays a Dataset pipeline).
         import ray as _ray
 
-        texts = [
-            r[text_column] for r in docs.select_columns([text_column]).take_all()
-        ]
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(docs, MaterializedDataset):
+            # executor-free fetch: block refs come straight from the object
+            # store (running a Data pipeline here pays ~0.5s executor
+            # latency right after raw tasks have held the CPU leases)
+            tbl = pa.concat_tables(_ray.get(docs.to_arrow_refs()))
+            texts = tbl.column(text_column).to_pylist()
+        else:
+            texts = [
+                r[text_column] for r in docs.select_columns([text_column]).take_all()
+            ]
+        if concat:
+            # reference corpus model: one concatenated buffer, row order;
+            # the segment halo below then matches flexible_mpi's rank halos
+            texts = ["".join(texts)]
         texts_ref = _ray.put(texts)
+        # 2-D (pattern-chunk x window-segment) tiling. Tile count targets ONE
+        # wave of num_cpus tasks: spawning more tasks than CPUs makes the
+        # raylet grow the worker pool past its soft limit and cull it after
+        # every call — the respawn cost (~0.4 s) dominated these scenarios.
+        # Per-op DP lanes stay <= 256 KB so concurrent tiles don't thrash the
+        # shared cache on pattern-heavy shapes.
         try:
-            import ray as _r
-            ncpu = int(_r.cluster_resources().get("CPU", 8))
+            ncpu = int(_ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu = 8
-        # small chunks maximize task parallelism; the multi-lane DP already
-        # amortizes numpy dispatch within a chunk
-        chunk_size = max(4, len(pats) // (2 * ncpu))
-        items = [
-            {
-                "qids": [int(q) for q, _, _ in pats[i : i + chunk_size]],
-                "pats": [p for _, p, _ in pats[i : i + chunk_size]],
-                "ks": [int(k) for _, _, k in pats[i : i + chunk_size]],
-            }
-            for i in range(0, len(pats), chunk_size)
+        m_max = max(len(p) for _, p, _ in pats)
+        seg_chars = 16384
+        segments: list[tuple[int, int, int, bool]] = []
+        for di, t in enumerate(texts):
+            n = len(t)
+            for s in range(0, max(n, 1), seg_chars):
+                e = min(n, s + seg_chars)
+                segments.append((di, s, e - s, e == n))
+        max_seg = max((o for _, _, o, _ in segments), default=1)
+        n_segs = len(segments)
+        n_chunks = max(1, ncpu // n_segs) if n_segs < ncpu else 1
+        pat_chunk = max(
+            1, min(-(-len(pats) // n_chunks), (1 << 18) // max(1, max_seg))
+        )
+        chunks = [pats[i : i + pat_chunk] for i in range(0, len(pats), pat_chunk)]
+        refs = [
+            _scan_tile.remote(texts_ref, c, seg, m_max)
+            for c in chunks
+            for seg in segments
         ]
-
-        def scan_chunk(batch: pa.Table) -> pa.Table:
-            docs_local = _ray.get(texts_ref)
-            qids, counts = [], []
-            for row in batch.to_pylist():
-                chunk = list(zip(row["qids"], row["pats"], row["ks"]))
-                got = windowed_match_counts_multi(docs_local, chunk)
-                for q, _, _ in chunk:
-                    qids.append(int(q))
-                    counts.append(got[q])
-            return pa.table(
+        out: dict[int, int] = {q: 0 for q, _, _ in pats}
+        for part in _ray.get(refs):
+            for q, c in part.items():
+                out[q] += c
+        return ray.data.from_arrow(
+            pa.table(
                 {
-                    "query_id": pa.array(qids, type=pa.int64()),
-                    "n_matches": pa.array(counts, type=pa.int64()),
+                    "query_id": pa.array([q for q, _, _ in pats], type=pa.int64()),
+                    "n_matches": pa.array([out[q] for q, _, _ in pats], type=pa.int64()),
                 }
             )
-
-        return ray.data.from_items(items).map_batches(
-            scan_chunk, batch_size=1, batch_format="pyarrow"
         )
 
+    if concat:
+        raise NotImplementedError(
+            "concat mode materializes the corpus as one buffer and requires "
+            "it under 256 MB; the scale path would stream file-aligned "
+            "segments with halo stitching (per-document mode scales freely)"
+        )
     scan = ApmScan(patterns=pats, text_column=text_column)
 
     def apm_scan(batch: pa.Table) -> pa.Table:

@@ -58,6 +58,47 @@ def test_straddle_semantics_documented(tmp_path):
     assert got[0]["n_matches"] == per_doc
 
 
+def test_concat_mode_matches_reference_semantics():
+    """Opt-in concat mode = the reference's exact corpus model (one
+    concatenated buffer, windows straddle file boundaries, apm1.c:229-232).
+    Oracle: the sequential scorer over the joined text. Multi-file DNA
+    fixture shaped like the reference's dna/large runs."""
+    import numpy as np
+    import ray.data
+
+    from distributed_text_search_ray.sources.synth import dna_shard
+
+    texts = [
+        "".join(dna_shard(s, 1, 3000, seed=21).column("content").to_pylist())
+        for s in range(4)
+    ]
+    rng = np.random.default_rng(5)
+    joined = "".join(texts)
+    bounds = np.cumsum([len(t) for t in texts])[:-1]  # file-boundary offsets
+    pats = []
+    for i in range(6):
+        # half the patterns are real substrings straddling a file boundary
+        if i % 2 == 0:
+            b = int(bounds[i // 2])
+            pats.append((i, joined[b - 5 : b + 5], int(rng.integers(0, 3))))
+        else:
+            letters = list("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+            pats.append((i, "".join(rng.choice(letters, 9)), int(rng.integers(0, 3))))
+    ds = ray.data.from_arrow(pa.table({"content": pa.array(texts, type=pa.string())}))
+    got = {
+        r["query_id"]: r["n_matches"]
+        for r in windowed_match_counts(ds, pats, concat=True).take_all()
+    }
+    want = {q: windowed_match_count(joined, p, k) for q, p, k in pats}
+    assert got == want
+    # and concat counts the straddle hits the per-document mode cannot
+    per_doc = {
+        r["query_id"]: r["n_matches"]
+        for r in windowed_match_counts(ds, pats).take_all()
+    }
+    assert any(got[q] != per_doc[q] for q, _, _ in pats)
+
+
 _KILL_SCRIPT = """
 import sys, os
 sys.path.insert(0, {repo!r})
