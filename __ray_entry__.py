@@ -95,18 +95,23 @@ def _index_for(sf_dir: str) -> str:
         with open(marker) as f:
             have = json.load(f)
     if have != sig:
-        # adapt + reshard through Ray (no full-table driver read: at real
-        # scale this table is the 100 TB input)
+        # adapt + reshard through Ray in ONE pass (no full-table driver read:
+        # at real scale this table is the 100 TB input); row count comes from
+        # the parquet footer, shard count from override_num_blocks
         import ray.data
         import shutil
 
-        ds = ray.data.read_parquet(src, columns=["doc_id", "text", "lang", "source"])
-        n_rows = ds.count()  # parquet metadata, no scan
+        n_rows = pq.ParquetFile(src).metadata.num_rows
         n_shards = max(1, min(8, n_rows // 500))
         shutil.rmtree(corpus_dir, ignore_errors=True)
-        ds.map_batches(adapt_documents_batch, batch_format="pyarrow").repartition(
-            n_shards
-        ).write_parquet(corpus_dir)
+        ds = ray.data.read_parquet(
+            src,
+            columns=["doc_id", "text", "lang", "source"],
+            override_num_blocks=n_shards,
+        )
+        ds.map_batches(adapt_documents_batch, batch_format="pyarrow").write_parquet(
+            corpus_dir
+        )
         with open(marker, "w") as f:
             json.dump(sig, f)
     index_dir = os.path.join(root, "index")

@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("corpus_dir")
     a.add_argument("k", type=int)
     a.add_argument("patterns", nargs="+")
+    a.add_argument(
+        "--concat",
+        action="store_true",
+        help="reference corpus model: one concatenated buffer, windows "
+        "straddle file boundaries (exact apm1/flexible_mpi parity)",
+    )
 
     args = p.parse_args(argv)
     _ensure_ray()
@@ -93,7 +99,9 @@ def main(argv: list[str] | None = None) -> int:
         counts = {
             r["query_id"]: r["n_matches"]
             for r in windowed_match_counts(
-                args.corpus_dir, [(i, pat, args.k) for i, pat in enumerate(args.patterns)]
+                args.corpus_dir,
+                [(i, pat, args.k) for i, pat in enumerate(args.patterns)],
+                concat=args.concat,
             ).take_all()
         }
         # reference output shape: one count per pattern in argv order

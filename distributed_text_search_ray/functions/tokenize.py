@@ -22,6 +22,25 @@ import pyarrow as pa
 from distributed_text_search_ray.config import AnalyzerConfig
 
 
+_PROCESS_CACHE: dict[tuple, "Tokenizer"] = {}
+
+
+def tokenizer_for(cfg: "AnalyzerConfig | None" = None) -> "Tokenizer":
+    """Process-level tokenizer memo for PLAIN-FUNCTION map_batches stages.
+
+    Ray reuses worker processes across tasks, so this compiles the analyzer
+    regex once per worker — the once-per-worker-setup guarantee of an actor
+    pool without paying actor-pool spin-up (an autoscaling pool starts at
+    one actor; at interactive scales the spawn cost dominated the stage).
+    """
+    cfg = cfg or AnalyzerConfig()
+    key = (cfg.lowercase, cfg.token_pattern)
+    tk = _PROCESS_CACHE.get(key)
+    if tk is None:
+        tk = _PROCESS_CACHE[key] = Tokenizer(cfg)
+    return tk
+
+
 class Tokenizer:
     """Compiled analyzer; construct once per actor/task, reuse per batch."""
 

@@ -109,7 +109,14 @@ def windowed_match_counts(
         approx_bytes = docs.size_bytes()
     except Exception:
         approx_bytes = None
-    if approx_bytes is not None and approx_bytes < 256 * 1024 * 1024:
+    # broadcast plan pays off when patterns dominate (DISTRIBUTE_PATTERNS
+    # regime) or the corpus is interactive-tiny; a medium corpus with few
+    # patterns segments into hundreds of under-filled tiles — the streaming
+    # doc-scan plan is better there
+    use_broadcast = approx_bytes is not None and approx_bytes < 256 * 1024 * 1024 and (
+        len(pats) > 64 or approx_bytes < 1 * 1024 * 1024
+    )
+    if use_broadcast:
         # Raw-task exception (documented): this plan is a pure scatter/gather
         # — the corpus is ONE broadcast object, each task scores a pattern
         # chunk, the result is len(pats) integers. Ray Data's streaming

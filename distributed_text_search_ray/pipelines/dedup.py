@@ -38,8 +38,8 @@ from distributed_text_search_ray.functions.hashing import (
     simhash64,
     splitmix64,
 )
-from distributed_text_search_ray.functions.tokenize import Tokenizer
-from distributed_text_search_ray.util import resolve_concurrency, round_half_away
+from distributed_text_search_ray.functions.tokenize import tokenizer_for
+from distributed_text_search_ray.util import round_half_away
 
 
 def _hash_batch(batch: pa.Table) -> pa.Table:
@@ -74,7 +74,7 @@ class _MinhashBands:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
-        self.tokenizer = Tokenizer(analyzer)
+        self.tokenizer = tokenizer_for(analyzer)
 
     def signature(self, text: str) -> np.ndarray | None:
         toks = self.tokenizer.tokens(text)
@@ -191,34 +191,31 @@ def _empty_pairs_table() -> pa.Table:
     )
 
 
-class _CandidateShingles:
-    """Actor stage: emit (doc_id, sh) shingle sets for candidate docs only.
+def _candidate_shingles_fn(analyzer: AnalyzerConfig, shingle_n: int, cand_ids: np.ndarray):
+    """Stage factory: emit (doc_id, sh) shingle sets for candidate docs only.
 
-    The sorted candidate-id array is the broadcast small side (shipped to the
-    object store once, shared by every actor); shingle sets are serialized as
-    binary (sorted-unique uint64 tobytes) so they survive the downstream
-    hash join (acero rejects list<> payload columns).
-    """
+    The sorted candidate-id array is the broadcast small side (closure
+    capture — Ray ships it to the object store once and workers share it);
+    shingle sets are serialized as binary (sorted-unique uint64 tobytes) so
+    they survive the downstream hash join (acero rejects list<> payload
+    columns). Plain function + process-cached tokenizer: rides the warm task
+    pool instead of paying actor-pool spin-up."""
 
-    def __init__(self, analyzer: AnalyzerConfig, shingle_n: int, cand_ids: np.ndarray):
-        self.tokenizer = Tokenizer(analyzer)
-        self.shingle_n = shingle_n
-        self.cand_ids = cand_ids  # sorted int64
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def f(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        if len(self.cand_ids):
-            pos = np.searchsorted(self.cand_ids, ids)
-            pos_c = np.minimum(pos, len(self.cand_ids) - 1)
-            keep = self.cand_ids[pos_c] == ids
+        if len(cand_ids):
+            pos = np.searchsorted(cand_ids, ids)
+            pos_c = np.minimum(pos, len(cand_ids) - 1)
+            keep = cand_ids[pos_c] == ids
         else:
             keep = np.zeros(len(ids), dtype=bool)
         sub = batch.filter(pa.array(keep))
+        tk = tokenizer_for(analyzer)
         out_id, out_sh = [], []
         for doc_id, text in zip(
             sub.column("doc_id").to_pylist(), sub.column("content").to_pylist()
         ):
-            sh = shingle_hashes(self.tokenizer.tokens(text), self.shingle_n)
+            sh = shingle_hashes(tk.tokens(text), shingle_n)
             out_id.append(doc_id)
             out_sh.append(sh.tobytes())
         return pa.table(
@@ -227,6 +224,8 @@ class _CandidateShingles:
                 "sh": pa.array(out_sh, type=pa.binary()),
             }
         )
+
+    return f
 
 
 def minhash_lsh_pairs(
@@ -261,12 +260,12 @@ def minhash_lsh_pairs(
     """
     analyzer = analyzer or AnalyzerConfig()
     bander = {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n, "analyzer": analyzer}
-    band_rows = docs.map_batches(
-        _MinhashBands,
-        fn_constructor_kwargs=bander,
-        batch_format="pyarrow",
-        concurrency=resolve_concurrency(concurrency),
-    )
+    _bander = _MinhashBands(**bander)
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        return _bander(batch)
+
+    band_rows = docs.map_batches(band_stage, batch_format="pyarrow")
 
     P = pair_partitions
 
@@ -314,14 +313,7 @@ def minhash_lsh_pairs(
         dtype=np.int64,
     )
     sh_ds = docs.map_batches(
-        _CandidateShingles,
-        fn_constructor_kwargs={
-            "analyzer": analyzer,
-            "shingle_n": shingle_n,
-            "cand_ids": cand_ids,
-        },
-        batch_format="pyarrow",
-        concurrency=resolve_concurrency(concurrency),
+        _candidate_shingles_fn(analyzer, shingle_n, cand_ids), batch_format="pyarrow"
     )
     j1 = pairs.join(
         sh_ds, join_type="inner", num_partitions=join_partitions,
@@ -362,16 +354,18 @@ def minhash_lsh_pairs(
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
-class _SimhashFp:
-    """Actor stage: (doc_id, simhash int64 bit-pattern); tokenizer compiled
-    once per actor."""
+def simhash_fingerprints(
+    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None, concurrency=None
+) -> ray.data.Dataset:
+    """(doc_id, simhash) 64-bit fingerprints (stored as int64 bit-pattern,
+    token hash = DuckDB md5_number_lower so the fingerprint is
+    SQL-oracle-checkable). Plain-function stage over the process-cached
+    tokenizer (warm task pool, no actor spin-up)."""
 
-    def __init__(self, analyzer: AnalyzerConfig):
-        self.tokenizer = Tokenizer(analyzer)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def f(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
         hashes = np.fromiter(
-            (simhash64(self.tokenizer.tokens(t)) for t in batch.column("content").to_pylist()),
+            (simhash64(tk.tokens(t)) for t in batch.column("content").to_pylist()),
             dtype=np.uint64,
             count=batch.num_rows,
         )
@@ -382,19 +376,7 @@ class _SimhashFp:
             }
         )
 
-
-def simhash_fingerprints(
-    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None, concurrency=None
-) -> ray.data.Dataset:
-    """(doc_id, simhash) 64-bit fingerprints (stored as int64 bit-pattern,
-    token hash = DuckDB md5_number_lower so the fingerprint is
-    SQL-oracle-checkable)."""
-    return docs.map_batches(
-        _SimhashFp,
-        fn_constructor_kwargs={"analyzer": analyzer or AnalyzerConfig()},
-        batch_format="pyarrow",
-        concurrency=resolve_concurrency(concurrency),
-    )
+    return docs.map_batches(f, batch_format="pyarrow")
 
 
 def simhash_near_dup_pairs(

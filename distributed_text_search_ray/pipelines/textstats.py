@@ -3,9 +3,12 @@ document fingerprints.
 
 All are single-pass ``map_batches`` stages (no shuffle) with formulas chosen
 to be exactly replicable in ANSI SQL, so the DuckDB oracle can verify them
-value-for-value. Floats are rounded to 6 decimals at the producer. Each stage
-is a callable CLASS (actor pool): the tokenizer regex compiles once per actor
-in ``__init__``, never per batch.
+value-for-value. Floats are rounded to 6 decimals at the producer.
+
+Stages are PLAIN functions over a process-level tokenizer memo
+(``tokenizer_for``): the analyzer regex compiles once per Ray worker, and the
+stages ride the warm task pool — an autoscaling actor pool here paid ~2 s of
+actor spin-up per call at interactive scales while starting at concurrency 1.
 """
 
 from __future__ import annotations
@@ -16,8 +19,8 @@ import ray.data
 
 from distributed_text_search_ray.config import AnalyzerConfig
 from distributed_text_search_ray.functions.hashing import rolling_fingerprint, simhash64
-from distributed_text_search_ray.functions.tokenize import Tokenizer
-from distributed_text_search_ray.util import resolve_concurrency, round_half_away
+from distributed_text_search_ray.functions.tokenize import tokenizer_for
+from distributed_text_search_ray.util import round_half_away
 
 # fixed stopword lists (shared verbatim with the SQL oracles)
 STOPWORDS = ["a", "and", "in", "is", "it", "of", "the", "to"]
@@ -28,18 +31,15 @@ LANG_STOPWORDS = {
     "fr": ["le", "les", "des", "une", "et"],
 }
 LANG_PRIORITY = ["en", "es", "de", "fr"]  # deterministic tie-break order
+_STOPSET = frozenset(STOPWORDS)
+_LANG_SETS = {lang: frozenset(ws) for lang, ws in LANG_STOPWORDS.items()}
 
 
-class _TokenizerStage:
-    """Base actor stage: tokenizer built once per actor."""
-
-    def __init__(self, analyzer: AnalyzerConfig | None = None):
-        self.tokenizer = Tokenizer(analyzer or AnalyzerConfig())
-
-
-class _TokenCounts(_TokenizerStage):
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tk = self.tokenizer
+def token_counts(
+    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None
+) -> ray.data.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
         counts = [tk.token_count(t) for t in batch.column("content").to_pylist()]
         return pa.table(
             {
@@ -48,21 +48,27 @@ class _TokenCounts(_TokenizerStage):
             }
         )
 
+    return docs.map_batches(f, batch_format="pyarrow")
 
-class _QualityScores(_TokenizerStage):
-    def __init__(self, analyzer: AnalyzerConfig | None = None):
-        super().__init__(analyzer)
-        self.stop = set(STOPWORDS)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tk, stop = self.tokenizer, self.stop
+def quality_scores(
+    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None
+) -> ray.data.Dataset:
+    """Heuristic quality features + a fixed scalar score.
+
+    score = stopword_ratio * 0.5 + least(n_tokens, 200) / 400.0
+    (rounded to 6 dp; SQL-identical formula in the oracle).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
         out = {"doc_id": [], "n_chars": [], "n_tokens": [], "stopword_ratio": [], "quality": []}
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
         ):
             toks = tk.tokens(text)
             n = len(toks)
-            sw = sum(1 for t in toks if t in stop) / n if n else 0.0
+            sw = sum(1 for t in toks if t in _STOPSET) / n if n else 0.0
             score = sw * 0.5 + min(n, 200) / 400.0
             out["doc_id"].append(doc_id)
             out["n_chars"].append(len(text))
@@ -79,20 +85,23 @@ class _QualityScores(_TokenizerStage):
             }
         )
 
+    return docs.map_batches(f, batch_format="pyarrow")
 
-class _LanguageId(_TokenizerStage):
-    def __init__(self, analyzer: AnalyzerConfig | None = None):
-        super().__init__(analyzer)
-        self.lang_sets = {lang: set(ws) for lang, ws in LANG_STOPWORDS.items()}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tk = self.tokenizer
+def language_id(
+    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None
+) -> ray.data.Dataset:
+    """Stopword-list language ID: argmax of per-language stopword hits with a
+    fixed priority tie-break; 'und' when no list scores > 0."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
         preds = []
         for text in batch.column("content").to_pylist():
             toks = tk.tokens(text)
             best_lang, best = "und", 0
             for lang in LANG_PRIORITY:
-                s = sum(1 for t in toks if t in self.lang_sets[lang])
+                s = sum(1 for t in toks if t in _LANG_SETS[lang])
                 if s > best:
                     best, best_lang = s, lang
             preds.append(best_lang)
@@ -103,10 +112,16 @@ class _LanguageId(_TokenizerStage):
             }
         )
 
+    return docs.map_batches(f, batch_format="pyarrow")
 
-class _Fingerprints(_TokenizerStage):
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tk = self.tokenizer
+
+def fingerprints(
+    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None
+) -> ray.data.Dataset:
+    """(doc_id, rolling_fp, simhash) deterministic document fingerprints."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
         roll, sim = [], []
         for text in batch.column("content").to_pylist():
             roll.append(rolling_fingerprint(text))
@@ -119,43 +134,4 @@ class _Fingerprints(_TokenizerStage):
             }
         )
 
-
-def _stage(docs: ray.data.Dataset, cls, analyzer, concurrency) -> ray.data.Dataset:
-    return docs.map_batches(
-        cls,
-        fn_constructor_kwargs={"analyzer": analyzer},
-        batch_format="pyarrow",
-        concurrency=resolve_concurrency(concurrency),
-    )
-
-
-def token_counts(
-    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None, concurrency=None
-) -> ray.data.Dataset:
-    return _stage(docs, _TokenCounts, analyzer, concurrency)
-
-
-def quality_scores(
-    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None, concurrency=None
-) -> ray.data.Dataset:
-    """Heuristic quality features + a fixed scalar score.
-
-    score = stopword_ratio * 0.5 + least(n_tokens, 200) / 400.0
-    (rounded to 6 dp; SQL-identical formula in the oracle).
-    """
-    return _stage(docs, _QualityScores, analyzer, concurrency)
-
-
-def language_id(
-    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None, concurrency=None
-) -> ray.data.Dataset:
-    """Stopword-list language ID: argmax of per-language stopword hits with a
-    fixed priority tie-break; 'und' when no list scores > 0."""
-    return _stage(docs, _LanguageId, analyzer, concurrency)
-
-
-def fingerprints(
-    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None, concurrency=None
-) -> ray.data.Dataset:
-    """(doc_id, rolling_fp, simhash) deterministic document fingerprints."""
-    return _stage(docs, _Fingerprints, analyzer, concurrency)
+    return docs.map_batches(f, batch_format="pyarrow")

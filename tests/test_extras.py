@@ -268,6 +268,44 @@ def test_events_window_matches_duckdb():
     assert got_rows == [tuple(w) for w in want]
 
 
+def test_ann_ivf_fit_sample_unbiased_on_ordered_corpus():
+    """The quantizer fits on a seeded uniform sample. On a corpus ORDERED by
+    cluster (first-N rows all one cluster — pathological for a limit()-based
+    sample), queries from the later clusters must still be answered with
+    good recall."""
+    from distributed_text_search_ray.pipelines.ann import ann_brute_topk, ann_ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 6
+    rows = []
+    for ci in range(4):  # cluster 0 occupies the first 600 rows
+        for _ in range(600):
+            rows.append(centers[ci] + rng.standard_normal(16))
+    X = np.array(rows)
+    ids = np.arange(len(X), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(X.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    # queries live in the LAST cluster — invisible to a first-500 sample
+    queries = [(int(ids[-1 - i]), X[-1 - i].tolist()) for i in range(3)]
+    brute = ann_brute_topk(ds, queries, k=10).take_all()
+    ivf = ann_ivf_topk(
+        ds, queries, k=10, n_centroids=4, nprobe=1, fit_sample=500
+    ).take_all()
+    hits = total = 0
+    for qid, _ in queries:
+        b = {r["vec_id"] for r in brute if r["query_vec_id"] == qid}
+        l = {r["vec_id"] for r in ivf if r["query_vec_id"] == qid}
+        hits += len(b & l)
+        total += len(b)
+    assert hits / total >= 0.8  # well-separated clusters: probing the right cell
+
+
 def test_ann_ivf_recall_reasonable():
     from distributed_text_search_ray.pipelines.ann import ann_ivf_topk
 
