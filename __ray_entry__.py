@@ -235,6 +235,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def exact_dedup(sf_dir):
         return dedup.exact_dedup(_docs_ds(sf_dir))
 
+    def dedup_filter(sf_dir):
+        return dedup.dedup_filter(_docs_ds(sf_dir))
+
+    def top_terms(sf_dir):
+        import ray.data
+
+        d = os.path.join(_index_for(sf_dir), "dictionary")
+        files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+        return (
+            ray.data.read_parquet(files, columns=["term", "df", "cf"])
+            .sort(["df", "term"], descending=[True, False])
+            .limit(20)
+        )
+
     def minhash_near_dup(sf_dir):
         return dedup.minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.5)
 
@@ -339,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": langid,
         "doc_sha256": doc_sha256,
         "exact_dedup": exact_dedup,
+        "dedup_filter": dedup_filter,
+        "top_terms": top_terms,
         "minhash_near_dup": minhash_near_dup,
         "simhash_fp": simhash_fp,
         "simhash_near_dup": simhash_near_dup,
@@ -535,6 +551,19 @@ SELECT md5(text) AS content_md5, count(*)::BIGINT AS n_copies,
 FROM documents GROUP BY 1
 """
 
+    dedup_filter_sql = """
+SELECT d.doc_id, d.text AS content
+FROM documents d
+JOIN (SELECT min(doc_id) m FROM documents GROUP BY md5(text)) r ON d.doc_id = r.m
+"""
+
+    top_terms_sql = f"""
+WITH {_TOK_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT df, count(*)::BIGINT cf
+FROM tok GROUP BY 1
+ORDER BY df DESC, term LIMIT 20
+"""
+
     minhash = f"""
 WITH toks AS (
   SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
@@ -676,6 +705,8 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "langid": langid,
         "doc_sha256": sha,
         "exact_dedup": exact_dd,
+        "dedup_filter": dedup_filter_sql,
+        "top_terms": top_terms_sql,
         "minhash_near_dup": minhash,
         "simhash_fp": simhash_fp_sql,
         "simhash_near_dup": simhash_pairs_sql,

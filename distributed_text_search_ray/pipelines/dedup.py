@@ -125,6 +125,27 @@ class _MinhashBands:
         )
 
 
+def dedup_filter(
+    docs: ray.data.Dataset, join_partitions: int = 8
+) -> ray.data.Dataset:
+    """Materialize the DEDUPED corpus: one representative row (min doc_id)
+    per distinct content.
+
+    Scale shape: the representative set is O(distinct docs) = O(corpus), so
+    it cannot be broadcast — the docs stream joins the representative-id
+    dataset with a hash-partitioned ``Dataset.join`` (both sides partitioned
+    by doc_id). Output: (doc_id, content) of survivors.
+    """
+    reps = (
+        exact_dedup(docs)
+        .select_columns(["representative_doc_id"])
+        .rename_columns({"representative_doc_id": "doc_id"})
+    )
+    return docs.select_columns(["doc_id", "content"]).join(
+        reps, join_type="inner", num_partitions=join_partitions, on=("doc_id",)
+    )
+
+
 def _mine_bucket_pairs(
     keys: np.ndarray, ids: np.ndarray, payload: np.ndarray | None, max_bucket_size: int
 ):

@@ -50,6 +50,27 @@ def test_exact_dedup_with_planted_dupes():
     assert sum(r["n_copies"] for r in out) == 502
 
 
+def test_dedup_filter_keeps_min_doc_id():
+    from distributed_text_search_ray.pipelines.dedup import dedup_filter
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    base = pa.table({"doc_id": t.column("doc_id"), "content": t.column("text")})
+    dupe = pa.table(
+        {
+            "doc_id": pa.array([10_000, 10_001], type=pa.int64()),
+            "content": pa.array([t.column("text")[0].as_py()] * 2, type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([base, dupe]))
+    out = dedup_filter(ds).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert len(ids) == 500  # the two planted copies collapse into doc 0's row
+    assert 10_000 not in ids and 10_001 not in ids
+    assert t.column("doc_id")[0].as_py() in ids
+    by_id = {r["doc_id"]: r["content"] for r in out}
+    assert by_id[t.column("doc_id")[0].as_py()] == t.column("text")[0].as_py()
+
+
 def test_minhash_finds_planted_near_dupes():
     t = pq.read_table(f"{SF}/documents.parquet")
     text0 = t.column("text")[0].as_py()
