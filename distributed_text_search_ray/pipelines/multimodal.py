@@ -1,13 +1,19 @@
 """Multimodal columns: opaque binary payloads with typed metadata.
 
 Images/audio/video travel as ``binary`` columns plus metadata columns
-(modality, format, width/height/duration). All Ray-side plumbing — schemas,
+(modality, format, width/height/duration). The Ray-side plumbing — schemas,
 actor-pool stage shape, batch sizing for large rows, output layout — is real
-and tested; the actual codec work is STUBBED (this container has no
-image/audio libraries): ``decode(...)`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded by the
-payload's hash) produces stable pseudo-pixels so downstream stages and tests
-have real data to chew on.
+and tested, and so is decoding for the container-friendly formats:
+
+- ``ppm`` (P6 binary PPM) images decode with pure numpy (header parse +
+  ``frombuffer``), thumbnailed by block-mean luma downsampling;
+- ``wav`` (PCM16) audio decodes with the stdlib ``wave`` module, featurized
+  as a 64-bin absolute-amplitude envelope.
+
+Formats needing external codecs (video/mp4 etc.) remain STUBBED: ``decode``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic stand-in (seeded by the payload's sha256) produces stable
+pseudo-pixels so downstream stages and tests have data to chew on.
 
 Batch-size guidance encoded here: binary rows are large, so the decode stage
 defaults to small ``batch_size`` (64) and a bounded actor pool — the object
@@ -17,6 +23,9 @@ store spills rather than a worker OOMing.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -28,7 +37,7 @@ MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
         ("modality", pa.string()),   # image | audio | video
-        ("format", pa.string()),     # png | wav | mp4 | ...
+        ("format", pa.string()),     # ppm | wav | mp4 | ...
         ("payload", pa.binary()),
         ("width", pa.int32()),
         ("height", pa.int32()),
@@ -37,40 +46,144 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Pure numpy, no image libraries."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval tokens (comments allowed)
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples -> WAV (PCM16) bytes, stdlib only."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 mono samples, sample_rate), stdlib only."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        sr = f.getframerate()
+        n = f.getnframes()
+        raw = f.readframes(n)
+        ch = f.getnchannels()
+    samples = np.frombuffer(raw, dtype="<i2")
+    if ch > 1:
+        samples = samples.reshape(-1, ch).mean(axis=1).astype(np.int16)
+    return samples, sr
+
+
+def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
+    """(h, w) float -> (8, 8) uint8 block-mean thumbnail."""
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    out = np.empty((8, 8), dtype=np.uint8)
+    for i in range(8):
+        for j in range(8):
+            blk = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = np.uint8(np.clip(blk.mean(), 0, 255))
+    return out
+
+
 def synthetic_media(n: int = 64, seed: int = 0) -> pa.Table:
-    """Deterministic fake media table (payload = seeded pseudo-random bytes)."""
+    """Deterministic media table with REAL payloads for the decodable
+    formats: P6 PPM images and PCM16 WAV audio; video rows carry
+    pseudo-random bytes (the honest stub target)."""
     rng = np.random.default_rng(seed)
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(256, 4096)), dtype=np.uint8)
+        if modality == "image":
+            w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, fmt, dur = encode_ppm(px), "ppm", 0
+        elif modality == "audio":
+            sr = 8000
+            dur = int(rng.integers(100, 2000))
+            t = np.arange(int(sr * dur / 1000))
+            freq = float(rng.uniform(100, 1000))
+            samples = (3000 * np.sin(2 * np.pi * freq * t / sr)).astype(np.int16)
+            payload, fmt, w, h = encode_wav(samples, sr), "wav", 0, 0
+        else:
+            payload = rng.integers(0, 256, size=int(rng.integers(256, 4096)), dtype=np.uint8).tobytes()
+            fmt, w, h = "mp4", int(rng.integers(16, 256)), int(rng.integers(16, 256))
+            dur = int(rng.integers(100, 10_000))
         rows["media_id"].append(i)
         rows["modality"].append(modality)
-        rows["format"].append({"image": "png", "audio": "wav", "video": "mp4"}[modality])
-        rows["payload"].append(payload.tobytes())
-        rows["width"].append(int(rng.integers(16, 256)) if modality != "audio" else 0)
-        rows["height"].append(int(rng.integers(16, 256)) if modality != "audio" else 0)
-        rows["duration_ms"].append(int(rng.integers(100, 10_000)) if modality != "image" else 0)
+        rows["format"].append(fmt)
+        rows["payload"].append(payload)
+        rows["width"].append(w if modality == "image" else (w if modality == "video" else 0))
+        rows["height"].append(h if modality == "image" else (h if modality == "video" else 0))
+        rows["duration_ms"].append(dur if modality != "image" else 0)
     return pa.table({f.name: pa.array(rows[f.name], type=f.type) for f in MEDIA_SCHEMA})
 
 
 class MediaDecoder:
     """Actor-pool decode stage (setup once per actor, work per batch).
 
-    Real decoding is NOT implemented in this environment; with ``fake=True``
-    a deterministic stand-in derives an 8x8 luma thumbnail from the payload
-    bytes (stable across runs/processes — sha256-seeded).
+    ``ppm`` and ``wav`` decode for REAL (numpy / stdlib wave). Other formats
+    need codecs absent from this container: they raise unless ``fake=True``,
+    which substitutes a deterministic sha256-seeded stand-in thumbnail.
+    Output per row: an 8x8 uint8 "thumb" — block-mean luma for images, a
+    64-bin absolute-amplitude envelope for audio.
     """
 
     def __init__(self, fake: bool = False):
         self.fake = fake
-        # real implementation would load PIL / libav here, once per actor
+        # a real model/codec handle would load here, once per actor
 
-    def _decode_one(self, payload: bytes) -> np.ndarray:
+    def _decode_one(self, fmt: str, payload: bytes) -> np.ndarray:
+        if fmt == "ppm":
+            px = decode_ppm(payload)
+            luma = (
+                0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+            )
+            return _block_mean_8x8(luma)
+        if fmt == "wav":
+            samples, _sr = decode_wav(payload)
+            if samples.size == 0:
+                return np.zeros((8, 8), dtype=np.uint8)
+            env = np.abs(samples.astype(np.float64))
+            if env.size < 64:
+                env = np.pad(env, (0, 64 - env.size))
+            edges = (np.arange(65) * env.size) // 64  # size>=64 -> all bins nonempty
+            bins = np.array([env[edges[i] : edges[i + 1]].mean() for i in range(64)])
+            scaled = np.clip(bins / 32768.0 * 255.0 * 4.0, 0, 255)  # x4: speech-ish headroom
+            return scaled.astype(np.uint8).reshape(8, 8)
         if not self.fake:
             raise NotImplementedError(
-                "media decoding requires image/audio libraries not present in "
-                "this container; construct MediaDecoder(fake=True) for the "
+                f"decoding format {fmt!r} requires codecs not present in this "
+                "container; construct MediaDecoder(fake=True) for the "
                 "deterministic stand-in"
             )
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
@@ -78,7 +191,12 @@ class MediaDecoder:
         return rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        thumbs = [self._decode_one(p) for p in batch.column("payload").to_pylist()]
+        thumbs = [
+            self._decode_one(f, p)
+            for f, p in zip(
+                batch.column("format").to_pylist(), batch.column("payload").to_pylist()
+            )
+        ]
         flat = pa.array([t.flatten().tolist() for t in thumbs], type=pa.list_(pa.uint8()))
         return pa.table(
             {
@@ -92,9 +210,9 @@ class MediaDecoder:
 class MediaFeatureExtractor:
     """Actor-pool feature stage: 64-d float32 embedding per media item.
 
-    Fake-deterministic (derived from the decoded thumbnail) — the plumbing a
-    real model-inference stage needs (model load once in __init__, batched
-    __call__, list<float> output) without the model."""
+    Feature = normalized thumbnail — the plumbing a real model-inference
+    stage needs (model load once in __init__, batched __call__, list<float>
+    output) with a cheap deterministic featurizer standing in for the model."""
 
     def __init__(self):
         self.dim = 64

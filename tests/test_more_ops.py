@@ -84,10 +84,49 @@ def test_sessionize_matches_duckdb():
 
 
 def test_media_decode_stub_raises_without_fake():
+    # ppm/wav decode for real; only codec-less formats (video) stub
     dec = MediaDecoder(fake=False)
-    batch = synthetic_media(2)
+    batch = synthetic_media(3)  # rows: image(ppm), audio(wav), video(mp4)
+    assert dec(batch.slice(0, 2)).num_rows == 2  # real decoders
     with pytest.raises(NotImplementedError):
-        dec(batch)
+        dec(batch.slice(2, 1))
+
+
+def test_ppm_codec_roundtrip_and_thumbnail():
+    from distributed_text_search_ray.pipelines.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    # flat gray image -> flat thumbnail with the exact gray level
+    gray = np.full((32, 32, 3), 77, dtype=np.uint8)
+    dec = MediaDecoder()
+    thumb = dec._decode_one("ppm", encode_ppm(gray))
+    assert thumb.shape == (8, 8)
+    assert np.all(np.abs(thumb.astype(int) - 77) <= 1)
+
+
+def test_wav_codec_roundtrip_and_envelope():
+    from distributed_text_search_ray.pipelines.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(8000)
+    samples = (3000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    back, sr = decode_wav(encode_wav(samples, 8000))
+    assert sr == 8000
+    assert np.array_equal(back, samples)
+    dec = MediaDecoder()
+    env = dec._decode_one("wav", encode_wav(samples, 8000))
+    assert env.shape == (8, 8)
+    # constant-amplitude sine -> roughly uniform nonzero envelope
+    assert env.min() > 0
+    silent = dec._decode_one("wav", encode_wav(np.zeros(100, dtype=np.int16), 8000))
+    assert silent.sum() == 0
 
 
 def test_media_pipeline_deterministic():
