@@ -68,12 +68,20 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 class _MinhashBands:
     """map_batches stage: doc -> (band_id, band_hash, doc_id) rows."""
 
-    def __init__(self, num_perm: int, bands: int, shingle_n: int, analyzer: AnalyzerConfig):
+    def __init__(
+        self,
+        num_perm: int,
+        bands: int,
+        shingle_n: int,
+        analyzer: AnalyzerConfig,
+        pair_partitions: int = 64,
+    ):
         assert num_perm % bands == 0
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
+        self.pair_partitions = pair_partitions
         self.tokenizer = tokenizer_for(analyzer)
 
     def signature(self, text: str) -> np.ndarray | None:
@@ -100,6 +108,7 @@ class _MinhashBands:
         if not sh_chunks:
             return pa.table(
                 {
+                    "part": pa.array([], type=pa.int32()),
                     "band_hash": pa.array([], type=pa.int64()),
                     "doc_id": pa.array([], type=pa.int64()),
                 }
@@ -117,9 +126,13 @@ class _MinhashBands:
         acc ^= splitmix64(np.arange(1, self.bands + 1, dtype=np.uint64))[None, :]
         band_hash = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         doc_rep = np.repeat(np.asarray(kept_ids, dtype=np.int64), self.bands)
+        flat = band_hash.reshape(-1)
         return pa.table(
             {
-                "band_hash": pa.array(band_hash.reshape(-1), type=pa.int64()),
+                "part": pa.array(
+                    (flat % self.pair_partitions).astype(np.int32), type=pa.int32()
+                ),
+                "band_hash": pa.array(flat, type=pa.int64()),
                 "doc_id": pa.array(doc_rep, type=pa.int64()),
             }
         )
@@ -259,7 +272,7 @@ def minhash_lsh_pairs(
     concurrency=None,
     pair_partitions: int = 64,
     max_bucket_size: int = 4096,
-    join_partitions: int = 8,
+    join_partitions: int = 4,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs with exact shingle-set Jaccard >= threshold.
 
@@ -280,19 +293,18 @@ def minhash_lsh_pairs(
     corpus_rows * bands / pair_partitions rows (~24 B each) fit a worker.
     """
     analyzer = analyzer or AnalyzerConfig()
-    bander = {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n, "analyzer": analyzer}
-    _bander = _MinhashBands(**bander)
+    _bander = _MinhashBands(
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        analyzer=analyzer,
+        pair_partitions=pair_partitions,
+    )
 
     def band_stage(batch: pa.Table) -> pa.Table:
         return _bander(batch)
 
     band_rows = docs.map_batches(band_stage, batch_format="pyarrow")
-
-    P = pair_partitions
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch.column("band_hash").to_numpy() % P).astype(np.int32)
-        return batch.append_column("part", pa.array(part, type=pa.int32()))
 
     def mine(group: pa.Table) -> pa.Table:
         a, b, _, _ = _mine_bucket_pairs(
@@ -308,11 +320,7 @@ def minhash_lsh_pairs(
             {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
         )
 
-    mined = (
-        band_rows.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(mine, batch_format="pyarrow")
-    )
+    mined = band_rows.groupby("part").map_groups(mine, batch_format="pyarrow")
     # global distinct (same pair proposed by buckets in different partitions)
     pairs = (
         mined.groupby(["doc_a", "doc_b"])
