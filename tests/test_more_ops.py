@@ -109,6 +109,39 @@ def test_ppm_codec_roundtrip_and_thumbnail():
     assert np.all(np.abs(thumb.astype(int) - 77) <= 1)
 
 
+def test_media_codecs_fuzz_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from distributed_text_search_ray.pipelines.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 12), st.integers(1, 12), st.just(3)),
+        )
+    )
+    def ppm_roundtrip(px):
+        assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+    @settings(max_examples=30, deadline=None)
+    @given(arrays(np.int16, st.integers(0, 500)))
+    def wav_roundtrip(samples):
+        back, sr = decode_wav(encode_wav(samples, 8000))
+        assert sr == 8000
+        assert np.array_equal(back, samples)
+
+    ppm_roundtrip()
+    wav_roundtrip()
+
+
 def test_wav_codec_roundtrip_and_envelope():
     from distributed_text_search_ray.pipelines.multimodal import (
         decode_wav,
