@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def sessionize_30m(sf_dir):
         return relational.sessionize(sf_dir, gap_minutes=30)
 
+    def asof_purchase_click(sf_dir):
+        return relational.asof_join_latest(sf_dir, "purchase", "click")
+
     def embedding_dup_pairs(sf_dir):
         import ray.data
 
@@ -364,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf,
         "tpch_q1": tpch_q1,
         "events_window_1h": events_window_1h,
+        "asof_purchase_click": asof_purchase_click,
     }
 
 
@@ -689,8 +693,25 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45
 """
 
+    asof = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) tus, value FROM events
+           WHERE event_type = 'purchase'),
+r0 AS (SELECT event_id, user_id, epoch_us(ts) tus, value FROM events
+       WHERE event_type = 'click'),
+r AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, tus
+                                     ORDER BY event_id DESC) rn
+        FROM r0) WHERE rn = 1)
+SELECT l.user_id, l.event_id AS l_event_id, l.tus::BIGINT AS l_ts,
+       round(l.value, 4) AS l_value,
+       r.event_id AS r_event_id, r.tus::BIGINT AS r_ts,
+       round(r.value, 4) AS r_value
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
+"""
+
     return {
         "bm25_topk": bm25,
+        "asof_purchase_click": asof,
         "bm25_topk_wand": bm25,
         "revenue_by_nation": revenue_nation,
         "sessionize_30m": sessions,

@@ -166,3 +166,97 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
         )
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def asof_join_latest(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+) -> ray.data.Dataset:
+    """As-of join over the events stream: each LEFT event gets the LATEST
+    RIGHT event with right.ts <= left.ts for the same user (DuckDB
+    ``ASOF JOIN`` semantics, inner — unmatched lefts drop).
+
+    Ray Data has no as-of join; the composition is the keyed-window pattern:
+    both sides union into one dataset with a side tag, partition by the join
+    key with ``groupby(user_id)``, and resolve matches inside the group with
+    one ``searchsorted`` over the ts-sorted right side — no per-row scans.
+    Right rows are first deduped to one per (user, ts) (max event_id), which
+    pins the otherwise-ambiguous equal-ts case to a deterministic winner on
+    both the engine and oracle side.
+    """
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"), value_set=pa.array([left_type, right_type])
+        )
+        sub = batch.filter(keep)
+        is_left = pc.equal(sub.column("event_type"), pa.scalar(left_type))
+        return pa.table(
+            {
+                "user_id": sub.column("user_id"),
+                "event_id": sub.column("event_id"),
+                "tus": sub.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "value": sub.column("value"),
+                "is_left": is_left,
+            }
+        )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        user = g.column("user_id")[0].as_py()
+        is_left = g.column("is_left").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy()
+        tus = g.column("tus").to_numpy()
+        val = g.column("value").to_numpy()
+        L = np.flatnonzero(is_left)
+        R = np.flatnonzero(~is_left)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "l_event_id": pa.array([], type=pa.int64()),
+                "l_ts": pa.array([], type=pa.int64()),
+                "l_value": pa.array([], type=pa.float64()),
+                "r_event_id": pa.array([], type=pa.int64()),
+                "r_ts": pa.array([], type=pa.int64()),
+                "r_value": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(L) == 0 or len(R) == 0:
+            return empty
+        # right side: sort by (ts, event_id) and keep the LAST row per ts
+        # (max event_id) — the deterministic equal-ts winner
+        r_order = np.lexsort((eid[R], tus[R]))
+        r_ts = tus[R][r_order]
+        r_eid = eid[R][r_order]
+        r_val = val[R][r_order]
+        last = np.empty(len(r_ts), dtype=bool)
+        last[-1] = True
+        np.not_equal(r_ts[1:], r_ts[:-1], out=last[:-1])
+        r_ts, r_eid, r_val = r_ts[last], r_eid[last], r_val[last]
+        idx = np.searchsorted(r_ts, tus[L], side="right") - 1
+        hit = idx >= 0
+        if not hit.any():
+            return empty
+        Lh = L[hit]
+        ih = idx[hit]
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(hit.sum(), user), type=pa.int64()),
+                "l_event_id": pa.array(eid[Lh], type=pa.int64()),
+                "l_ts": pa.array(tus[Lh], type=pa.int64()),
+                "l_value": sql_round(val[Lh], 4),
+                "r_event_id": pa.array(r_eid[ih], type=pa.int64()),
+                "r_ts": pa.array(r_ts[ih], type=pa.int64()),
+                "r_value": sql_round(r_val[ih], 4),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )

@@ -83,6 +83,37 @@ def test_sessionize_matches_duckdb():
     assert got_rows == [tuple(w) for w in want]
 
 
+def test_asof_join_matches_duckdb():
+    from distributed_text_search_ray.pipelines.relational import asof_join_latest
+
+    SF = "/root/testdata/sf0.001"
+    got = asof_join_latest(SF, "purchase", "click").take_all()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = con.sql("""
+      WITH l AS (SELECT event_id, user_id, epoch_us(ts) tus, value FROM events
+                 WHERE event_type = 'purchase'),
+      r0 AS (SELECT event_id, user_id, epoch_us(ts) tus, value FROM events
+             WHERE event_type = 'click'),
+      r AS (SELECT * FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, tus
+                                           ORDER BY event_id DESC) rn
+              FROM r0) WHERE rn = 1)
+      SELECT l.user_id, l.event_id l_event_id, l.tus::BIGINT l_ts,
+             round(l.value, 4) l_value, r.event_id r_event_id,
+             r.tus::BIGINT r_ts, round(r.value, 4) r_value
+      FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
+    """).fetchall()
+    key = lambda r: (r[0], r[1])
+    got_rows = sorted(
+        (r["user_id"], r["l_event_id"], r["l_ts"], r["l_value"],
+         r["r_event_id"], r["r_ts"], r["r_value"])
+        for r in got
+    )
+    assert got_rows == sorted(map(tuple, want))
+    assert len(got_rows) > 0
+
+
 def test_media_decode_stub_raises_without_fake():
     # ppm/wav decode for real; only codec-less formats (video) stub
     dec = MediaDecoder(fake=False)
