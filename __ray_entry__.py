@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def asof_purchase_click(sf_dir):
         return relational.asof_join_latest(sf_dir, "purchase", "click")
 
+    def range_join_1h(sf_dir):
+        return relational.range_join_window(sf_dir, "purchase", "click", 60)
+
     def embedding_dup_pairs(sf_dir):
         import ray.data
 
@@ -368,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": tpch_q1,
         "events_window_1h": events_window_1h,
         "asof_purchase_click": asof_purchase_click,
+        "range_join_1h": range_join_1h,
     }
 
 
@@ -709,9 +713,21 @@ SELECT l.user_id, l.event_id AS l_event_id, l.tus::BIGINT AS l_ts,
 FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
 """
 
+    range_join = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) tus FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, epoch_us(ts) tus FROM events
+      WHERE event_type = 'click')
+SELECT l.user_id, l.event_id AS l_event_id, l.tus::BIGINT AS l_ts,
+       r.event_id AS r_event_id, r.tus::BIGINT AS r_ts
+FROM l JOIN r ON l.user_id = r.user_id
+             AND r.tus > l.tus - 3600000000 AND r.tus <= l.tus
+"""
+
     return {
         "bm25_topk": bm25,
         "asof_purchase_click": asof,
+        "range_join_1h": range_join,
         "bm25_topk_wand": bm25,
         "revenue_by_nation": revenue_nation,
         "sessionize_30m": sessions,

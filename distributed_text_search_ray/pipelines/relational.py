@@ -260,3 +260,84 @@ def asof_join_latest(
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+def range_join_window(
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    window_minutes: int = 60,
+) -> ray.data.Dataset:
+    """Interval range join: every LEFT event pairs with ALL RIGHT events of
+    the same user inside the trailing window (l.ts - W, l.ts].
+
+    Ray Data has no range join; same keyed-window composition as
+    :func:`asof_join_latest` but emitting the full per-left slice — two
+    ``searchsorted`` bounds per left row, pair expansion fully vectorized
+    (repeat + range concatenation), no per-row scans.
+    """
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    w_us = window_minutes * 60 * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"), value_set=pa.array([left_type, right_type])
+        )
+        sub = batch.filter(keep)
+        return pa.table(
+            {
+                "user_id": sub.column("user_id"),
+                "event_id": sub.column("event_id"),
+                "tus": sub.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "is_left": pc.equal(sub.column("event_type"), pa.scalar(left_type)),
+            }
+        )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        user = g.column("user_id")[0].as_py()
+        is_left = g.column("is_left").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy()
+        tus = g.column("tus").to_numpy()
+        L = np.flatnonzero(is_left)
+        R = np.flatnonzero(~is_left)
+        if len(L) and len(R):
+            r_order = np.lexsort((eid[R], tus[R]))
+            r_ts, r_eid = tus[R][r_order], eid[R][r_order]
+            lo = np.searchsorted(r_ts, tus[L] - w_us, side="right")
+            hi = np.searchsorted(r_ts, tus[L], side="right")
+            counts = hi - lo
+            sel = counts > 0
+            if sel.any():
+                l_rep = np.repeat(L[sel], counts[sel])
+                # ranges lo..hi per left, concatenated without a Python loop
+                offs = np.concatenate(([0], np.cumsum(counts[sel])[:-1]))
+                ridx = np.arange(int(counts[sel].sum())) - np.repeat(offs, counts[sel]) + np.repeat(lo[sel], counts[sel])
+                return pa.table(
+                    {
+                        "user_id": pa.array(np.full(len(l_rep), user), type=pa.int64()),
+                        "l_event_id": pa.array(eid[l_rep], type=pa.int64()),
+                        "l_ts": pa.array(tus[l_rep], type=pa.int64()),
+                        "r_event_id": pa.array(r_eid[ridx], type=pa.int64()),
+                        "r_ts": pa.array(r_ts[ridx], type=pa.int64()),
+                    }
+                )
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "l_event_id": pa.array([], type=pa.int64()),
+                "l_ts": pa.array([], type=pa.int64()),
+                "r_event_id": pa.array([], type=pa.int64()),
+                "r_ts": pa.array([], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
