@@ -153,7 +153,7 @@ def windowed_match_counts(
             ncpu = int(_ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu = 8
-        m_max = max(len(p) for _, p, _ in pats)
+        m_max = max((len(p) for _, p, _ in pats), default=0)
         seg_chars = 16384
         segments: list[tuple[int, int, int, bool]] = []
         for di, t in enumerate(texts):
@@ -161,7 +161,16 @@ def windowed_match_counts(
             for s in range(0, max(n, 1), seg_chars):
                 e = min(n, s + seg_chars)
                 segments.append((di, s, e - s, e == n))
-        max_seg = max((o for _, _, o, _ in segments), default=1)
+        if not segments or not pats:  # empty corpus or empty pattern set
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "query_id": pa.array([q for q, _, _ in pats], type=pa.int64()),
+                        "n_matches": pa.array([0] * len(pats), type=pa.int64()),
+                    }
+                )
+            )
+        max_seg = max(o for _, _, o, _ in segments)
         n_segs = len(segments)
         n_chunks = max(1, ncpu // n_segs) if n_segs < ncpu else 1
         pat_chunk = max(

@@ -149,6 +149,15 @@ def dedup_filter(
     dataset with a hash-partitioned ``Dataset.join`` (both sides partitioned
     by doc_id). Output: (doc_id, content) of survivors.
     """
+    if docs.count() == 0:  # empty blocks lose their schema inside the join
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "content": pa.array([], type=pa.string()),
+                }
+            )
+        )
     reps = (
         exact_dedup(docs)
         .select_columns(["representative_doc_id"])

@@ -50,6 +50,29 @@ def test_exact_dedup_with_planted_dupes():
     assert sum(r["n_copies"] for r in out) == 502
 
 
+def test_empty_corpus_pipelines_return_empty():
+    """Zero-row inputs flow through every dedup/stats/apm pipeline without
+    schema-loss crashes; apm still reports one zero-count row per pattern."""
+    from distributed_text_search_ray.pipelines import apm, dedup, textstats
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "content": pa.array([], type=pa.string()),
+            }
+        )
+    )
+    assert exact_dedup(empty).take_all() == []
+    assert dedup.dedup_filter(empty).take_all() == []
+    assert minhash_lsh_pairs(empty).take_all() == []
+    assert simhash_near_dup_pairs(empty).take_all() == []
+    assert textstats.token_counts(empty).take_all() == []
+    for concat in (False, True):
+        rows = apm.windowed_match_counts(empty, [(0, "ab", 1)], concat=concat).take_all()
+        assert [(r["query_id"], r["n_matches"]) for r in rows] == [(0, 0)]
+
+
 def test_dedup_filter_keeps_min_doc_id():
     from distributed_text_search_ray.pipelines.dedup import dedup_filter
 
