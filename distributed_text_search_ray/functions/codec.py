@@ -89,13 +89,19 @@ def varbyte_decode(stream: np.ndarray, count: int | None = None) -> np.ndarray:
     np.add(ends[:-1], 1, out=starts[1:])
     lens = ends - starts + 1
     vals = np.empty(n_vals, dtype=np.uint64)
-    payload = (b & np.uint8(0x7F)).astype(np.uint64)
-    for L in np.unique(lens):
+    # payload stays uint8; only per-class SUBSETS widen to uint64 (the
+    # whole-stream uint64 conversion was 8x the memory traffic). Classes
+    # found with bincount, not np.unique (which sorts all n_vals).
+    payload8 = b & np.uint8(0x7F)
+    counts = np.bincount(lens, minlength=_MAX_BYTES + 1)
+    for L in range(1, _MAX_BYTES + 1):
+        if not counts[L]:
+            continue
         m = lens == L
         s = starts[m]
-        acc = payload[s].copy()
-        for j in range(1, int(L)):
-            acc |= payload[s + j] << np.uint64(7 * j)
+        acc = payload8[s].astype(np.uint64)
+        for j in range(1, L):
+            acc |= payload8[s + j].astype(np.uint64) << np.uint64(7 * j)
         vals[m] = acc
     return vals
 
