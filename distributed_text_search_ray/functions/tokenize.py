@@ -94,6 +94,46 @@ class Tokenizer:
         )
 
 
+def batch_pairs_dict(
+    tokenizer: Tokenizer, doc_ids: np.ndarray, texts: list[str]
+) -> tuple[pa.DictionaryArray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized :meth:`Tokenizer.batch_pairs`: one Arrow dictionary-encode
+    of the chunk's flat token stream + one ``np.unique`` over (doc, code)
+    keys replaces the per-document ``Counter`` loop (profiled ~25% of the
+    whole tokenize phase). Returns ``(pair_terms_dict_array, pair_doc_ids,
+    tfs, doc_lens, doc_token_counts)``; pair order is (doc, code)-sorted
+    within the chunk (downstream fully re-sorts, so order is free).
+    """
+    from itertools import chain
+
+    toks = [tokenizer.tokens(t) for t in texts]
+    counts = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    total = int(counts.sum())
+    if total == 0:
+        empty_terms = pa.DictionaryArray.from_arrays(
+            pa.array([], type=pa.int32()), pa.array([], type=pa.string())
+        )
+        z = np.empty(0, dtype=np.int64)
+        return empty_terms, z, z.copy(), z.copy(), counts
+    enc = pa.array(list(chain.from_iterable(toks)), type=pa.string()).dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = len(enc.dictionary)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    uk, tf = np.unique(doc_idx * vocab + codes, return_counts=True)
+    d_of = uk // vocab
+    c_of = uk % vocab
+    pair_terms = pa.DictionaryArray.from_arrays(
+        pa.array(c_of.astype(np.int32)), enc.dictionary
+    )
+    return (
+        pair_terms,
+        np.asarray(doc_ids, dtype=np.int64)[d_of],
+        tf.astype(np.int64),
+        counts[d_of],
+        counts,
+    )
+
+
 def pairs_table(
     terms: np.ndarray,
     doc_ids: np.ndarray,

@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 
 from distributed_text_search_ray.config import IndexConfig
 from distributed_text_search_ray.functions.hashing import doc_fingerprint, stable_u64, term_partition
-from distributed_text_search_ray.functions.tokenize import Tokenizer
+from distributed_text_search_ray.functions.tokenize import Tokenizer, batch_pairs_dict
 from distributed_text_search_ray.state import manifest as mf
 
 PAIRS_SCHEMA = pa.schema(
@@ -160,25 +160,28 @@ class TokenizeShard:
                     dtype=np.int64,
                     count=len(t),
                 )
-            terms, pdoc, tfs, dls, counts = self.tokenizer.batch_pairs(ids, texts)
-            term_chunks.append(pa.array(terms, type=pa.string()))
+            terms, pdoc, tfs, dls, counts = batch_pairs_dict(self.tokenizer, ids, texts)
+            term_chunks.append(terms)
             doc_chunks.append(pdoc)
             tf_chunks.append(tfs)
             dl_chunks.append(dls)
             n_docs += len(texts)
             n_tokens += int(counts.sum())
         if term_chunks:
+            # combine_chunks unifies the per-chunk dictionaries — the pair
+            # stream never materializes per-pair Python/plain strings
             term_col = pa.chunked_array(term_chunks).combine_chunks()
             doc_ids = np.concatenate(doc_chunks)
             tfs = np.concatenate(tf_chunks)
             dls = np.concatenate(dl_chunks)
         else:
-            term_col = pa.array([], type=pa.string())
+            term_col = pa.DictionaryArray.from_arrays(
+                pa.array([], type=pa.int32()), pa.array([], type=pa.string())
+            )
             doc_ids = tfs = dls = np.empty(0, np.int64)
 
-        enc = term_col.dictionary_encode()
-        codes = enc.indices.to_numpy() if len(enc) else np.empty(0, np.int64)
-        dictionary = enc.dictionary.to_pylist()
+        codes = term_col.indices.to_numpy() if len(term_col) else np.empty(0, np.int64)
+        dictionary = term_col.dictionary.to_pylist()
         # per-pair rows are (doc, term)-distinct, so bincount of codes = df
         df = np.bincount(codes, minlength=len(dictionary)) if len(dictionary) else np.empty(0, np.int64)
         parts, salted = self._assign_parts(codes, dictionary, df, doc_ids, n_docs)
@@ -192,7 +195,7 @@ class TokenizeShard:
         idx = pa.array(order)
         sorted_table = pa.table(
             {
-                "term": pa.compute.take(term_col, idx),
+                "term": pa.compute.take(term_col, idx).cast(pa.string()),
                 "doc_id": pa.array(doc_ids[order], type=pa.int64()),
                 "tf": pa.array(tfs[order], type=pa.int64()),
                 "dl": pa.array(dls[order], type=pa.int64()),
