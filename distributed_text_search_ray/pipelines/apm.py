@@ -23,20 +23,10 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from distributed_text_search_ray.functions.lev import (
-    windowed_match_count_many,
-    windowed_match_counts_multi,
-)
+from distributed_text_search_ray.functions.lev import windowed_match_counts_multi
 from distributed_text_search_ray.util import resolve_concurrency
 
 import ray
-
-
-@ray.remote
-def _scan_chunk(texts: list[str], chunk: list[tuple[int, str, int]]) -> dict[int, int]:
-    """One pattern-chunk scored against the broadcast corpus (texts arrives
-    by ObjectRef — shipped to the object store once, shared by all tasks)."""
-    return windowed_match_counts_multi(texts, chunk)
 
 
 @ray.remote

@@ -164,6 +164,26 @@ def test_batch_pairs():
     assert pair == [(10, "a", 2, 3), (10, "b", 1, 3), (30, "c", 1, 1)]
 
 
+def test_batch_pairs_dict_equals_batch_pairs():
+    """The vectorized Arrow path must produce the same pair multiset as the
+    per-doc Counter reference, on a fuzzed batch."""
+    from distributed_text_search_ray.functions.tokenize import batch_pairs_dict
+
+    rng = np.random.default_rng(9)
+    words = ["def", "foo", "x", "y1", "return", "self", "bar_baz"]
+    texts = [
+        " ".join(rng.choice(words, int(rng.integers(0, 30)))) for _ in range(50)
+    ] + ["", "!!!"]
+    ids = np.arange(100, 100 + len(texts), dtype=np.int64)
+    tk = Tokenizer()
+    t1, d1, f1, l1, c1 = tk.batch_pairs(ids, texts)
+    t2, d2, f2, l2, c2 = batch_pairs_dict(tk, ids, texts)
+    ref = sorted(zip(d1.tolist(), t1.tolist(), f1.tolist(), l1.tolist()))
+    got = sorted(zip(d2.tolist(), t2.cast("string").to_pylist(), f2.tolist(), l2.tolist()))
+    assert got == ref
+    assert c1.tolist() == c2.tolist()
+
+
 # ---------- hashing ----------
 
 def test_hashing_stable():
