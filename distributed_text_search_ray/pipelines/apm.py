@@ -104,7 +104,7 @@ def windowed_match_counts(
     # patterns segments into hundreds of under-filled tiles — the streaming
     # doc-scan plan is better there
     use_broadcast = approx_bytes is not None and approx_bytes < 256 * 1024 * 1024 and (
-        len(pats) > 64 or approx_bytes < 1 * 1024 * 1024
+        concat or len(pats) > 64 or approx_bytes < 1 * 1024 * 1024
     )
     if use_broadcast:
         # Raw-task exception (documented): this plan is a pure scatter/gather

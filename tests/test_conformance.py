@@ -99,6 +99,28 @@ def test_concat_mode_matches_reference_semantics():
     assert any(got[q] != per_doc[q] for q, _, _ in pats)
 
 
+def test_concat_mode_medium_corpus_few_patterns():
+    """Regression: concat mode must pick the broadcast plan even when the
+    corpus is over the interactive-size gate and the pattern set is small
+    (a plan-selection change once routed this shape to the streaming plan,
+    which cannot express concat)."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(8)
+    letters = np.array(list("ABCD"))
+    texts = ["".join(rng.choice(letters, 50_000)) for _ in range(30)]  # ~1.5 MB
+    pats = [(0, "ABCAB", 1), (1, "DDDD", 0)]
+    ds = ray.data.from_arrow(pa.table({"content": pa.array(texts, type=pa.string())}))
+    got = {
+        r["query_id"]: r["n_matches"]
+        for r in windowed_match_counts(ds, pats, concat=True).take_all()
+    }
+    joined = "".join(texts)
+    want = {q: windowed_match_count(joined, p, k) for q, p, k in pats}
+    assert got == want
+
+
 _KILL_SCRIPT = """
 import sys, os
 sys.path.insert(0, {repo!r})
