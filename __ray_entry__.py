@@ -221,6 +221,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def langid(sf_dir):
         return textstats.language_id(_docs_ds(sf_dir))
 
+    def length_quantiles(sf_dir):
+        return textstats.token_length_quantiles(_docs_ds(sf_dir))
+
     def doc_sha256(sf_dir):
         from distributed_text_search_ray.functions.hashing import sha256_hex
 
@@ -358,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": quality_scores,
         "langid": langid,
         "doc_sha256": doc_sha256,
+        "length_quantiles": length_quantiles,
         "exact_dedup": exact_dedup,
         "dedup_filter": dedup_filter,
         "top_terms": top_terms,
@@ -553,6 +557,16 @@ FROM s
 
     sha = "SELECT doc_id, sha256(text) AS sha256 FROM documents"
 
+    quantiles_sql = f"""
+WITH {_TOK_CTE},
+agg AS (SELECT doc_id, count(*) n FROM tok GROUP BY 1),
+lens AS (SELECT coalesce(a.n, 0)::BIGINT n FROM documents d LEFT JOIN agg a USING (doc_id)),
+qd AS (SELECT quantile_disc(n, [0.25, 0.5, 0.75, 0.95]) vals FROM lens)
+SELECT unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
+       unnest(vals)::BIGINT AS n_tokens
+FROM qd
+"""
+
     exact_dd = """
 SELECT md5(text) AS content_md5, count(*)::BIGINT AS n_copies,
        min(doc_id)::BIGINT AS representative_doc_id
@@ -741,6 +755,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "quality_scores": quality,
         "langid": langid,
         "doc_sha256": sha,
+        "length_quantiles": quantiles_sql,
         "exact_dedup": exact_dd,
         "dedup_filter": dedup_filter_sql,
         "top_terms": top_terms_sql,

@@ -135,3 +135,63 @@ def fingerprints(
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def token_length_quantiles(
+    docs: ray.data.Dataset,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """EXACT token-count quantiles (DuckDB ``quantile_disc`` semantics:
+    value at index ceil(q*N)-1 of the sorted lengths).
+
+    Scale shape: order statistics over 10^12 docs need either a global sort
+    or this — a distributed HISTOGRAM: each batch emits its bincount of
+    n_tokens, a tiny groupby sums them, and quantiles read off the
+    cumulative histogram. The histogram is bounded by the max document
+    length (not the corpus size), so the final step is driver-safe at any
+    corpus scale.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    counts = token_counts(docs, analyzer)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_tokens").to_numpy()
+        h = np.bincount(c)
+        nz = np.flatnonzero(h)
+        return pa.table(
+            {
+                "n_tokens": pa.array(nz, type=pa.int64()),
+                "cnt": pa.array(h[nz], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        counts.map_batches(hist, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["n_tokens"])
+    lengths = np.array([r["n_tokens"] for r in rows], dtype=np.int64)
+    cum = np.cumsum([r["cnt"] for r in rows])
+    n_total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n_total == 0:
+            continue
+        rank = min(max(1, math.ceil(q * n_total)), n_total)
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(float(q))
+        out_v.append(int(lengths[idx]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(out_q, type=pa.float64()),
+                "n_tokens": pa.array(out_v, type=pa.int64()),
+            }
+        )
+    )
