@@ -249,3 +249,60 @@ def test_windowed_counts_multi_equals_per_pattern(texts, pats):
     for qid, p, k in patterns:
         want = sum(py_windowed_count(t, p, k) for t in texts)
         assert got[qid] == want, (p, k)
+
+
+def test_segment_format_roundtrip_and_block_decode(tmp_path):
+    """v3 segment format property test: random posting lists round-trip at
+    edge block sizes, and selective block decode returns exactly the
+    selected blocks' postings."""
+    import os
+
+    import pyarrow as pa
+
+    from distributed_text_search_ray.config import IndexConfig
+    from distributed_text_search_ray.state.segment import (
+        SegmentReader,
+        build_segment_tables,
+        write_segment,
+    )
+
+    rng = np.random.default_rng(17)
+    for block_size in (1, 2, 3, 5, 128):
+        terms = [f"t{i:03d}" for i in range(12)]
+        rows = []
+        for code, t in enumerate(terms):
+            df = int(rng.integers(1, 40))
+            docs = np.sort(rng.choice(10_000, size=df, replace=False))
+            for d in docs:
+                rows.append((code, int(d), int(rng.integers(1, 9)), int(rng.integers(5, 500))))
+        rows.sort()
+        codes = np.array([r[0] for r in rows])
+        doc_ids = np.array([r[1] for r in rows], dtype=np.int64)
+        tfs = np.array([r[2] for r in rows], dtype=np.int64)
+        dls = np.array([r[3] for r in rows], dtype=np.int64)
+        cfg = IndexConfig(block_size=block_size)
+        tt, db, tb, lb, stats = build_segment_tables(
+            codes, terms, doc_ids, tfs, dls, 10_000, 100.0, cfg
+        )
+        seg = tmp_path / f"seg_{block_size}"
+        seg.mkdir()
+        write_segment(str(seg), tt, db, tb, lb)
+        r = SegmentReader(str(seg))
+        assert r.block_size == block_size
+        for code, t in enumerate(terms):
+            m = codes == code
+            want = (doc_ids[m], tfs[m], dls[m])
+            got = r.postings(t)
+            for a, b in zip(got, want):
+                assert np.array_equal(a, b), (block_size, t)
+            # selective decode of a random block subset
+            nb = (int(m.sum()) + block_size - 1) // block_size
+            sel = np.unique(rng.choice(nb, size=min(nb, 3), replace=False))
+            gd, gt, gl = r.postings_blocks(t, sel)
+            exp_idx = np.concatenate(
+                [np.arange(b * block_size, min((b + 1) * block_size, m.sum())) for b in sel]
+            )
+            assert np.array_equal(gd, want[0][exp_idx])
+            assert np.array_equal(gt, want[1][exp_idx])
+            assert np.array_equal(gl, want[2][exp_idx])
+        assert r.term_row("zzz_absent") is None
