@@ -80,9 +80,12 @@ def windowed_match_counts(
     STRADDLE document boundaries (``src/apm1.c:229-232``; each MPI rank's
     slice carries an m-1 halo from its neighbor, ``src/flexible_mpi.c:
     196-197``). The tiled plan already implements the halo rule per window
-    segment (owner counts the window), so concat mode just feeds it the
-    joined text. Default (False) is the engine's per-document model
-    (SURVEY.md section 8.3).
+    segment (owner counts the window), so concat mode feeds it the joined
+    text when the corpus fits the 256 MB broadcast gate; larger corpora use
+    the streaming concat plan (``_concat_streaming``: ordered block refs +
+    neighbor-halo stitching — nothing corpus-sized leaves the object
+    store). Default (False) is the engine's per-document model (SURVEY.md
+    section 8.3).
     """
     if isinstance(docs, str):
         from distributed_text_search_ray.sources.corpus import read_corpus
@@ -186,11 +189,7 @@ def windowed_match_counts(
         )
 
     if concat:
-        raise NotImplementedError(
-            "concat mode materializes the corpus as one buffer and requires "
-            "it under 256 MB; the scale path would stream file-aligned "
-            "segments with halo stitching (per-document mode scales freely)"
-        )
+        return _concat_streaming(docs, pats, text_column)
     scan = ApmScan(patterns=pats, text_column=text_column)
 
     def apm_scan(batch: pa.Table) -> pa.Table:
@@ -201,3 +200,111 @@ def windowed_match_counts(
         Sum("n_partial", alias_name="n_matches")
     )
     return out
+
+
+@ray.remote
+def _block_head(tbl: pa.Table, text_column: str, n_chars: int) -> tuple[int, str]:
+    """(total chars, first n_chars) of a block's concatenated text — the
+    metadata pass of the streaming concat plan."""
+    texts = tbl.column(text_column).to_pylist()
+    total = sum(len(t) for t in texts)
+    head_parts: list[str] = []
+    need = n_chars
+    for t in texts:
+        if need <= 0:
+            break
+        head_parts.append(t[:need])
+        need -= len(t)
+    return total, "".join(head_parts)
+
+
+@ray.remote
+def _block_concat_counts(
+    tbl: pa.Table,
+    text_column: str,
+    chunk: list[tuple[int, str, int]],
+    halo: str,
+    is_last: bool,
+) -> dict[int, int]:
+    """Counts of full windows STARTING in this block of the concatenated
+    corpus (halo = the next blocks' head chars, so boundary windows are
+    complete); truncated tails count only in the final block."""
+    texts = tbl.column(text_column).to_pylist()
+    own = sum(len(t) for t in texts)
+    joined = "".join(texts) + halo
+    return windowed_match_counts_multi(
+        [joined], chunk, owned=[own], tails=[is_last]
+    )
+
+
+def _concat_streaming(
+    docs: ray.data.Dataset,
+    pats: list[tuple[int, str, int]],
+    text_column: str,
+) -> ray.data.Dataset:
+    """Concatenated-corpus counts for inputs too large to broadcast.
+
+    The dataset's ordered blocks ARE the window segments: a metadata pass
+    collects each block's char count and head chars, the driver stitches
+    each block's halo from its successors (the reference's neighbor
+    exchange, ``src/flexible_mpi.c:398-447``, as object-store refs instead
+    of Isend/Recv), and one task per (block x pattern-chunk) scores the
+    block's owned windows. Only O(n_blocks * m_max) chars ever reach the
+    driver; parallelism = blocks x pattern chunks.
+    """
+    import ray as _ray
+
+    m_max = max((len(p) for _, p, _ in pats), default=0)
+    if not pats:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "n_matches": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    refs = docs.materialize().to_arrow_refs()  # ordered blocks, no driver pull
+    metas = _ray.get(
+        [_block_head.remote(r, text_column, max(m_max - 1, 0)) for r in refs]
+    )
+    # drop empty blocks but keep order
+    keep = [i for i, (n, _) in enumerate(metas) if n > 0]
+    out: dict[int, int] = {q: 0 for q, _, _ in pats}
+    if keep:
+        halos = []
+        for pos, i in enumerate(keep):
+            need = m_max - 1
+            parts: list[str] = []
+            for j in keep[pos + 1 :]:
+                if need <= 0:
+                    break
+                h = metas[j][1][:need]
+                parts.append(h)
+                need -= len(h)
+            halos.append("".join(parts))
+        try:
+            ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        n_chunks = max(1, ncpu // len(keep)) if len(keep) < ncpu else 1
+        pat_chunk = max(1, -(-len(pats) // n_chunks))
+        chunks = [pats[i : i + pat_chunk] for i in range(0, len(pats), pat_chunk)]
+        task_refs = [
+            _block_concat_counts.remote(
+                refs[i], text_column, c, halos[pos], pos == len(keep) - 1
+            )
+            for pos, i in enumerate(keep)
+            for c in chunks
+        ]
+        for part in _ray.get(task_refs):
+            for q, c in part.items():
+                out[q] += c
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([q for q, _, _ in pats], type=pa.int64()),
+                "n_matches": pa.array([out[q] for q, _, _ in pats], type=pa.int64()),
+            }
+        )
+    )

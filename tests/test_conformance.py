@@ -121,6 +121,39 @@ def test_concat_mode_medium_corpus_few_patterns():
     assert got == want
 
 
+def test_concat_streaming_plan_equals_broadcast():
+    """The >256MB streaming concat plan (ordered block refs + neighbor-halo
+    stitching) must agree with the broadcast tile plan on a multi-block
+    corpus with empty docs mixed in."""
+    import numpy as np
+    import ray.data
+
+    from distributed_text_search_ray.pipelines import apm
+
+    rng = np.random.default_rng(4)
+    letters = list("ABCD")
+    texts = ["".join(rng.choice(letters, int(rng.integers(1, 4000)))) for _ in range(40)]
+    texts.insert(7, "")
+    pats = [
+        (i, "".join(rng.choice(letters, int(rng.integers(1, 12)))), int(rng.integers(0, 5)))
+        for i in range(9)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"content": pa.array(texts, type=pa.string())})
+    ).repartition(7)
+    b = {
+        r["query_id"]: r["n_matches"]
+        for r in windowed_match_counts(ds, pats, concat=True).take_all()
+    }
+    s = {
+        r["query_id"]: r["n_matches"]
+        for r in apm._concat_streaming(
+            ds, [(int(q), p, int(k)) for q, p, k in pats], "content"
+        ).take_all()
+    }
+    assert b == s
+
+
 _KILL_SCRIPT = """
 import sys, os
 sys.path.insert(0, {repo!r})
