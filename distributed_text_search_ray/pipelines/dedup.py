@@ -12,9 +12,11 @@ Ray-Data-first:
   candidate-sized pair/shingle datasets). Nothing O(corpus) ever lands on
   the driver; the only driver-held object is the distinct candidate-id
   array (broadcast small side for the shingle filter stage).
-- SimHash: 64-bit fingerprints, banded into 4x16-bit chunks (pigeonhole: any
-  pair within Hamming distance 3 shares a chunk — exact recall at <=3),
-  mined with the same coarse-partition vectorized bucket scan.
+- SimHash: 64-bit fingerprints, banded into n_bands equal bit-chunks
+  (pigeonhole: any pair within Hamming distance n_bands-1 shares a chunk —
+  exact recall up to that radius; default band count adapts to the
+  requested max_hamming), mined with the same coarse-partition vectorized
+  bucket scan.
 """
 
 from __future__ import annotations
@@ -423,17 +425,26 @@ def simhash_near_dup_pairs(
     analyzer: AnalyzerConfig | None = None,
     pair_partitions: int = 64,
     max_bucket_size: int = 4096,
+    n_bands: int | None = None,
 ) -> ray.data.Dataset:
     """Pairs with simhash Hamming distance <= max_hamming.
 
-    4 x 16-bit chunk banding; by pigeonhole any pair with <= 3 differing bits
-    shares an identical chunk, so recall is EXACT for max_hamming <= 3
-    (larger values lower recall). Mining is the same coarse-partition
-    vectorized bucket scan as MinHash: bucket key = (band << 16) | chunk,
-    rows hash-grouped into ``pair_partitions`` groups, pair Hamming computed
-    as vectorized XOR + popcount; buckets over ``max_bucket_size`` rows are
-    dropped with a logged count.
+    Banding into ``n_bands`` equal bit-chunks; by pigeonhole any pair with
+    <= n_bands-1 differing bits shares an identical chunk, so recall is
+    EXACT for max_hamming <= n_bands - 1. Default picks the smallest band
+    count (of 2/4/8/16) that covers ``max_hamming`` exactly — more bands
+    mean narrower chunks and bigger buckets (an 8-bit chunk holds ~N/256
+    docs), so the cap below matters more at high radii. Mining is the same
+    coarse-partition vectorized bucket scan as MinHash: rows hash-grouped
+    into ``pair_partitions`` groups, pair Hamming computed as vectorized
+    XOR + popcount; buckets over ``max_bucket_size`` rows are dropped with
+    a logged count.
     """
+    if n_bands is None:
+        n_bands = next(b for b in (2, 4, 8, 16) if b - 1 >= min(max_hamming, 15))
+    assert n_bands in (2, 4, 8, 16)
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
     fp = simhash_fingerprints(docs, analyzer)
     P = pair_partitions
 
@@ -441,12 +452,12 @@ def simhash_near_dup_pairs(
         h = batch.column("simhash").to_numpy().astype(np.uint64)
         ids = batch.column("doc_id").to_numpy()
         n = len(ids)
-        keys = np.empty(4 * n, dtype=np.int64)
-        for b in range(4):
-            chunk = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            keys[b * n : (b + 1) * n] = (np.int64(b) << np.int64(16)) | chunk
-        out_ids = np.tile(ids, 4)
-        sims = np.tile(h.astype(np.int64), 4)
+        keys = np.empty(n_bands * n, dtype=np.int64)
+        for b in range(n_bands):
+            chunk = ((h >> np.uint64(width * b)) & mask).astype(np.int64)
+            keys[b * n : (b + 1) * n] = (np.int64(b) << np.int64(width)) | chunk
+        out_ids = np.tile(ids, n_bands)
+        sims = np.tile(h.astype(np.int64), n_bands)
         return pa.table(
             {
                 "part": pa.array((keys % P).astype(np.int32), type=pa.int32()),

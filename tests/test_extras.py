@@ -178,9 +178,13 @@ def test_simhash_pairs_on_near_dupes():
             }
         )
     )
+    # n_bands defaults to 8 for max_hamming=6 -> pigeonhole-EXACT recall
     pairs = simhash_near_dup_pairs(ds, max_hamming=6).take_all()
     assert any({p["doc_a"], p["doc_b"]} == {1, 2} for p in pairs)
     assert not any(3 in {p["doc_a"], p["doc_b"]} for p in pairs)
+    # explicit band count keeps the old 4x16 behavior available
+    pairs4 = simhash_near_dup_pairs(ds, max_hamming=3, n_bands=4).take_all()
+    assert all(p["hamming_min"] <= 3 for p in pairs4)
 
 
 def _emb_table():
