@@ -376,3 +376,28 @@ def test_ann_ivf_recall_reasonable():
     ivf2 = ann_ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=3).take_all()
     key = lambda rows: sorted((r["query_vec_id"], r["rank"], r["vec_id"]) for r in rows)
     assert key(ivf) == key(ivf2)
+
+
+def test_cheap_queries_match_duckdb_oracles():
+    """Pytest-level net over the driver contract for entries without a
+    dedicated differential test: run the queries() callable and its
+    oracle_sql() side by side at sf0.001 (index-free entries only — the
+    BM25/fuzzy family has its own differential suites)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for tbl in ("documents", "events", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF}/{tbl}.parquet')"
+        )
+    qs, oracles = e.queries(), e.oracle_sql()
+    for name in ("range_join_1h", "length_quantiles", "simhash_fp", "exact_dedup"):
+        got = qs[name](SF).to_pandas()
+        cols = sorted(got.columns)
+        mine = sorted(map(tuple, got[cols].itertuples(index=False)))
+        w = con.sql(oracles[name]).df()
+        want = sorted(map(tuple, w[sorted(w.columns)].itertuples(index=False)))
+        assert mine == want, name
