@@ -224,6 +224,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def length_quantiles(sf_dir):
         return textstats.token_length_quantiles(_docs_ds(sf_dir))
 
+    def lang_stats(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"]
+        ).map_batches(
+            lambda t: pa.table({"content": t.column("text"), "lang": t.column("lang")}),
+            batch_format="pyarrow",
+        )
+        return textstats.lang_stats(ds)
+
     def doc_sha256(sf_dir):
         from distributed_text_search_ray.functions.hashing import sha256_hex
 
@@ -362,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": langid,
         "doc_sha256": doc_sha256,
         "length_quantiles": length_quantiles,
+        "lang_stats": lang_stats,
         "exact_dedup": exact_dedup,
         "dedup_filter": dedup_filter,
         "top_terms": top_terms,
@@ -556,6 +568,15 @@ FROM s
 """
 
     sha = "SELECT doc_id, sha256(text) AS sha256 FROM documents"
+
+    lang_stats_sql = f"""
+WITH counts AS (
+  SELECT lang, len({TOK_SQL.format(col="text")})::BIGINT n FROM documents
+)
+SELECT lang, count(*)::BIGINT n_docs, sum(n)::BIGINT total_tokens,
+       round(sum(n)::DOUBLE / count(*), 4) AS avg_tokens
+FROM counts GROUP BY 1
+"""
 
     quantiles_sql = f"""
 WITH {_TOK_CTE},
@@ -756,6 +777,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "langid": langid,
         "doc_sha256": sha,
         "length_quantiles": quantiles_sql,
+        "lang_stats": lang_stats_sql,
         "exact_dedup": exact_dd,
         "dedup_filter": dedup_filter_sql,
         "top_terms": top_terms_sql,

@@ -195,3 +195,52 @@ def token_length_quantiles(
             }
         )
     )
+
+
+def lang_stats(docs_with_lang: ray.data.Dataset, analyzer: AnalyzerConfig | None = None) -> ray.data.Dataset:
+    """Per-language corpus statistics: (lang, n_docs, total_tokens,
+    avg_tokens 4dp) — the partial+final aggregate over a string key
+    (per-batch token counts, one tiny groupby of partials)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        langs = batch.column("lang").to_pylist()
+        n_tok = np.fromiter(
+            (tk.token_count(t) for t in batch.column("content").to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        uniq = sorted(set(langs))
+        idx = {l: i for i, l in enumerate(uniq)}
+        li = np.fromiter((idx[l] for l in langs), dtype=np.int64, count=len(langs))
+        return pa.table(
+            {
+                "lang": pa.array(uniq, type=pa.string()),
+                "n_part": pa.array(np.bincount(li, minlength=len(uniq)), type=pa.int64()),
+                "tok_part": pa.array(
+                    np.bincount(li, weights=n_tok, minlength=len(uniq)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        docs_with_lang.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_part", alias_name="n_docs"), Sum("tok_part", alias_name="total_tokens"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_docs").to_numpy().astype(np.float64)
+        t = batch.column("total_tokens").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("n_docs"),
+                "total_tokens": batch.column("total_tokens"),
+                "avg_tokens": round_half_away(np.divide(t, np.maximum(n, 1.0)), 4),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
