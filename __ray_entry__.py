@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def minhash_near_dup(sf_dir):
         return dedup.minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.5)
 
+    def ngram_jaccard_dup(sf_dir):
+        return dedup.ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.35)
+
     def simhash_fp(sf_dir):
         return dedup.simhash_fingerprints(_docs_ds(sf_dir))
 
@@ -378,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_filter": dedup_filter,
         "top_terms": top_terms,
         "minhash_near_dup": minhash_near_dup,
+        "ngram_jaccard_dup": ngram_jaccard_dup,
         "simhash_fp": simhash_fp,
         "simhash_near_dup": simhash_near_dup,
         "fingerprints": fingerprints,
@@ -607,7 +611,10 @@ FROM tok GROUP BY 1
 ORDER BY df DESC, term LIMIT 20
 """
 
-    minhash = f"""
+    def jaccard_pairs_sql(threshold: float) -> str:
+        # exact all-pairs-sharing-a-shingle trigram Jaccard (shared by the
+        # minhash oracle at 0.5 and the exact ngram_jaccard oracle at 0.35)
+        return f"""
 WITH toks AS (
   SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
 ),
@@ -629,8 +636,11 @@ inter AS (
 SELECT doc_a, doc_b,
        round(i / (sa.sz + sb.sz - i)::DOUBLE, 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= 0.5
+WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= {threshold}
 """
+
+    minhash = jaccard_pairs_sql(0.5)
+    ngram_jaccard = jaccard_pairs_sql(0.35)
 
     ann = f"""
 WITH q AS (
@@ -782,6 +792,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "dedup_filter": dedup_filter_sql,
         "top_terms": top_terms_sql,
         "minhash_near_dup": minhash,
+        "ngram_jaccard_dup": ngram_jaccard,
         "simhash_fp": simhash_fp_sql,
         "simhash_near_dup": simhash_pairs_sql,
         "ann_cosine_topk": ann,

@@ -495,3 +495,125 @@ def simhash_near_dup_pairs(
     )
     # distinct across bands/partitions (Hamming is identical per pair)
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming_min"))
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    threshold: float = 0.35,
+    shingle_n: int = 3,
+    analyzer: AnalyzerConfig | None = None,
+    pair_partitions: int = 64,
+    max_bucket_size: int = 65536,
+) -> ray.data.Dataset:
+    """Pairs with exact n-gram (token-shingle) Jaccard >= threshold.
+
+    Unlike ``minhash_lsh_pairs`` (probabilistic LSH candidates + exact
+    verify), recall here is EXACT at any threshold: the candidate set is
+    every pair sharing at least one shingle, which covers every pair with
+    jaccard > 0. Expressed as a distributed shingle-inverted index:
+
+    1. one distinct (shingle_hash, doc_id, set_size) row per doc shingle —
+       a ``map_batches`` emit, shingle sets deduped per doc;
+    2. coarse hash-partition by shingle hash into ``pair_partitions``
+       groups, then vectorized within-shingle pair emission
+       (``_mine_bucket_pairs``) — each shared shingle emits its pair
+       exactly once, so the per-pair row count of the final groupby IS the
+       intersection size |A∩B|. No second pass over content is needed:
+       jaccard = i / (sz_a + sz_b - i) with the set sizes carried as pair
+       payload.
+
+    The only quadratic hazard at scale is a shingle shared by many docs
+    (license boilerplate): buckets above ``max_bucket_size`` docs are
+    dropped with a logged count, a recall cut on exactly the shingles that
+    carry ~zero Jaccard signal (a shingle in B docs contributes 1/union to
+    B^2/2 pairs). For heavy-boilerplate corpora prefer
+    ``minhash_lsh_pairs``; this operator is the oracle-grade exact path.
+    """
+    analyzer = analyzer or AnalyzerConfig()
+    P = pair_partitions
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        sh_chunks, ids, sizes = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
+        ):
+            sh = shingle_hashes(tk.tokens(text), shingle_n)
+            if sh.size == 0:
+                continue
+            sh_chunks.append(sh)
+            ids.append(doc_id)
+            sizes.append(sh.size)
+        if not sh_chunks:
+            return pa.table(
+                {
+                    "part": pa.array([], type=pa.int32()),
+                    "sh": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "sz": pa.array([], type=pa.int64()),
+                }
+            )
+        flat = np.concatenate(sh_chunks)  # uint64
+        counts = np.asarray(sizes, dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array((flat % np.uint64(P)).astype(np.int32), type=pa.int32()),
+                "sh": pa.array(flat.view(np.int64), type=pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(ids, dtype=np.int64), counts), type=pa.int64()
+                ),
+                "sz": pa.array(np.repeat(counts, counts), type=pa.int64()),
+            }
+        )
+
+    def mine(group: pa.Table) -> pa.Table:
+        a, b, sz_a, sz_b = _mine_bucket_pairs(
+            group.column("sh").to_numpy(),
+            group.column("doc_id").to_numpy(),
+            group.column("sz").to_numpy(),
+            max_bucket_size,
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+                "sz_a": pa.array(
+                    sz_a if sz_a is not None else np.empty(0, np.int64), type=pa.int64()
+                ),
+                "sz_b": pa.array(
+                    sz_b if sz_b is not None else np.empty(0, np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    mined = (
+        docs.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mine, batch_format="pyarrow")
+    )
+    agg = mined.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="inter"),
+        Min("sz_a", alias_name="sz_a"),  # sz constant per doc; Min = the value
+        Min("sz_b", alias_name="sz_b"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs_table()
+        inter = batch.column("inter").to_numpy().astype(np.float64)
+        union = (
+            batch.column("sz_a").to_numpy() + batch.column("sz_b").to_numpy()
+        ).astype(np.float64) - inter
+        j = inter / union
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(batch.column("doc_a").to_numpy()[keep], type=pa.int64()),
+                "doc_b": pa.array(batch.column("doc_b").to_numpy()[keep], type=pa.int64()),
+                "jaccard": pa.array(
+                    [round_half_away(x, 6) for x in j[keep]], type=pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

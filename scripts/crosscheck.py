@@ -44,7 +44,7 @@ def canon_rows(table) -> list[tuple]:
     return sorted(pyrows, key=repr)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list[str] | None = None):
     import duckdb
     import ray
 
@@ -63,6 +63,8 @@ def main(sf_dir: str):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = e.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = e.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -104,4 +106,9 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )

@@ -67,6 +67,7 @@ def test_empty_corpus_pipelines_return_empty():
     assert dedup.dedup_filter(empty).take_all() == []
     assert minhash_lsh_pairs(empty).take_all() == []
     assert simhash_near_dup_pairs(empty).take_all() == []
+    assert dedup.ngram_jaccard_pairs(empty).take_all() == []
     assert textstats.token_counts(empty).take_all() == []
     for concat in (False, True):
         rows = apm.windowed_match_counts(empty, [(0, "ab", 1)], concat=concat).take_all()
@@ -162,6 +163,87 @@ def test_minhash_distributed_at_scale():
                     want[(a, b)] = round(jac, 6)
     assert len(want) >= 2500  # the construction keeps jaccard well above 0.5
     assert got == want  # exact pair set AND exact jaccard values
+
+
+def test_ngram_jaccard_exact_recall_near_threshold():
+    """Pairs sitting close to the threshold — exactly where LSH recall
+    degrades — must ALL be found with exact jaccard values (recall-exact
+    path). In-test numpy oracle over every in-group pair; cross-group pairs
+    share no shingles, so the oracle set is complete."""
+    from distributed_text_search_ray.config import AnalyzerConfig
+    from distributed_text_search_ray.functions.hashing import shingle_hashes
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    groups, per_group, n_words = 60, 3, 30
+    ids, texts = [], []
+    for g in range(groups):
+        base = [f"g{g}w{k}" for k in range(n_words)]
+        for v in range(per_group):
+            words = list(base)
+            # 2-4 mutated words; each kills up to 3 trigram shingles in each
+            # doc of a pair, so pairwise jaccard lands around 0.2-0.45,
+            # straddling the 0.3 threshold from both sides
+            n_mut = int(rng.integers(2, 5))
+            for pos in rng.choice(n_words, size=n_mut, replace=False):
+                words[int(pos)] = f"g{g}v{v}m{int(pos)}"
+            ids.append(g * 10 + v)
+            texts.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(ds, threshold=0.3, pair_partitions=16).take_all()
+    }
+    tk = Tokenizer(AnalyzerConfig())
+    sh = {i: set(shingle_hashes(tk.tokens(t), 3).tolist()) for i, t in zip(ids, texts)}
+    want = {}
+    for g in range(groups):
+        gids = [g * 10 + v for v in range(per_group)]
+        for i in range(per_group):
+            for j in range(i + 1, per_group):
+                a, b = gids[i], gids[j]
+                jac = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if jac >= 0.3:
+                    want[(a, b)] = round(jac, 6)
+    # the construction actually produces near-threshold pairs on both sides
+    assert 0 < len(want) < groups * 3
+    assert got == want
+
+
+def test_ngram_jaccard_bucket_cap_drops_boilerplate():
+    """A shingle shared by more docs than max_bucket_size is dropped from
+    candidate generation (logged recall cut); pairs whose only overlap is
+    that boilerplate shingle disappear, distinct-content pairs survive."""
+    from distributed_text_search_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    boiler = "license apache version two"  # one shared 3-shingle region
+    texts = [f"doc{i} unique{i} tokens{i} {boiler}" for i in range(10)]
+    texts += ["alpha beta gamma delta epsilon", "alpha beta gamma delta zeta"]
+    ids = list(range(12))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    uncapped = ngram_jaccard_pairs(ds, threshold=0.05, pair_partitions=4).take_all()
+    assert any({p["doc_a"], p["doc_b"]} == {10, 11} for p in uncapped)
+    assert any(p["doc_a"] < 10 and p["doc_b"] < 10 for p in uncapped)
+    capped = ngram_jaccard_pairs(
+        ds, threshold=0.05, pair_partitions=4, max_bucket_size=4
+    ).take_all()
+    assert any({p["doc_a"], p["doc_b"]} == {10, 11} for p in capped)
+    assert not any(p["doc_a"] < 10 and p["doc_b"] < 10 for p in capped)
 
 
 def test_simhash_pairs_on_near_dupes():
