@@ -56,6 +56,13 @@ FUZZY_PATTERNS = [
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_TOPK = 10
 
+PHRASE_QUERIES = [
+    (0, "customer value"),
+    (1, "the fast scan"),
+    (2, "vector"),          # single-token phrase: count == tf
+    (3, "zzz missing phrase"),
+]
+
 TOK_SQL = "list_filter(string_split_regex(lower({col}), '[^a-z0-9_]+'), x -> x <> '')"
 
 _CACHE_ROOT = "/tmp/dts_ray_cache"
@@ -278,6 +285,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def fingerprints(sf_dir):
         return textstats.fingerprints(_docs_ds(sf_dir))
 
+    def phrase_counts(sf_dir):
+        from distributed_text_search_ray.pipelines.phrase import phrase_match_counts
+
+        return phrase_match_counts(_docs_ds(sf_dir), PHRASE_QUERIES)
+
+    def phrase_counts_indexed(sf_dir):
+        from distributed_text_search_ray.pipelines.phrase import phrase_search_indexed
+
+        return phrase_search_indexed(_index_for(sf_dir), _docs_ds(sf_dir), PHRASE_QUERIES)
+
     def _ann_queries(sf_dir):
         t = pq.read_table(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -385,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fp": simhash_fp,
         "simhash_near_dup": simhash_near_dup,
         "fingerprints": fingerprints,
+        "phrase_counts": phrase_counts,
+        "phrase_counts_indexed": phrase_counts_indexed,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
@@ -642,6 +661,40 @@ WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= {threshold}
     minhash = jaccard_pairs_sql(0.5)
     ngram_jaccard = jaccard_pairs_sql(0.35)
 
+    # positional phrase oracle: tokenize WITH positions once, then one
+    # chained positional self-join per phrase (generated from the same
+    # literal phrase list the engine receives)
+    import re as _re
+
+    def _phrase_terms(p: str) -> list[str]:
+        return _re.findall(r"[a-z0-9_]+", p.lower())
+
+    phrase_selects = []
+    for qid, p in PHRASE_QUERIES:
+        terms = _phrase_terms(p)
+        if not terms:
+            continue
+        joins = "".join(
+            f"\nJOIN tokp p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+            for i in range(1, len(terms))
+        )
+        conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+        phrase_selects.append(
+            f"SELECT {qid}::BIGINT query_id, p0.doc_id, count(*)::BIGINT n_occurrences"
+            f"\nFROM tokp p0{joins}\nWHERE {conds}\nGROUP BY 1, 2"
+        )
+    phrase_sql = (
+        f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+tokp AS (
+  SELECT doc_id, t.i pos, l[t.i] term FROM toks, unnest(range(1, len(l) + 1)) AS t(i)
+)
+"""
+        + "\nUNION ALL\n".join(phrase_selects)
+    )
+
     ann = f"""
 WITH q AS (
   SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings
@@ -793,6 +846,8 @@ FROM l JOIN r ON l.user_id = r.user_id
         "top_terms": top_terms_sql,
         "minhash_near_dup": minhash,
         "ngram_jaccard_dup": ngram_jaccard,
+        "phrase_counts": phrase_sql,
+        "phrase_counts_indexed": phrase_sql,
         "simhash_fp": simhash_fp_sql,
         "simhash_near_dup": simhash_pairs_sql,
         "ann_cosine_topk": ann,

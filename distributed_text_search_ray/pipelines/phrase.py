@@ -1,0 +1,241 @@
+"""Phrase (positional) search — token-sequence matching over the corpus.
+
+The reference's kernel is positional by nature: a pattern matches at byte
+positions (``src/apm1.c:235-281``). The inverted-index engine answers the
+token-level analog — "docs where these tokens appear consecutively, and how
+often" — two ways:
+
+- ``phrase_match_counts``: distributed scan. Each batch tokenizes its docs,
+  concatenates token hashes into one flat array, finds each phrase with
+  vectorized shifted equality, and drops cross-doc straddle hits via the
+  per-doc offset table — one fused numpy pass per (phrase, batch), never a
+  Python loop over positions. The scan analog of the APM pipeline, and the
+  conformance oracle for the indexed path.
+- ``phrase_search_indexed``: index-assisted. The index stores no positions
+  (positions would triple posting bytes for a query type that is rare at
+  100 TB), so the classic two-phase plan applies: candidate docs = the
+  INTERSECTION of the phrase terms' posting lists (actor-pool stage over
+  the loaded ``IndexView``, pure hash routing, no shuffle), then positional
+  verification scans ONLY the candidate docs' content (broadcast-id
+  semi-join against the corpus, then the same vectorized scan). On a
+  selective phrase the verify stage touches a vanishing fraction of the
+  corpus; worst case (every term a stop word) degrades to the scan path's
+  cost on the candidate subset.
+
+Both return identical ``(query_id, doc_id, n_occurrences)`` rows
+(n_occurrences > 0), differential-tested against each other and the DuckDB
+positional self-join oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from distributed_text_search_ray.config import AnalyzerConfig
+from distributed_text_search_ray.functions.hashing import _token_hashes
+from distributed_text_search_ray.functions.tokenize import tokenizer_for
+from distributed_text_search_ray.util import resolve_concurrency
+
+_OUT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("n_occurrences", pa.int64()),
+    ]
+)
+
+
+def _empty_out() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_occurrences": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+def _phrase_hash_seqs(
+    phrases: Iterable[tuple[int, str]], analyzer: AnalyzerConfig
+) -> list[tuple[int, np.ndarray]]:
+    """(query_id, token-hash sequence) per phrase; empty-token phrases keep
+    an empty sequence (they match nothing, mirroring a WHERE over 0 terms)."""
+    tk = tokenizer_for(analyzer)
+    return [(int(q), _token_hashes(tk.tokens(p))) for q, p in phrases]
+
+
+class _PhraseScanCounter:
+    """Per-batch fused counter, shared by scan and verify stages."""
+
+    def __init__(self, phrases: list[tuple[int, str]], analyzer: AnalyzerConfig):
+        self.analyzer = analyzer
+        self.seqs = _phrase_hash_seqs(phrases, analyzer)
+
+    def __call__(self, batch: pa.Table, text_column: str = "content") -> pa.Table:
+        tk = tokenizer_for(self.analyzer)
+        ids = batch.column("doc_id").to_numpy()
+        hash_chunks: list[np.ndarray] = []
+        lens = np.empty(len(ids), dtype=np.int64)
+        # docs are concatenated WITHOUT separators; cross-doc matches are
+        # discarded below by clamping each hit to its owning doc's offset
+        # range (cheaper than sentinel tokens and exact)
+        for i, text in enumerate(batch.column(text_column).to_pylist()):
+            th = _token_hashes(tk.tokens(text))
+            hash_chunks.append(th)
+            lens[i] = len(th)
+        if not len(ids):
+            return _empty_out()
+        flat = (
+            np.concatenate(hash_chunks) if hash_chunks else np.empty(0, dtype=np.uint64)
+        )
+        starts = np.concatenate(([0], np.cumsum(lens)))  # len n_docs+1
+        out_q, out_d, out_n = [], [], []
+        L = len(flat)
+        for qid, seq in self.seqs:
+            m = len(seq)
+            if m == 0 or L < m:
+                continue
+            hits = flat[: L - m + 1] == seq[0]
+            for j in range(1, m):
+                hits &= flat[j : L - m + 1 + j] == seq[j]
+            pos = np.flatnonzero(hits)
+            if not len(pos):
+                continue
+            # drop matches that straddle a doc boundary: a match starting at
+            # pos belongs to doc d iff pos+m <= starts[d+1]
+            d = np.searchsorted(starts, pos, side="right") - 1
+            keep = pos + m <= starts[d + 1]
+            d = d[keep]
+            if not len(d):
+                continue
+            uniq, counts = np.unique(d, return_counts=True)
+            out_q.extend([qid] * len(uniq))
+            out_d.extend(ids[uniq].tolist())
+            out_n.extend(counts.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "n_occurrences": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+
+def phrase_match_counts(
+    docs: ray.data.Dataset,
+    phrases: Iterable[tuple[int, str]],
+    analyzer: AnalyzerConfig | None = None,
+    text_column: str = "content",
+) -> ray.data.Dataset:
+    """Scan path: (query_id, doc_id, n_occurrences) for every doc containing
+    each token phrase consecutively (n_occurrences counts every start
+    position, overlaps included — the reference's count semantics at token
+    granularity, SURVEY.md section 8.2)."""
+    counter = _PhraseScanCounter(list(phrases), analyzer or AnalyzerConfig())
+
+    def f(batch: pa.Table) -> pa.Table:
+        return counter(batch, text_column)
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+class _PhraseCandidates:
+    """Actor-pool stage: (query_id, phrase) rows -> (query_id, doc_id)
+    candidate rows via posting-list intersection on the loaded index."""
+
+    def __init__(self, index_dir: str):
+        from distributed_text_search_ray.stages.executor import IndexView
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+        self.view = IndexView(index_dir)
+        self.tokenizer = Tokenizer(self.view.cfg.analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_d = [], []
+        for qid, phrase in zip(
+            batch.column("query_id").to_pylist(), batch.column("query").to_pylist()
+        ):
+            terms = self.tokenizer.tokens(phrase)
+            if not terms:
+                continue
+            cand: np.ndarray | None = None
+            # rarest-first: df-ascending intersection keeps intermediates
+            # as small as the rarest term's postings
+            for term in sorted(set(terms), key=lambda t: self.view.term_df(t)):
+                docs, _tfs, _dls, df = self.view.term_postings(term)
+                if df == 0 or not len(docs):
+                    cand = np.empty(0, dtype=np.int64)
+                    break
+                cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
+                if not len(cand):
+                    break
+            if cand is None:
+                continue
+            out_q.extend([int(qid)] * len(cand))
+            out_d.extend(cand.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+
+def phrase_search_indexed(
+    index_dir: str,
+    docs: ray.data.Dataset,
+    phrases: Iterable[tuple[int, str]],
+    analyzer: AnalyzerConfig | None = None,
+    text_column: str = "content",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Index-assisted path, result-identical to ``phrase_match_counts``.
+
+    Phase 1 intersects the phrase terms' posting lists on executor actors
+    (candidate docs contain every term SOMEWHERE — a superset of phrase
+    matches). Phase 2 re-reads only candidate docs (vectorized ``is_in``
+    semi-join filter; candidate-id set broadcast via closure capture) and
+    runs the exact positional scan on that subset.
+
+    Scale note: the candidate-id set per phrase is bounded by the rarest
+    term's df. For phrases of all-stopwords that bound is O(N) and the
+    broadcast id-set would blow up — detect nothing here; callers at scale
+    should route such phrases to ``phrase_match_counts`` (full scan costs
+    the same as verifying an O(N) candidate set, without the id-set
+    broadcast). A positional segment format is the planned fix if phrase
+    workloads dominate.
+    """
+    phrases = list(phrases)
+    analyzer = analyzer or AnalyzerConfig()
+    items = [{"query_id": int(q), "query": str(p)} for q, p in phrases]
+    cand = (
+        ray.data.from_items(items)
+        .map_batches(
+            _PhraseCandidates,
+            fn_constructor_kwargs={"index_dir": index_dir},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=resolve_concurrency(concurrency),
+        )
+        .materialize()  # small: bounded by rarest-term df per phrase
+    )
+    cand_tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
+    all_ids = pc.unique(cand_tbl.column("doc_id"))
+    counter = _PhraseScanCounter(phrases, analyzer)
+
+    # a positive positional count implies every phrase term is present,
+    # which implies candidacy — so counting over the candidate-id union is
+    # both complete (candidates are a superset of matches) and precise (no
+    # per-(query, doc) candidacy re-check needed)
+    def verify(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch.column("doc_id"), value_set=all_ids))
+        if sub.num_rows == 0:
+            return _empty_out()
+        return counter(sub, text_column)
+
+    return docs.map_batches(verify, batch_format="pyarrow")

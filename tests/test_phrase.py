@@ -1,0 +1,121 @@
+"""Phrase (positional) search: scan path vs indexed path vs brute oracle."""
+
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from distributed_text_search_ray.config import IndexConfig
+from distributed_text_search_ray.pipelines.phrase import (
+    phrase_match_counts,
+    phrase_search_indexed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute(texts: dict[int, str], phrases) -> set[tuple[int, int, int]]:
+    def toks(s):
+        return re.findall(r"[a-z0-9_]+", s.lower())
+
+    out = set()
+    for qid, p in phrases:
+        pt = toks(p)
+        if not pt:
+            continue
+        for d, tx in texts.items():
+            tt = toks(tx)
+            n = sum(
+                1 for i in range(len(tt) - len(pt) + 1) if tt[i : i + len(pt)] == pt
+            )
+            if n:
+                out.add((qid, d, n))
+    return out
+
+
+def _rows(ds) -> set[tuple[int, int, int]]:
+    return {(r["query_id"], r["doc_id"], r["n_occurrences"]) for r in ds.take_all()}
+
+
+def test_phrase_scan_overlaps_and_boundaries():
+    """Overlapping matches each count (reference count semantics, SURVEY.md
+    section 8.2); matches never straddle documents; repeated-token phrases
+    work; punctuation-split tokens match across the split."""
+    texts = {
+        1: "ab ab ab ab",          # "ab ab" occurs 3x (overlapping)
+        2: "xx yy; xx, yy",        # "yy xx" occurs once, across punctuation
+        3: "lone",
+        4: "ab",                   # half of "ab ab" at a doc end
+        5: "",                     # empty doc
+    }
+    phrases = [(0, "ab ab"), (1, "yy xx"), (2, "lone"), (3, "missing pair")]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), type=pa.int64()),
+                "content": pa.array(list(texts.values()), type=pa.string()),
+            }
+        )
+    )
+    got = _rows(phrase_match_counts(ds, phrases))
+    assert got == {(0, 1, 3), (1, 2, 1), (2, 3, 1)}
+    assert got == _brute(texts, phrases)
+
+
+def test_phrase_indexed_matches_scan(code_corpus, tmp_path):
+    from distributed_text_search_ray.pipelines.build import build_index
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx")
+    build_index(corpus_dir, idx, IndexConfig(num_partitions=4))
+    docs = corpus_docs(corpus_dir)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                "content": pa.array([c for _, c in docs], type=pa.string()),
+            }
+        )
+    )
+    # pick a real bigram from the corpus so matches exist
+    first_tokens = re.findall(r"[a-z0-9_]+", docs[0][1].lower())
+    real_bigram = " ".join(first_tokens[:2])
+    phrases = [(0, real_bigram), (1, first_tokens[0]), (2, "zz_missing qq_missing")]
+    scan = _rows(phrase_match_counts(ds, phrases))
+    indexed = _rows(phrase_search_indexed(idx, ds, phrases))
+    assert scan  # the bigram construction found something
+    assert indexed == scan == _brute(dict(docs), phrases)
+
+
+def test_phrase_candidates_prune(code_corpus, tmp_path):
+    """The indexed path's candidate stage must bound verification work by
+    the rarest term's df — a phrase containing a unique term yields exactly
+    that term's df candidates, not the whole corpus."""
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.phrase import _PhraseCandidates
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx")
+    build_index(corpus_dir, idx, IndexConfig(num_partitions=4))
+    docs = corpus_docs(corpus_dir)
+    # find a token appearing in few docs
+    from collections import Counter
+
+    df = Counter()
+    for _, c in docs:
+        df.update(set(re.findall(r"[a-z0-9_]+", c.lower())))
+    rare = min(df, key=lambda t: (df[t], t))
+    common = max(df, key=lambda t: (df[t], t))
+    stage = _PhraseCandidates(idx)
+    out = stage(
+        pa.table(
+            {
+                "query_id": pa.array([0], type=pa.int64()),
+                "query": pa.array([f"{common} {rare}"], type=pa.string()),
+            }
+        )
+    )
+    assert out.num_rows <= df[rare] < len(docs)
