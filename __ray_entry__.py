@@ -63,6 +63,14 @@ PHRASE_QUERIES = [
     (3, "zzz missing phrase"),
 ]
 
+BOOLEAN_QUERIES = [
+    (0, "customer AND value"),
+    (1, "spark OR vector"),
+    (2, "table AND NOT join"),
+    (3, "customer AND value OR vector AND NOT the"),  # precedence: AND > OR
+    (4, "zzzmissing OR customer"),
+]
+
 TOK_SQL = "list_filter(string_split_regex(lower({col}), '[^a-z0-9_]+'), x -> x <> '')"
 
 _CACHE_ROOT = "/tmp/dts_ray_cache"
@@ -295,6 +303,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phrase_search_indexed(_index_for(sf_dir), _docs_ds(sf_dir), PHRASE_QUERIES)
 
+    def boolean_match(sf_dir):
+        from distributed_text_search_ray.pipelines.boolquery import boolean_search
+
+        return boolean_search(_index_for(sf_dir), BOOLEAN_QUERIES)
+
     def _ann_queries(sf_dir):
         t = pq.read_table(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -404,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": fingerprints,
         "phrase_counts": phrase_counts,
         "phrase_counts_indexed": phrase_counts_indexed,
+        "boolean_match": boolean_match,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
@@ -695,6 +709,12 @@ tokp AS (
         + "\nUNION ALL\n".join(phrase_selects)
     )
 
+    from distributed_text_search_ray.pipelines.boolquery import boolean_query_sql
+
+    boolean_sql = "\nUNION ALL\n".join(
+        boolean_query_sql(q, qid, TOK_SQL) for qid, q in BOOLEAN_QUERIES
+    )
+
     ann = f"""
 WITH q AS (
   SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings
@@ -848,6 +868,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "ngram_jaccard_dup": ngram_jaccard,
         "phrase_counts": phrase_sql,
         "phrase_counts_indexed": phrase_sql,
+        "boolean_match": boolean_sql,
         "simhash_fp": simhash_fp_sql,
         "simhash_near_dup": simhash_pairs_sql,
         "ann_cosine_topk": ann,

@@ -1,0 +1,180 @@
+"""Boolean retrieval over the inverted index: AND / OR / AND-NOT queries.
+
+The reference answers only "count windows within distance k" per pattern;
+a fulltext engine additionally needs set-algebra document retrieval. Queries
+use a minimal grammar (uppercase keywords; precedence NOT > AND > OR, no
+parentheses)::
+
+    expr := conj (OR conj)*
+    conj := lit (AND lit)*
+    lit  := [NOT] term
+
+Pure-negative conjunctions ("NOT x", "NOT x AND NOT y") are rejected at
+parse time: complements need the full doc-id universe, which an index
+partition doesn't hold — the standard IR restriction (negation only
+narrows a positive result).
+
+Evaluation is posting-list set algebra on the loaded ``IndexView`` inside
+an actor pool (same no-shuffle hash-routed read path as BM25): AND =
+``np.intersect1d`` rarest-first (intermediates bounded by the rarest
+term's df), OR = ``np.union1d``, AND NOT = ``np.setdiff1d``. Terms are
+run through the index analyzer, so "Value" matches the term "value".
+
+The same parsed AST also generates the DuckDB oracle SQL
+(``__ray_entry__.oracle_sql``), so engine and oracle can never disagree
+about what a query means.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from distributed_text_search_ray.util import resolve_concurrency
+
+
+@dataclass(frozen=True)
+class Lit:
+    term: str
+    negated: bool
+
+
+def parse_boolean_query(query: str) -> list[list[Lit]]:
+    """Parse to disjunctive normal form: a list of OR'd conjunctions, each a
+    list of literals. Raises ValueError on empty/invalid/pure-negative input."""
+    toks = query.split()
+    if not toks:
+        raise ValueError("empty boolean query")
+    groups: list[list[Lit]] = [[]]
+    expect_term = True
+    negate = False
+    for t in toks:
+        if t == "OR":
+            if expect_term or not groups[-1]:
+                raise ValueError(f"misplaced OR in {query!r}")
+            groups.append([])
+            expect_term = True
+        elif t == "AND":
+            if expect_term:
+                raise ValueError(f"misplaced AND in {query!r}")
+            expect_term = True
+        elif t == "NOT":
+            if not expect_term or negate:
+                raise ValueError(f"misplaced NOT in {query!r}")
+            negate = True
+        else:
+            if not expect_term:
+                raise ValueError(f"expected AND/OR before {t!r} in {query!r}")
+            groups[-1].append(Lit(t, negate))
+            negate = False
+            expect_term = False
+    if expect_term:
+        raise ValueError(f"dangling operator in {query!r}")
+    for g in groups:
+        if all(l.negated for l in g):
+            raise ValueError(f"pure-negative conjunction in {query!r}")
+    return groups
+
+
+class _BooleanExecutor:
+    """Actor-pool stage: (query_id, query) rows -> (query_id, doc_id) rows."""
+
+    def __init__(self, index_dir: str):
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+        from distributed_text_search_ray.stages.executor import IndexView
+
+        self.view = IndexView(index_dir)
+        self.tokenizer = Tokenizer(self.view.cfg.analyzer)
+
+    def _analyze(self, term: str) -> str:
+        toks = self.tokenizer.tokens(term)
+        if len(toks) != 1:
+            raise ValueError(f"boolean literal {term!r} is not a single term")
+        return toks[0]
+
+    def _term_docs(self, term: str) -> np.ndarray:
+        return self.view.term_postings(self._analyze(term))[0]
+
+    def _eval_conj(self, conj: list[Lit]) -> np.ndarray:
+        pos = [l.term for l in conj if not l.negated]
+        neg = [l.term for l in conj if l.negated]
+        # rarest-first keeps every intermediate <= the rarest term's df
+        pos_docs = sorted((self._term_docs(t) for t in pos), key=len)
+        acc = pos_docs[0]
+        for d in pos_docs[1:]:
+            if not len(acc):
+                return acc
+            acc = np.intersect1d(acc, d, assume_unique=True)
+        for t in neg:
+            if not len(acc):
+                return acc
+            acc = np.setdiff1d(acc, self._term_docs(t), assume_unique=True)
+        return acc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_d = [], []
+        for qid, q in zip(
+            batch.column("query_id").to_pylist(), batch.column("query").to_pylist()
+        ):
+            groups = parse_boolean_query(q)
+            acc = self._eval_conj(groups[0])
+            for g in groups[1:]:
+                acc = np.union1d(acc, self._eval_conj(g))
+            out_q.extend([int(qid)] * len(acc))
+            out_d.extend(acc.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+
+def boolean_search(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]],
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """(query_id, doc_id) for every doc satisfying each boolean query."""
+    items = [{"query_id": int(q), "query": str(s)} for q, s in queries]
+    return ray.data.from_items(items).map_batches(
+        _BooleanExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+def boolean_query_sql(
+    query: str, query_id: int, tok_sql: str, analyzer=None
+) -> str:
+    """DuckDB oracle for one boolean query, generated from the SAME parse.
+
+    ``tok_sql`` is the engine-equivalent SQL tokenizer expression over a
+    column named ``text`` (list of terms)."""
+    from distributed_text_search_ray.config import AnalyzerConfig
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+    tk = Tokenizer(analyzer or AnalyzerConfig())
+
+    def pred(lit: Lit) -> str:
+        toks = tk.tokens(lit.term)
+        assert len(toks) == 1
+        inop = "NOT IN" if lit.negated else "IN"
+        return (
+            f"d.doc_id {inop} (SELECT doc_id FROM documents dd, "
+            f"unnest({tok_sql.format(col='dd.text')}) AS u(term) WHERE u.term = '{toks[0]}')"
+        )
+
+    groups = parse_boolean_query(query)
+    expr = " OR ".join(
+        "(" + " AND ".join(pred(l) for l in g) + ")" for g in groups
+    )
+    return (
+        f"SELECT {query_id}::BIGINT query_id, d.doc_id FROM documents d WHERE {expr}"
+    )

@@ -1,0 +1,90 @@
+"""Boolean retrieval: grammar, precedence, and index-eval vs brute force."""
+
+import re
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from distributed_text_search_ray.config import IndexConfig
+from distributed_text_search_ray.pipelines.boolquery import (
+    Lit,
+    boolean_search,
+    parse_boolean_query,
+)
+
+
+def test_parse_dnf_and_precedence():
+    assert parse_boolean_query("a") == [[Lit("a", False)]]
+    assert parse_boolean_query("a AND b OR c") == [
+        [Lit("a", False), Lit("b", False)],
+        [Lit("c", False)],
+    ]
+    assert parse_boolean_query("a AND NOT b") == [[Lit("a", False), Lit("b", True)]]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["", "AND x", "x OR", "NOT x", "x AND NOT NOT y", "a b", "x OR NOT y", "OR x"],
+)
+def test_parse_rejects_invalid(bad):
+    with pytest.raises(ValueError):
+        parse_boolean_query(bad)
+
+
+def test_boolean_search_matches_brute(code_corpus, tmp_path):
+    from distributed_text_search_ray.pipelines.build import build_index
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx")
+    build_index(corpus_dir, idx, IndexConfig(num_partitions=4))
+    docs = corpus_docs(corpus_dir)
+    toksets = {d: set(re.findall(r"[a-z0-9_]+", c.lower())) for d, c in docs}
+    # pick three real terms with different dfs
+    from collections import Counter
+
+    df = Counter(t for s in toksets.values() for t in s)
+    terms = [t for t, _ in df.most_common()]
+    a, b, c = terms[0], terms[len(terms) // 2], terms[-1]
+    queries = [
+        (0, f"{a} AND {b}"),
+        (1, f"{b} OR {c}"),
+        (2, f"{a} AND NOT {b}"),
+        (3, f"{a} AND {b} OR {c} AND NOT {a}"),
+        (4, f"zzz_never_a_term OR {c}"),
+    ]
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in boolean_search(idx, queries).take_all()
+    }
+    want = set()
+    for d, s in toksets.items():
+        if a in s and b in s:
+            want.add((0, d))
+        if b in s or c in s:
+            want.add((1, d))
+        if a in s and b not in s:
+            want.add((2, d))
+        if (a in s and b in s) or (c in s and a not in s):
+            want.add((3, d))
+        if c in s:
+            want.add((4, d))
+    assert got == want
+    assert want  # non-trivial fixture
+
+
+def test_boolean_search_analyzer_folds_case(code_corpus, tmp_path):
+    from distributed_text_search_ray.pipelines.build import build_index
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx")
+    build_index(corpus_dir, idx, IndexConfig(num_partitions=4))
+    docs = corpus_docs(corpus_dir)
+    term = next(iter(re.findall(r"[a-z0-9_]+", docs[0][1].lower())))
+    lower = boolean_search(idx, [(0, term)]).take_all()
+    upper = boolean_search(idx, [(0, term.upper())]).take_all()
+    assert lower and sorted(map(tuple, (r.values() for r in lower))) == sorted(
+        map(tuple, (r.values() for r in upper))
+    )
