@@ -63,6 +63,13 @@ PHRASE_QUERIES = [
     (3, "zzz missing phrase"),
 ]
 
+REGEX_QUERIES = [
+    (0, "[0-9]+"),
+    (1, "cust[a-z]*"),
+    (2, "(?:spark|vector) "),
+    (3, "zzz_never_matches"),
+]
+
 BOOLEAN_QUERIES = [
     (0, "customer AND value"),
     (1, "spark OR vector"),
@@ -130,7 +137,12 @@ def _index_for(sf_dir: str) -> str:
         with open(marker, "w") as f:
             json.dump(sig, f)
     index_dir = os.path.join(root, "index")
-    cfg = IndexConfig(num_partitions=8, salt_buckets=2, salt_df_threshold=0.5)
+    cfg = IndexConfig(
+        num_partitions=8,
+        salt_buckets=2,
+        salt_df_threshold=0.5,
+        attribute_columns=("lang",),
+    )
     build_index(corpus_dir, index_dir, cfg)
     return index_dir
 
@@ -190,6 +202,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def bm25_topk_wand(sf_dir):
         return _bm25(sf_dir, "wand")
+
+    def bm25_topk_filtered(sf_dir):
+        from distributed_text_search_ray.pipelines.search import search_topk_filtered
+
+        index_dir = _index_for(sf_dir)
+        rows = search_topk_filtered(
+            index_dir, BM25_QUERIES, attr="lang", value="es", topk=BM25_TOPK + 10
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
 
     def apm_counts(sf_dir):
         import ray.data
@@ -308,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return boolean_search(_index_for(sf_dir), BOOLEAN_QUERIES)
 
+    def regex_counts(sf_dir):
+        return textstats.regex_match_counts(_docs_ds(sf_dir), REGEX_QUERIES)
+
     def _ann_queries(sf_dir):
         t = pq.read_table(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -396,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": embedding_dup_pairs,
         "media_features": media_features,
         "bm25_topk_wand": bm25_topk_wand,
+        "bm25_topk_filtered": bm25_topk_filtered,
         "apm_counts": apm_counts,
         "apm_counts_concat": apm_counts_concat,
         "fuzzy_term_stats": fuzzy_term_stats,
@@ -418,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_counts": phrase_counts,
         "phrase_counts_indexed": phrase_counts_indexed,
         "boolean_match": boolean_match,
+        "regex_counts": regex_counts,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
@@ -480,6 +506,15 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 
 def oracle_sql() -> dict[str, str]:
     bm25 = _BM25_SQL.format(queries=_values(BM25_QUERIES))
+
+    # filtered search: same global df/N/avgdl (scores unchanged), scored doc
+    # set restricted to lang='es' — splice the restriction into the sc CTE
+    bm25_filtered = bm25.replace(
+        "JOIN dl ON dl.doc_id = tf.doc_id, stats s",
+        "JOIN dl ON dl.doc_id = tf.doc_id"
+        " JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang = 'es', stats s",
+    )
+    assert bm25_filtered != bm25
 
     apm = f"""
 WITH pats(query_id, p, k) AS (VALUES {_values(APM_PATTERNS)})
@@ -715,6 +750,13 @@ tokp AS (
         boolean_query_sql(q, qid, TOK_SQL) for qid, q in BOOLEAN_QUERIES
     )
 
+    regex_sql = "\nUNION ALL\n".join(
+        f"SELECT {qid}::BIGINT query_id, doc_id, "
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT n_matches "
+        f"FROM documents WHERE len(regexp_extract_all(text, '{pat}')) > 0"
+        for qid, pat in REGEX_QUERIES
+    )
+
     ann = f"""
 WITH q AS (
   SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings
@@ -847,6 +889,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "asof_purchase_click": asof,
         "range_join_1h": range_join,
         "bm25_topk_wand": bm25,
+        "bm25_topk_filtered": bm25_filtered,
         "revenue_by_nation": revenue_nation,
         "sessionize_30m": sessions,
         "embedding_dup_pairs": emb_dups,
@@ -869,6 +912,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "phrase_counts": phrase_sql,
         "phrase_counts_indexed": phrase_sql,
         "boolean_match": boolean_sql,
+        "regex_counts": regex_sql,
         "simhash_fp": simhash_fp_sql,
         "simhash_near_dup": simhash_pairs_sql,
         "ann_cosine_topk": ann,

@@ -54,6 +54,10 @@ class IndexConfig:
     bm25_k1: float = 1.2
     bm25_b: float = 0.75
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    # doc-metadata columns copied into a per-shard attribute sidecar at build
+    # (attributes/<shard>.attrs.parquet) for filtered search; columns absent
+    # from a shard's schema are skipped (recorded in the shard manifest)
+    attribute_columns: tuple = ()
 
     def fingerprint(self) -> str:
         d = asdict(self)

@@ -194,6 +194,102 @@ class FuzzyTopkExecutor(QueryExecutor):
         )
 
 
+class _FilteredView:
+    """IndexView proxy restricting every posting list to an allowed doc-id
+    set (sorted array, membership via searchsorted). Global stats (N, avgdl,
+    df) stay UNfiltered, so a doc's score is identical to its unfiltered
+    score — filtered search = the unfiltered ranking restricted to the
+    allowed set, the standard engine semantics (and what the SQL oracle
+    computes). Wraps only what taat/maxscore touch; block-decode ("wand")
+    mode goes through the base executor unfiltered."""
+
+    def __init__(self, view, allowed_sorted: np.ndarray):
+        self._view = view
+        self._allowed = allowed_sorted
+
+    def __getattr__(self, name):
+        return getattr(self._view, name)
+
+    def term_postings(self, term: str):
+        docs, tfs, dls, df = self._view.term_postings(term)
+        if not len(docs) or not len(self._allowed):
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z, df
+        pos = np.searchsorted(self._allowed, docs)
+        pos_c = np.minimum(pos, len(self._allowed) - 1)
+        keep = self._allowed[pos_c] == docs
+        return docs[keep], tfs[keep], dls[keep], df
+
+
+def load_attribute_ids(index_dir: str, attr: str, value: str) -> np.ndarray:
+    """Sorted doc ids whose build-time attribute equals ``value`` (from the
+    attributes/ sidecar written when ``IndexConfig.attribute_columns`` is
+    set). At 10^12 docs this per-value array wants range-partitioned storage
+    (load only the ranges overlapping the postings being scored) — the
+    sidecar files are already per-shard, so that refinement is a reader
+    change, not a format change."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    attr_dir = os.path.join(index_dir, "attributes")
+    files = sorted(_glob.glob(os.path.join(attr_dir, "*.attrs.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"no attribute sidecar under {attr_dir}; build with "
+            f"IndexConfig(attribute_columns=({attr!r},))"
+        )
+    chunks = []
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", attr])
+        chunks.append(
+            t.filter(pc.equal(t.column(attr), value)).column("doc_id").to_numpy()
+        )
+    return np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+
+
+class FilteredQueryExecutor(QueryExecutor):
+    """Actor-pool stage: top-k BM25 restricted to docs whose sidecar
+    attribute matches. Allowed-id arrays load once per (attr, value) per
+    actor (LRU by insertion; the vocabulary of filter values is small)."""
+
+    def __init__(self, index_dir: str, attr: str, value: str, topk: int = 10, mode: str = "maxscore"):
+        if mode == "wand":
+            raise ValueError("filtered search supports taat/maxscore modes")
+        super().__init__(index_dir, topk=topk, mode=mode)
+        self._base_view = self.view
+        allowed = load_attribute_ids(index_dir, attr, value)
+        self.view = _FilteredView(self._base_view, allowed)
+
+
+def search_topk_filtered(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    attr: str,
+    value: str,
+    topk: int = 10,
+    mode: str = "maxscore",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k BM25 over only the docs whose ``attr`` equals ``value``
+    (e.g. lang="py"). Scores equal the unfiltered scores of the same docs;
+    ranking is the unfiltered ranking restricted to the allowed set."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        FilteredQueryExecutor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "attr": attr,
+            "value": value,
+            "topk": topk,
+            "mode": mode,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 def fetch_docs(
     corpus_path: str, doc_ids: Iterable[int], columns: list[str] | None = None
 ) -> ray.data.Dataset:

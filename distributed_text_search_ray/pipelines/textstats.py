@@ -35,6 +35,53 @@ _STOPSET = frozenset(STOPWORDS)
 _LANG_SETS = {lang: frozenset(ws) for lang, ws in LANG_STOPWORDS.items()}
 
 
+_regex_cache: dict = {}
+
+
+def _compiled(pattern: str):
+    import re
+
+    rx = _regex_cache.get(pattern)
+    if rx is None:
+        rx = _regex_cache[pattern] = re.compile(pattern)
+    return rx
+
+
+def regex_match_counts(
+    docs: ray.data.Dataset, patterns: list[tuple[int, str]]
+) -> ray.data.Dataset:
+    """(query_id, doc_id, n_matches) for docs with >= 1 regex match.
+
+    Leftmost non-overlapping match counting over the RAW text — the same
+    semantics as DuckDB ``regexp_extract_all`` (RE2), so patterns restricted
+    to the common ``re``/RE2 syntax subset are SQL-oracle-checkable. The
+    scan is a single-pass ``map_batches`` (regex work is inherently
+    per-string; patterns compile once per worker via a process cache, the
+    VERDICT setup-in-``__call__`` rule)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("content").to_pylist()
+        out_q, out_d, out_n = [], [], []
+        for qid, pat in patterns:
+            rx = _compiled(pat)
+            for d, t in zip(ids, texts):
+                n = sum(1 for _ in rx.finditer(t))
+                if n:
+                    out_q.append(int(qid))
+                    out_d.append(d)
+                    out_n.append(n)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "n_matches": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def token_counts(
     docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None
 ) -> ray.data.Dataset:

@@ -137,6 +137,14 @@ class TokenizeShard:
         pf = pq.ParquetFile(file)
         has_doc_id = "doc_id" in pf.schema_arrow.names
         cols = (["doc_id"] if has_doc_id else ["repo", "path"]) + ["content"]
+        # doc-attribute sidecar for filtered search: copy the configured
+        # metadata columns (those present in this shard) alongside doc_id
+        attr_cols = [
+            c for c in tuple(self.cfg.attribute_columns) if c in pf.schema_arrow.names
+        ]
+        cols += attr_cols
+        attr_id_chunks: list[np.ndarray] = []
+        attr_val_chunks: dict[str, list[pa.Array]] = {c: [] for c in attr_cols}
         # Python strings live only within one chunk — each chunk is converted
         # to Arrow immediately, so a 32-task node never holds millions of
         # PyObjects concurrently (that allocator pressure halved tokenize
@@ -160,6 +168,10 @@ class TokenizeShard:
                     dtype=np.int64,
                     count=len(t),
                 )
+            if attr_cols:
+                attr_id_chunks.append(np.asarray(ids, dtype=np.int64))
+                for c in attr_cols:
+                    attr_val_chunks[c].append(t.column(c).combine_chunks())
             terms, pdoc, tfs, dls, counts = batch_pairs_dict(self.tokenizer, ids, texts)
             term_chunks.append(terms)
             doc_chunks.append(pdoc)
@@ -217,6 +229,32 @@ class TokenizeShard:
             part_row_groups.setdefault(str(p), []).append(rg)
         writer.close()
         os.replace(tmp, os.path.join(self.pairs_dir, fname))
+        attrs_file = None
+        if attr_cols:
+            attr_dir = os.path.join(os.path.dirname(self.pairs_dir), "attributes")
+            os.makedirs(attr_dir, exist_ok=True)
+            attrs_file = f"{safe}.attrs.parquet"
+            attr_tbl = pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.concatenate(attr_id_chunks)
+                        if attr_id_chunks
+                        else np.empty(0, np.int64),
+                        type=pa.int64(),
+                    ),
+                    **{
+                        c: pa.concat_arrays(
+                            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in chunks]
+                        )
+                        if chunks
+                        else pa.array([], type=pa.string())
+                        for c, chunks in attr_val_chunks.items()
+                    },
+                }
+            )
+            atmp = os.path.join(attr_dir, f".tmp-{attrs_file}")
+            pq.write_table(attr_tbl, atmp)
+            os.replace(atmp, os.path.join(attr_dir, attrs_file))
         mf.write_manifest_file(
             man_path,
             {
@@ -231,6 +269,8 @@ class TokenizeShard:
                 "salted_terms": sorted(salted),
                 "pairs_file": fname,
                 "part_row_groups": part_row_groups,
+                "attrs_file": attrs_file,
+                "attributes": attr_cols,
             },
         )
         return {

@@ -1,0 +1,98 @@
+"""Attribute-filtered BM25: sidecar build + filtered top-k vs brute oracle."""
+
+import numpy as np
+import pytest
+
+from distributed_text_search_ray.config import IndexConfig
+from distributed_text_search_ray.pipelines.build import build_index
+from distributed_text_search_ray.pipelines.search import (
+    load_attribute_ids,
+    search_topk,
+    search_topk_filtered,
+)
+
+
+@pytest.fixture(scope="module")
+def attr_index(code_corpus, tmp_path_factory):
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path_factory.mktemp("fidx") / "idx")
+    cfg = IndexConfig(num_partitions=4, attribute_columns=("lang",))
+    rep = build_index(corpus_dir, idx, cfg)
+    return corpus_dir, idx, rep
+
+
+def _lang_of_docs(corpus_dir):
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray.sources.corpus import corpus_files
+
+    out = {}
+    for f in corpus_files(corpus_dir):
+        t = pq.read_table(f, columns=["repo", "path", "lang"])
+        from distributed_text_search_ray.functions.hashing import doc_fingerprint
+
+        for r in t.to_pylist():
+            out[doc_fingerprint(r["repo"], r["path"])] = r["lang"]
+    return out
+
+
+def test_attribute_sidecar_written_and_loadable(attr_index, code_corpus):
+    corpus_dir, idx, _ = attr_index
+    langs = _lang_of_docs(corpus_dir)
+    for value in sorted(set(langs.values())):
+        ids = load_attribute_ids(idx, "lang", value)
+        want = np.sort(np.array([d for d, l in langs.items() if l == value]))
+        assert np.array_equal(ids, want)
+
+
+def test_filtered_topk_is_unfiltered_ranking_restricted(attr_index, code_corpus):
+    corpus_dir, idx, _ = attr_index
+    langs = _lang_of_docs(corpus_dir)
+    queries = [(0, "def return"), (1, "import")]
+    # unfiltered ranking with a huge k = full scored list
+    full = search_topk(idx, queries, topk=10_000, mode="taat").take_all()
+    for value in ("py", "c"):
+        got = [
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in sorted(
+                search_topk_filtered(idx, queries, "lang", value, topk=5).take_all(),
+                key=lambda r: (r["query_id"], r["rank"]),
+            )
+        ]
+        want = []
+        for qid in (0, 1):
+            kept = [
+                r for r in full if r["query_id"] == qid and langs[r["doc_id"]] == value
+            ]
+            kept.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            for i, r in enumerate(kept[:5], start=1):
+                want.append((qid, i, r["doc_id"], r["score"]))
+        assert got == want
+        assert want  # fixture yields matches in both langs
+
+
+def test_filtered_modes_agree(attr_index):
+    _, idx, _ = attr_index
+    queries = [(0, "def return import")]
+    taat = search_topk_filtered(idx, queries, "lang", "py", topk=5, mode="taat").take_all()
+    ms = search_topk_filtered(idx, queries, "lang", "py", topk=5, mode="maxscore").take_all()
+    assert [tuple(r.values()) for r in taat] == [tuple(r.values()) for r in ms]
+    with pytest.raises(Exception):
+        search_topk_filtered(idx, queries, "lang", "py", mode="wand").take_all()
+
+
+def test_missing_sidecar_raises(code_corpus, tmp_path):
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx")
+    build_index(corpus_dir, idx, IndexConfig(num_partitions=4))  # no attrs
+    with pytest.raises(FileNotFoundError):
+        load_attribute_ids(idx, "lang", "py")
+
+
+def test_sidecar_survives_resume(attr_index):
+    corpus_dir, idx, _ = attr_index
+    rep2 = build_index(
+        corpus_dir, idx, IndexConfig(num_partitions=4, attribute_columns=("lang",))
+    )
+    assert rep2.get("skipped")
+    assert len(load_attribute_ids(idx, "lang", "py")) > 0
