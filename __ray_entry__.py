@@ -332,6 +332,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def regex_counts(sf_dir):
         return textstats.regex_match_counts(_docs_ds(sf_dir), REGEX_QUERIES)
 
+    def facet_lang(sf_dir):
+        from distributed_text_search_ray.pipelines.boolquery import facet_counts
+
+        return facet_counts(_index_for(sf_dir), BOOLEAN_QUERIES, attr="lang")
+
     def _ann_queries(sf_dir):
         t = pq.read_table(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -444,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_counts_indexed": phrase_counts_indexed,
         "boolean_match": boolean_match,
         "regex_counts": regex_counts,
+        "facet_lang": facet_lang,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
@@ -750,6 +756,15 @@ tokp AS (
         boolean_query_sql(q, qid, TOK_SQL) for qid, q in BOOLEAN_QUERIES
     )
 
+    facet_sql = f"""
+WITH matches AS (
+{boolean_sql}
+)
+SELECT m.query_id, d.lang AS value, count(*)::BIGINT n_docs
+FROM matches m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
     regex_sql = "\nUNION ALL\n".join(
         f"SELECT {qid}::BIGINT query_id, doc_id, "
         f"len(regexp_extract_all(text, '{pat}'))::BIGINT n_matches "
@@ -913,6 +928,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "phrase_counts_indexed": phrase_sql,
         "boolean_match": boolean_sql,
         "regex_counts": regex_sql,
+        "facet_lang": facet_sql,
         "simhash_fp": simhash_fp_sql,
         "simhash_near_dup": simhash_pairs_sql,
         "ann_cosine_topk": ann,

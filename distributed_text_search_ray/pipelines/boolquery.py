@@ -150,6 +150,81 @@ def boolean_search(
     )
 
 
+class _FacetExecutor(_BooleanExecutor):
+    """Boolean matches rolled up per attribute value: (query_id, value,
+    n_docs). Attribute id-arrays load once per actor from the build-time
+    sidecar (small value vocabulary); per query the count per value is one
+    searchsorted membership pass over the match set."""
+
+    def __init__(self, index_dir: str, attr: str):
+        super().__init__(index_dir)
+        import glob
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        attr_dir = os.path.join(index_dir, "attributes")
+        files = sorted(glob.glob(os.path.join(attr_dir, "*.attrs.parquet")))
+        if not files:
+            raise FileNotFoundError(
+                f"no attribute sidecar under {attr_dir}; build with "
+                f"IndexConfig(attribute_columns=({attr!r},))"
+            )
+        by_value: dict[str, list[np.ndarray]] = {}
+        for f in files:
+            t = pq.read_table(f, columns=["doc_id", attr])
+            for v in pc.unique(t.column(attr)).to_pylist():
+                by_value.setdefault(v, []).append(
+                    t.filter(pc.equal(t.column(attr), v)).column("doc_id").to_numpy()
+                )
+        self.value_ids = {
+            v: np.sort(np.concatenate(chunks)) for v, chunks in by_value.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        matches = super().__call__(batch)
+        out_q, out_v, out_n = [], [], []
+        qids = matches.column("query_id").to_numpy()
+        docs = matches.column("doc_id").to_numpy()
+        for qid in np.unique(qids):
+            mdocs = np.sort(docs[qids == qid])
+            for v in sorted(self.value_ids):
+                ids = self.value_ids[v]
+                pos = np.searchsorted(ids, mdocs)
+                pos_c = np.minimum(pos, len(ids) - 1)
+                n = int((ids[pos_c] == mdocs).sum()) if len(ids) else 0
+                if n:
+                    out_q.append(int(qid))
+                    out_v.append(v)
+                    out_n.append(n)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "value": pa.array(out_v, type=pa.string()),
+                "n_docs": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+
+def facet_counts(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]],
+    attr: str,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """(query_id, value, n_docs): boolean-query matches faceted by a
+    build-time attribute (e.g. lang). Values with zero matches are omitted."""
+    items = [{"query_id": int(q), "query": str(s)} for q, s in queries]
+    return ray.data.from_items(items).map_batches(
+        _FacetExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "attr": attr},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 def boolean_query_sql(
     query: str, query_id: int, tok_sql: str, analyzer=None
 ) -> str:

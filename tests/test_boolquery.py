@@ -74,6 +74,41 @@ def test_boolean_search_matches_brute(code_corpus, tmp_path):
     assert want  # non-trivial fixture
 
 
+def test_facet_counts_match_brute(code_corpus, tmp_path):
+    from distributed_text_search_ray.pipelines.boolquery import facet_counts
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx")
+    from distributed_text_search_ray.pipelines.build import build_index
+
+    build_index(
+        corpus_dir, idx, IndexConfig(num_partitions=4, attribute_columns=("lang",))
+    )
+    docs = corpus_docs(corpus_dir)
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray.sources.corpus import corpus_files
+    from distributed_text_search_ray.functions.hashing import doc_fingerprint
+
+    langs = {}
+    for f in corpus_files(corpus_dir):
+        for r in pq.read_table(f, columns=["repo", "path", "lang"]).to_pylist():
+            langs[doc_fingerprint(r["repo"], r["path"])] = r["lang"]
+    toksets = {d: set(re.findall(r"[a-z0-9_]+", c.lower())) for d, c in docs}
+    from collections import Counter
+
+    df = Counter(t for s in toksets.values() for t in s)
+    a = df.most_common(1)[0][0]
+    got = {
+        (r["query_id"], r["value"]): r["n_docs"]
+        for r in facet_counts(idx, [(0, a)], attr="lang").take_all()
+    }
+    want = Counter(langs[d] for d, s in toksets.items() if a in s)
+    assert got == {(0, v): n for v, n in want.items()}
+    assert len(got) > 1  # fixture spans several langs
+
+
 def test_boolean_search_analyzer_folds_case(code_corpus, tmp_path):
     from distributed_text_search_ray.pipelines.build import build_index
     from tests.conftest import corpus_docs
