@@ -184,6 +184,61 @@ def _bm25(sf_dir: str, mode: str) -> pa.Table:
     return _rerank_rounded(rows, BM25_TOPK)
 
 
+def _merged_index_for(sf_dir: str) -> str:
+    """Split the cached corpus shards in half, build each half independently,
+    merge the two indexes. Salting is shard-local, so the merged index is
+    score-identical to the full build — letting the merge path share the
+    BM25 SQL oracle (the strongest gate available for a non-SQL operator)."""
+    import shutil
+
+    from distributed_text_search_ray.config import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.merge import merge_indexes
+    from distributed_text_search_ray.sources.corpus import corpus_files
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    _index_for(sf_dir)  # ensures the resharded corpus exists
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_CACHE_ROOT, key)
+    corpus_dir = os.path.join(root, "corpus")
+    with open(os.path.join(root, "source.json")) as f:
+        sig = json.load(f)
+    halves = [os.path.join(root, "corpus_half0"), os.path.join(root, "corpus_half1")]
+    for i, h in enumerate(halves):
+        marker = h + ".json"
+        have = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                have = json.load(f)
+        if have != sig:
+            # deterministic content split (doc_id parity), streamed through
+            # Ray — the halves need not align with shard boundaries: salting
+            # may then differ from the full build, but scores stay exact
+            # because global df is re-aggregated from the merged dictionary
+            shutil.rmtree(h, ignore_errors=True)
+            ds = ray.data.read_parquet(corpus_files(corpus_dir))
+            ds.map_batches(
+                lambda t, par=i: t.filter(
+                    pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), par)
+                ),
+                batch_format="pyarrow",
+            ).write_parquet(h)
+            with open(marker, "w") as f:
+                json.dump(sig, f)
+    cfg = IndexConfig(
+        num_partitions=8, salt_buckets=2, salt_df_threshold=0.5,
+        attribute_columns=("lang",),
+    )
+    idx = [os.path.join(root, f"index_half{i}") for i in range(2)]
+    for h, d in zip(halves, idx):
+        build_index(h, d, cfg)
+    merged = os.path.join(root, "index_merged")
+    merge_indexes(idx, merged)
+    return merged
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -202,6 +257,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def bm25_topk_wand(sf_dir):
         return _bm25(sf_dir, "wand")
+
+    def bm25_topk_merged(sf_dir):
+        from distributed_text_search_ray.pipelines.search import search_topk
+
+        index_dir = _merged_index_for(sf_dir)
+        rows = search_topk(index_dir, BM25_QUERIES, topk=BM25_TOPK + 10).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
 
     def bm25_topk_filtered(sf_dir):
         from distributed_text_search_ray.pipelines.search import search_topk_filtered
@@ -426,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_filtered": bm25_topk_filtered,
+        "bm25_topk_merged": bm25_topk_merged,
         "apm_counts": apm_counts,
         "apm_counts_concat": apm_counts_concat,
         "fuzzy_term_stats": fuzzy_term_stats,
@@ -905,6 +968,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "range_join_1h": range_join,
         "bm25_topk_wand": bm25,
         "bm25_topk_filtered": bm25_filtered,
+        "bm25_topk_merged": bm25,
         "revenue_by_nation": revenue_nation,
         "sessionize_30m": sessions,
         "embedding_dup_pairs": emb_dups,

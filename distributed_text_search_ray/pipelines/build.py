@@ -123,6 +123,8 @@ def build_index(
     expected_fp = {
         mf.safe_name(f): mf.shard_fingerprint(f, cfg.fingerprint()) for f in files
     }
+    os.makedirs(man_dir, exist_ok=True)  # zero-shard corpus: nothing tokenized
+    os.makedirs(pairs_dir, exist_ok=True)
     for name in sorted(os.listdir(man_dir)):
         if not name.endswith(".json"):
             continue

@@ -1,0 +1,285 @@
+"""Cross-index posting-segment merge — combine N built indexes into one.
+
+The north-star lifecycle names "checkpointed posting-segment merge" as a
+first-class build capability. Corpus APPEND is already covered by the
+resumable build (new shards tokenize, old shards skip via per-file
+fingerprints); this module covers the other direction: indexes built
+INDEPENDENTLY (per tenant, per date-partition, per cluster) merged into one
+queryable index without re-tokenizing anything.
+
+Requirements (validated): every source index is complete, shares the same
+``IndexConfig`` fingerprint (identical analyzer + partitioning, so term ->
+partition routing agrees), and covers a disjoint doc-id set (checked during
+the merge — overlapping (term, doc) pairs abort).
+
+Plan (Ray-Data-first, resumable):
+
+- one ``map_batches`` task per partition p: decode each source's
+  ``part=p`` segment back to its pair stream (``read_segment_pairs`` —
+  one vectorized varbyte decode per stream, NOT a per-term Python loop),
+  recode onto the union term dictionary, lexsort by (term, doc), re-encode
+  with ``build_segment_tables`` under the merged global stats (N, avgdl),
+  write atomically with a lineage manifest keyed by the merge fingerprint
+  (a killed merge resumes, skipping finished partitions);
+- driver-side (vocabulary-sized): merge the per-partition dictionaries,
+  recompute hot_df for the union of salted terms, write stats + meta;
+  attribute sidecars are copied with a per-source prefix.
+
+Scores after merge are identical to a from-scratch build over the union
+corpus whenever per-shard salting decisions agree (they are shard-local,
+so the same shards give the same decisions) — pinned by
+``tests/test_merge.py::test_merged_index_equals_full_build``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import asdict
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from distributed_text_search_ray.config import IndexConfig
+from distributed_text_search_ray.stages.executor import config_from_meta, load_meta
+from distributed_text_search_ray.state import manifest as mf
+from distributed_text_search_ray.state.segment import (
+    build_segment_tables,
+    read_segment_pairs,
+    write_segment,
+)
+
+
+def _merge_fingerprint(metas: list[dict]) -> str:
+    h = hashlib.sha256()
+    for m in metas:
+        h.update(m["fingerprint"].encode())
+        h.update(b"|")
+    return "merge-" + h.hexdigest()[:16]
+
+
+class _MergePart:
+    """map_batches stage: one row = one partition to merge."""
+
+    def __init__(self, sources: list[str], out_dir: str, fingerprint: str,
+                 cfg: IndexConfig, N: int, avgdl: float):
+        self.sources = sources
+        self.out_dir = out_dir
+        self.fingerprint = fingerprint
+        self.cfg = cfg
+        self.N = N
+        self.avgdl = avgdl
+
+    def merge_part(self, part: int) -> dict:
+        seg_dir = os.path.join(self.out_dir, "segments", f"part={part:05d}")
+        if mf.is_complete(seg_dir, self.fingerprint):
+            m = mf.read_manifest(seg_dir)
+            return {"part": part, "n_terms": m["n_terms"],
+                    "n_postings": m["n_postings"], "skipped": True}
+        per_src = [
+            read_segment_pairs(os.path.join(s, "segments", f"part={part:05d}"))
+            for s in self.sources
+        ]
+        union: dict[str, int] = {}
+        for terms, _df, _d, _t, _l in per_src:
+            for t in terms:
+                union.setdefault(t, 0)
+        union_terms = sorted(union)
+        code_of = {t: i for i, t in enumerate(union_terms)}
+        codes_parts, docs_parts, tfs_parts, dls_parts = [], [], [], []
+        for terms, df, docs, tfs, dls in per_src:
+            if not len(docs):
+                continue
+            codes_parts.append(
+                np.repeat(
+                    np.fromiter((code_of[t] for t in terms), dtype=np.int64, count=len(terms)),
+                    df,
+                )
+            )
+            docs_parts.append(docs)
+            tfs_parts.append(tfs)
+            dls_parts.append(dls)
+        if codes_parts:
+            codes = np.concatenate(codes_parts)
+            docs = np.concatenate(docs_parts)
+            tfs = np.concatenate(tfs_parts)
+            dls = np.concatenate(dls_parts)
+            order = np.lexsort((docs, codes))
+            codes, docs, tfs, dls = codes[order], docs[order], tfs[order], dls[order]
+            dup = (np.diff(codes) == 0) & (np.diff(docs) == 0)
+            if dup.any():
+                raise ValueError(
+                    f"part {part}: {int(dup.sum())} overlapping (term, doc) pairs — "
+                    "merge requires disjoint doc-id sets across source indexes"
+                )
+        else:
+            codes = np.empty(0, np.int64)
+            docs = tfs = dls = np.empty(0, np.int64)
+        terms_table, docs_b, tfs_b, dls_b, stats = build_segment_tables(
+            codes, union_terms, docs, tfs, dls, self.N, self.avgdl, self.cfg
+        )
+        with mf.AtomicDir(seg_dir) as tmp:
+            checks = write_segment(tmp, terms_table, docs_b, tfs_b, dls_b)
+            mf.write_manifest(
+                tmp,
+                {
+                    "kind": "segment",
+                    "part": part,
+                    "fingerprint": self.fingerprint,
+                    "n_input_files": len(self.sources),
+                    "checksums": checks,
+                    **stats,
+                },
+            )
+        return {"part": part, "n_terms": stats["n_terms"],
+                "n_postings": stats["n_postings"], "skipped": False}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"part": [], "n_terms": [], "n_postings": [], "skipped": []}
+        for part in batch.column("part").to_pylist():
+            res = self.merge_part(int(part))
+            for k in out:
+                out[k].append(res[k])
+        return pa.table(
+            {
+                "part": pa.array(out["part"], type=pa.int64()),
+                "n_terms": pa.array(out["n_terms"], type=pa.int64()),
+                "n_postings": pa.array(out["n_postings"], type=pa.int64()),
+                "skipped": pa.array(out["skipped"]),
+            }
+        )
+
+
+def merge_indexes(sources: list[str], out_dir: str) -> dict:
+    """Merge complete, same-config, doc-disjoint indexes into ``out_dir``.
+
+    Returns a report (per-phase timings, totals). Resumable: finished
+    partitions are skipped on rerun via their lineage manifests."""
+    import pyarrow.parquet as pq
+
+    if len(sources) < 2:
+        raise ValueError("merge_indexes needs at least two source indexes")
+    metas = [load_meta(s) for s in sources]
+    for s, m in zip(sources, metas):
+        if not m.get("complete"):
+            raise ValueError(f"source index {s} is not complete")
+    cfgs = [config_from_meta(m) for m in metas]
+    fps = {c.fingerprint() for c in cfgs}
+    if len(fps) != 1:
+        raise ValueError(f"source configs differ (fingerprints {sorted(fps)})")
+    cfg = cfgs[0]
+    N = sum(int(m["N"]) for m in metas)
+    total_tokens = sum(int(m["total_tokens"]) for m in metas)
+    avgdl = total_tokens / N if N else 0.0
+    fp = _merge_fingerprint(metas)
+    os.makedirs(out_dir, exist_ok=True)
+    report: dict = {"fingerprint": fp, "phases": {}}
+
+    meta_path = os.path.join(out_dir, "index_meta.json")
+    if os.path.exists(meta_path):
+        meta = load_meta(out_dir)
+        if meta.get("fingerprint") == fp and meta.get("complete"):
+            report["skipped"] = True
+            report.update(meta)
+            return report
+
+    # ---- segments: one task per partition ----
+    t0 = time.perf_counter()
+    mf.gc_tmp_dirs(os.path.join(out_dir, "segments"))
+    stage = _MergePart(sources, out_dir, fp, cfg, N, avgdl)
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        return stage(batch)
+
+    results = (
+        ray.data.from_items([{"part": p} for p in range(cfg.num_partitions)])
+        .map_batches(merge_batch, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    report["phases"]["segments"] = {
+        "sec": time.perf_counter() - t0,
+        "built": sum(1 for r in results if not r["skipped"]),
+        "skipped": sum(1 for r in results if r["skipped"]),
+    }
+
+    # ---- dictionary + stats (vocabulary-sized, driver) ----
+    t0 = time.perf_counter()
+    dict_dir = os.path.join(out_dir, "dictionary")
+    terms_files = [
+        os.path.join(out_dir, "segments", f"part={p:05d}", "terms.parquet")
+        for p in range(cfg.num_partitions)
+    ]
+    t = pa.concat_tables(
+        pq.read_table(f, columns=["term", "df", "cf"]) for f in terms_files
+    )
+    g = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+    g = g.rename_columns(["term", "df", "cf"]).sort_by("term")
+    with mf.AtomicDir(dict_dir) as tmp:
+        pq.write_table(g, os.path.join(tmp, "dictionary.parquet"))
+        mf.write_manifest(tmp, {"kind": "dictionary", "fingerprint": fp})
+    hot_terms = set()
+    for m in metas:
+        hot_terms.update(m.get("hot_df", {}))
+    hot_df: dict[str, int] = {}
+    if hot_terms:
+        import pyarrow.compute as pc
+
+        sel = g.filter(pc.is_in(g.column("term"), value_set=pa.array(sorted(hot_terms))))
+        hot_df = {
+            t_: int(d)
+            for t_, d in zip(sel.column("term").to_pylist(), sel.column("df").to_pylist())
+        }
+    stats_path = os.path.join(out_dir, "stats.json")
+    with open(stats_path + ".tmp", "w") as f:
+        json.dump(
+            {"fingerprint": fp, "N": N, "total_tokens": total_tokens,
+             "avgdl": avgdl, "hot_df": hot_df},
+            f, indent=1, sort_keys=True,
+        )
+    os.replace(stats_path + ".tmp", stats_path)
+    report["phases"]["dictionary"] = {
+        "sec": time.perf_counter() - t0, "multi_part_terms": len(hot_df),
+    }
+
+    # ---- attribute sidecars: copy with a per-source prefix ----
+    for i, s in enumerate(sources):
+        src_attr = os.path.join(s, "attributes")
+        if os.path.isdir(src_attr):
+            dst_attr = os.path.join(out_dir, "attributes")
+            os.makedirs(dst_attr, exist_ok=True)
+            for name in sorted(os.listdir(src_attr)):
+                if name.endswith(".attrs.parquet"):
+                    shutil.copyfile(
+                        os.path.join(src_attr, name),
+                        os.path.join(dst_attr, f"m{i}-{name}"),
+                    )
+
+    # ---- finalize ----
+    part_stats = {}
+    max_doc_id = -1
+    for p in range(cfg.num_partitions):
+        m = mf.read_manifest(os.path.join(out_dir, "segments", f"part={p:05d}"))
+        part_stats[p] = {k: m[k] for k in ("n_terms", "n_postings", "sum_tf")}
+        max_doc_id = max(max_doc_id, m.get("max_doc_id", -1))
+    meta = {
+        "max_doc_id": max_doc_id,
+        "fingerprint": fp,
+        "merged_from": [m["fingerprint"] for m in metas],
+        "config": asdict(cfg),
+        "N": N,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        "hot_df": hot_df,
+        "num_partitions": cfg.num_partitions,
+        "part_stats": part_stats,
+        "complete": True,
+    }
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(meta_path + ".tmp", meta_path)
+    report.update(meta)
+    return report

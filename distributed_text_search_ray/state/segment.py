@@ -206,6 +206,42 @@ def write_segment(
     return checks
 
 
+def read_segment_pairs(seg_dir: str) -> tuple[list, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one segment back into its full (term, doc, tf, dl) pair stream
+    — the inverse of ``build_segment_tables``, fully vectorized (one varbyte
+    decode per stream + one segmented delta decode over all block starts).
+    Returns (term_strings, df_per_term, doc_ids, tfs, dls) with pairs grouped
+    by term in dictionary (sorted) order. Used by the segment-merge path."""
+    t = pq.read_table(os.path.join(seg_dir, TERMS_FILE), columns=["term", "df"])
+    md = t.schema.metadata or {}
+    B = int(md.get(b"block_size", b"128"))
+    terms = t.column("term").to_pylist()
+    df = t.column("df").to_numpy().astype(np.int64)
+    total = int(df.sum())
+    streams = {}
+    for name in STREAMS:
+        p = os.path.join(seg_dir, name)
+        streams[name] = (
+            np.fromfile(p, dtype=np.uint8)
+            if os.path.getsize(p)
+            else np.empty(0, dtype=np.uint8)
+        )
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return terms, df, z, z, z
+    deltas = varbyte_decode(streams["docs.bin"], count=total)
+    starts = np.concatenate(([0], np.cumsum(df)[:-1]))
+    n_blocks = (df + B - 1) // B
+    block_offsets = np.concatenate(([0], np.cumsum(n_blocks)))
+    block_term = np.repeat(np.arange(len(df)), n_blocks)
+    within = np.arange(block_offsets[-1], dtype=np.int64) - block_offsets[block_term]
+    block_starts = starts[block_term] + within * B
+    doc_ids = segmented_delta_decode(deltas, block_starts)
+    tfs = varbyte_decode(streams["tfs.bin"], count=total).astype(np.int64)
+    dls = varbyte_decode(streams["dls.bin"], count=total).astype(np.int64)
+    return terms, df, doc_ids, tfs, dls
+
+
 class SegmentReader:
     """Read-side view of one partition segment.
 

@@ -1,0 +1,78 @@
+"""Cross-index segment merge: merged == from-scratch build over the union."""
+
+import os
+import shutil
+
+import pytest
+
+from distributed_text_search_ray.config import IndexConfig
+from distributed_text_search_ray.pipelines.build import build_index
+from distributed_text_search_ray.pipelines.merge import merge_indexes
+from distributed_text_search_ray.pipelines.search import search_topk
+from distributed_text_search_ray.sources.corpus import corpus_files
+
+QUERIES = [(0, "def return value"), (1, "import"), (2, "zz_missing")]
+CFG = IndexConfig(num_partitions=4, attribute_columns=("lang",))
+
+
+@pytest.fixture(scope="module")
+def split_corpora(code_corpus, tmp_path_factory):
+    corpus_dir, _ = code_corpus
+    root = tmp_path_factory.mktemp("merge")
+    files = corpus_files(corpus_dir)
+    assert len(files) >= 4
+    half_a, half_b = str(root / "corpus_a"), str(root / "corpus_b")
+    os.makedirs(half_a), os.makedirs(half_b)
+    for i, f in enumerate(files):
+        shutil.copyfile(
+            f, os.path.join(half_a if i % 2 == 0 else half_b, os.path.basename(f))
+        )
+    return corpus_dir, half_a, half_b, str(root)
+
+
+def _results(index_dir):
+    rows = search_topk(index_dir, QUERIES, topk=10, mode="taat").take_all()
+    return sorted(tuple(r.values()) for r in rows)
+
+
+def test_merged_index_equals_full_build(split_corpora):
+    full_corpus, half_a, half_b, root = split_corpora
+    idx_a, idx_b = os.path.join(root, "idx_a"), os.path.join(root, "idx_b")
+    idx_full, idx_m = os.path.join(root, "idx_full"), os.path.join(root, "idx_m")
+    build_index(half_a, idx_a, CFG)
+    build_index(half_b, idx_b, CFG)
+    build_index(full_corpus, idx_full, CFG)
+    rep = merge_indexes([idx_a, idx_b], idx_m)
+    assert rep["complete"] and rep["N"] > 0
+    # rank- AND score-identical to the from-scratch union build
+    assert _results(idx_m) == _results(idx_full)
+    # merged global stats equal the full build's
+    from distributed_text_search_ray.pipelines.build import read_index_meta
+
+    mm, mf_ = read_index_meta(idx_m), read_index_meta(idx_full)
+    assert (mm["N"], mm["total_tokens"]) == (mf_["N"], mf_["total_tokens"])
+    # attribute sidecar rides along: filtered search works on the merge
+    from distributed_text_search_ray.pipelines.search import search_topk_filtered
+
+    f_m = search_topk_filtered(idx_m, QUERIES, "lang", "py", topk=5).take_all()
+    f_full = search_topk_filtered(idx_full, QUERIES, "lang", "py", topk=5).take_all()
+    assert sorted(map(tuple, (r.values() for r in f_m))) == sorted(
+        map(tuple, (r.values() for r in f_full))
+    )
+
+
+def test_merge_resumes_and_validates(split_corpora):
+    _full, half_a, half_b, root = split_corpora
+    idx_a, idx_b = os.path.join(root, "idx_a"), os.path.join(root, "idx_b")
+    idx_m = os.path.join(root, "idx_m")
+    # rerun: whole merge skips via the meta fingerprint
+    rep = merge_indexes([idx_a, idx_b], idx_m)
+    assert rep.get("skipped")
+    # overlapping doc sets abort
+    with pytest.raises(Exception, match="disjoint|overlapping"):
+        merge_indexes([idx_a, idx_a], os.path.join(root, "idx_dup"))
+    # config mismatch aborts
+    idx_other = os.path.join(root, "idx_other_cfg")
+    build_index(half_b, idx_other, IndexConfig(num_partitions=2))
+    with pytest.raises(ValueError, match="configs differ"):
+        merge_indexes([idx_a, idx_other], os.path.join(root, "idx_bad"))
