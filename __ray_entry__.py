@@ -386,6 +386,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phrase_search_indexed(_index_for(sf_dir), _docs_ds(sf_dir), PHRASE_QUERIES)
 
+    def search_snippets(sf_dir):
+        from distributed_text_search_ray.pipelines.search import attach_snippets
+
+        topk = _bm25(sf_dir, "taat")
+        return attach_snippets(_docs_ds(sf_dir), topk, BM25_QUERIES)
+
     def boolean_match(sf_dir):
         from distributed_text_search_ray.pipelines.boolquery import boolean_search
 
@@ -511,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_counts": phrase_counts,
         "phrase_counts_indexed": phrase_counts_indexed,
         "boolean_match": boolean_match,
+        "search_snippets": search_snippets,
         "regex_counts": regex_counts,
         "facet_lang": facet_lang,
         "ann_cosine_topk": ann_cosine_topk,
@@ -819,6 +826,30 @@ tokp AS (
         boolean_query_sql(q, qid, TOK_SQL) for qid, q in BOOLEAN_QUERIES
     )
 
+    # snippets: rank/doc from the bm25 ranked CTE; first-present-term window
+    # generated per query from the same term list the engine uses
+    def _snippet_expr(terms: list[str]) -> str:
+        whens = "".join(
+            f"\n  WHEN strpos(lower(d.text), '{t}') > 0 THEN "
+            f"substring(d.text, greatest(1, strpos(lower(d.text), '{t}') - 30), 80)"
+            for t in terms
+        )
+        return f"CASE{whens}\n  ELSE substring(d.text, 1, 80) END"
+
+    snippet_cases = "".join(
+        f"\n WHEN t.query_id = {qid} THEN {_snippet_expr(sorted(set(_phrase_terms(q))))}"
+        for qid, q in BM25_QUERIES
+    )
+    snippets_sql = f"""
+WITH topk AS (
+{bm25}
+)
+SELECT t.query_id, t.rank, t.doc_id,
+       CASE{snippet_cases}
+       END AS snippet
+FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+"""
+
     facet_sql = f"""
 WITH matches AS (
 {boolean_sql}
@@ -991,6 +1022,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "phrase_counts": phrase_sql,
         "phrase_counts_indexed": phrase_sql,
         "boolean_match": boolean_sql,
+        "search_snippets": snippets_sql,
         "regex_counts": regex_sql,
         "facet_lang": facet_sql,
         "simhash_fp": simhash_fp_sql,

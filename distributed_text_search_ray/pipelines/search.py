@@ -194,6 +194,73 @@ class FuzzyTopkExecutor(QueryExecutor):
         )
 
 
+def attach_snippets(
+    docs: ray.data.Dataset,
+    topk_rows: pa.Table,
+    queries: Iterable[tuple[int, str]],
+    analyzer=None,
+    before: int = 30,
+    length: int = 80,
+) -> ray.data.Dataset:
+    """Top-k results joined back to content with a context snippet.
+
+    For each (query_id, rank, doc_id) result row: take the query's distinct
+    terms in ascending order, find the first one occurring as a substring of
+    ``lower(content)`` (every scored doc contains at least one query term as
+    a token, and tokens are substrings of the lowercased text), and cut the
+    ``length``-char window starting ``before`` chars earlier. Substring (not
+    token-boundary) matching on purpose — it is exactly expressible in SQL
+    (strpos/substring are character-based in DuckDB, matching Python
+    slicing), so the whole operator is oracle-checkable.
+
+    The result table is the broadcast small side (top-k rows); content flows
+    through a single ``map_batches`` semi-join filter — no shuffle."""
+    from distributed_text_search_ray.config import AnalyzerConfig
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+    tk = Tokenizer(analyzer or AnalyzerConfig())
+    qterms = {int(q): sorted(set(tk.tokens(s))) for q, s in queries}
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for qid, rank, doc in zip(
+        topk_rows.column("query_id").to_pylist(),
+        topk_rows.column("rank").to_pylist(),
+        topk_rows.column("doc_id").to_pylist(),
+    ):
+        by_doc.setdefault(int(doc), []).append((int(qid), int(rank)))
+    ids = pa.array(sorted(by_doc), type=pa.int64())
+
+    def snip(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sub = batch.filter(pc.is_in(batch.column("doc_id"), value_set=ids))
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for doc, text in zip(
+            sub.column("doc_id").to_pylist(), sub.column("content").to_pylist()
+        ):
+            low = text.lower()
+            for qid, rank in by_doc[doc]:
+                start = 0
+                for t in qterms[qid]:
+                    pos = low.find(t)
+                    if pos >= 0:
+                        start = max(0, pos - before)
+                        break
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(doc)
+                out_s.append(text[start : start + length])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "snippet": pa.array(out_s, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(snip, batch_format="pyarrow")
+
+
 class _FilteredView:
     """IndexView proxy restricting every posting list to an allowed doc-id
     set (sorted array, membership via searchsorted). Global stats (N, avgdl,

@@ -89,6 +89,39 @@ def test_phrase_indexed_matches_scan(code_corpus, tmp_path):
     assert indexed == scan == _brute(dict(docs), phrases)
 
 
+def test_attach_snippets_window_semantics():
+    from distributed_text_search_ray.pipelines.search import attach_snippets
+
+    pad = "x" * 100
+    texts = {
+        1: f"{pad} Alpha beta {pad}",   # term mid-doc: window starts 30 before
+        2: "beta starts here " + pad,   # term at doc start: clamped to 0
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), type=pa.int64()),
+                "content": pa.array(list(texts.values()), type=pa.string()),
+            }
+        )
+    )
+    topk = pa.table(
+        {
+            "query_id": pa.array([0, 0], type=pa.int64()),
+            "rank": pa.array([1, 2], type=pa.int64()),
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+        }
+    )
+    # query terms sorted asc: ["alpha", "beta"]; doc 1 contains alpha (wins
+    # over beta later in the text), doc 2 only beta
+    rows = {r["doc_id"]: r for r in attach_snippets(ds, topk, [(0, "beta alpha")]).take_all()}
+    t1 = texts[1]
+    pos = t1.lower().find("alpha")
+    assert rows[1]["snippet"] == t1[pos - 30 : pos - 30 + 80]
+    assert rows[2]["snippet"] == texts[2][:80]
+    assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+
+
 def test_phrase_candidates_prune(code_corpus, tmp_path):
     """The indexed path's candidate stage must bound verification work by
     the rarest term's df — a phrase containing a unique term yields exactly
