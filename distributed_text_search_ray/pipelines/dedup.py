@@ -517,10 +517,17 @@ def ngram_jaccard_pairs(
     2. coarse hash-partition by shingle hash into ``pair_partitions``
        groups, then vectorized within-shingle pair emission
        (``_mine_bucket_pairs``) — each shared shingle emits its pair
-       exactly once, so the per-pair row count of the final groupby IS the
-       intersection size |A∩B|. No second pass over content is needed:
+       exactly once, so the number of rows a pair gets across all groups IS
+       the intersection size |A∩B|. No second pass over content is needed:
        jaccard = i / (sz_a + sz_b - i) with the set sizes carried as pair
        payload.
+    3. pair rows re-partition by pair hash into ``reduce_partitions``
+       coarse groups and reduce VECTORIZED inside ``map_groups`` (lexsort +
+       run-length count per group). A per-pair ``groupby(doc_a, doc_b)``
+       aggregate measured 25 s on 1.27M rows / 1.13M groups at sf0.1 —
+       Ray's sort-based aggregate pays per GROUP, so millions of
+       single-row groups are exactly its worst case; the coarse-group
+       reduce does the same work in numpy at full vector speed.
 
     The only quadratic hazard at scale is a shingle shared by many docs
     (license boilerplate): buckets above ``max_bucket_size`` docs are
@@ -531,6 +538,7 @@ def ngram_jaccard_pairs(
     """
     analyzer = analyzer or AnalyzerConfig()
     P = pair_partitions
+    reduce_partitions = 32
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         tk = tokenizer_for(analyzer)
@@ -573,47 +581,56 @@ def ngram_jaccard_pairs(
             group.column("sz").to_numpy(),
             max_bucket_size,
         )
+        if sz_a is None:
+            sz_a = sz_b = np.empty(0, np.int64)
+        # pair hash must not depend on which shingle partition emitted the
+        # row — derived from the ids only
+        pp = (
+            (splitmix64(a.astype(np.uint64)) ^ splitmix64(b.astype(np.uint64)))
+            % np.uint64(reduce_partitions)
+        ).astype(np.int32)
         return pa.table(
             {
+                "pp": pa.array(pp, type=pa.int32()),
                 "doc_a": pa.array(a, type=pa.int64()),
                 "doc_b": pa.array(b, type=pa.int64()),
-                "sz_a": pa.array(
-                    sz_a if sz_a is not None else np.empty(0, np.int64), type=pa.int64()
-                ),
-                "sz_b": pa.array(
-                    sz_b if sz_b is not None else np.empty(0, np.int64), type=pa.int64()
-                ),
+                "sz_a": pa.array(sz_a, type=pa.int64()),
+                "sz_b": pa.array(sz_b, type=pa.int64()),
             }
         )
 
-    mined = (
-        docs.map_batches(shingle_rows, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(mine, batch_format="pyarrow")
-    )
-    agg = mined.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="inter"),
-        Min("sz_a", alias_name="sz_a"),  # sz constant per doc; Min = the value
-        Min("sz_b", alias_name="sz_b"),
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+    def reduce_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
             return _empty_pairs_table()
-        inter = batch.column("inter").to_numpy().astype(np.float64)
-        union = (
-            batch.column("sz_a").to_numpy() + batch.column("sz_b").to_numpy()
-        ).astype(np.float64) - inter
+        a = group.column("doc_a").to_numpy()
+        b = group.column("doc_b").to_numpy()
+        sz_a = group.column("sz_a").to_numpy()
+        sz_b = group.column("sz_b").to_numpy()
+        order = np.lexsort((b, a))
+        a, b, sz_a, sz_b = a[order], b[order], sz_a[order], sz_b[order]
+        is_start = np.empty(len(a), dtype=bool)
+        is_start[0] = True
+        is_start[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(is_start)
+        inter = np.diff(np.concatenate((starts, [len(a)]))).astype(np.float64)
+        ua, ub = a[starts], b[starts]
+        union = (sz_a[starts] + sz_b[starts]).astype(np.float64) - inter
         j = inter / union
         keep = j >= threshold
         return pa.table(
             {
-                "doc_a": pa.array(batch.column("doc_a").to_numpy()[keep], type=pa.int64()),
-                "doc_b": pa.array(batch.column("doc_b").to_numpy()[keep], type=pa.int64()),
+                "doc_a": pa.array(ua[keep], type=pa.int64()),
+                "doc_b": pa.array(ub[keep], type=pa.int64()),
                 "jaccard": pa.array(
                     [round_half_away(x, 6) for x in j[keep]], type=pa.float64()
                 ),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return (
+        docs.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mine, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(reduce_pairs, batch_format="pyarrow")
+    )
