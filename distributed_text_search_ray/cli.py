@@ -7,6 +7,9 @@ The reference's entry point is ``mpirun ... ./apm approx_factor dir pattern...``
     python -m distributed_text_search_ray.cli search INDEX_DIR QUERY... [--topk K] [--wand]
     python -m distributed_text_search_ray.cli fuzzy  INDEX_DIR PATTERN... [--k K]
     python -m distributed_text_search_ray.cli apm    CORPUS_DIR K PATTERN...   # reference argv order
+    python -m distributed_text_search_ray.cli phrase INDEX_DIR CORPUS_DIR PHRASE... [--scan]
+    python -m distributed_text_search_ray.cli bool   INDEX_DIR QUERY...
+    python -m distributed_text_search_ray.cli merge  OUT_DIR SRC_INDEX SRC_INDEX...
 
 ``apm`` mirrors the reference's output: one count per pattern, argv order.
 Launched via ``ray job submit -- python -m distributed_text_search_ray.cli ...``
@@ -61,6 +64,20 @@ def main(argv: list[str] | None = None) -> int:
         "straddle file boundaries (exact apm1/flexible_mpi parity)",
     )
 
+    ph = sub.add_parser("phrase")
+    ph.add_argument("index_dir")
+    ph.add_argument("corpus_dir")
+    ph.add_argument("phrases", nargs="+")
+    ph.add_argument("--scan", action="store_true", help="skip the index, full scan")
+
+    bq = sub.add_parser("bool")
+    bq.add_argument("index_dir")
+    bq.add_argument("queries", nargs="+")
+
+    mg = sub.add_parser("merge")
+    mg.add_argument("out_dir")
+    mg.add_argument("sources", nargs="+")
+
     args = p.parse_args(argv)
     _ensure_ray()
 
@@ -108,6 +125,32 @@ def main(argv: list[str] | None = None) -> int:
         # (src/apm1.c:294-299)
         for i, pat in enumerate(args.patterns):
             print(f"Number of matches for pattern <{pat}>: {counts.get(i, 0)}")
+    elif args.cmd == "phrase":
+        from distributed_text_search_ray.pipelines.phrase import (
+            phrase_match_counts,
+            phrase_search_indexed,
+        )
+        from distributed_text_search_ray.sources.corpus import read_corpus
+
+        docs = read_corpus(args.corpus_dir, columns=["doc_id", "content"])
+        phrases = list(enumerate(args.phrases))
+        ds = (
+            phrase_match_counts(docs, phrases)
+            if args.scan
+            else phrase_search_indexed(args.index_dir, docs, phrases)
+        )
+        for r in ds.take_all():
+            print(f"{r['query_id']}\t{r['doc_id']}\t{r['n_occurrences']}")
+    elif args.cmd == "bool":
+        from distributed_text_search_ray.pipelines.boolquery import boolean_search
+
+        for r in boolean_search(args.index_dir, list(enumerate(args.queries))).take_all():
+            print(f"{r['query_id']}\t{r['doc_id']}")
+    elif args.cmd == "merge":
+        from distributed_text_search_ray.pipelines.merge import merge_indexes
+
+        report = merge_indexes(args.sources, args.out_dir)
+        print(json.dumps({k: report[k] for k in ("fingerprint", "N", "complete")}))
     return 0
 
 

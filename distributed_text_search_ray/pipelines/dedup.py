@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Min
 
 logger = logging.getLogger(__name__)
 

@@ -64,7 +64,9 @@ def read_corpus(path: str, columns: list[str] | None = None) -> ray.data.Dataset
     has_id = "doc_id" in schema.names
     cols = columns
     if cols is not None and not has_id:
-        cols = sorted(set(cols) | {"repo", "path"} - {"doc_id"})
+        # doc_id is derived from (repo, path) below — request the sources,
+        # never the (absent) derived column
+        cols = sorted((set(cols) - {"doc_id"}) | {"repo", "path"})
     elif cols is not None and has_id:
         cols = sorted(set(cols) | {"doc_id"})
     ds = ray.data.read_parquet(files, columns=cols)

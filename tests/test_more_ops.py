@@ -245,6 +245,17 @@ def test_read_text_dir_reference_fixture(tmp_path):
     assert counts == want
 
 
+def test_read_corpus_column_prune_without_doc_id(code_corpus):
+    """Pruned reads on a corpus WITHOUT a doc_id column must request the
+    (repo, path) sources instead of the absent derived column (regression:
+    a set-op precedence bug kept doc_id in the requested column list)."""
+    from distributed_text_search_ray.sources.corpus import read_corpus
+
+    corpus_dir, _ = code_corpus
+    rows = read_corpus(corpus_dir, columns=["doc_id", "content"]).take_all()
+    assert rows and all("doc_id" in r and r["content"] for r in rows)
+
+
 def test_fetch_docs_roundtrip(code_corpus):
     from distributed_text_search_ray.pipelines.build import build_index
     from distributed_text_search_ray.pipelines.search import fetch_docs, search_topk
