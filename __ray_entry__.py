@@ -405,6 +405,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return facet_counts(_index_for(sf_dir), BOOLEAN_QUERIES, attr="lang")
 
+    def sample_10pct(sf_dir):
+        return textstats.deterministic_sample(
+            _docs_ds(sf_dir), percent=10, salt="s"
+        ).select_columns(["doc_id"])
+
+    def bigram_top20(sf_dir):
+        return textstats.bigram_counts(_docs_ds(sf_dir), top_n=20)
+
+    def top_docs_lang(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "content": t.column("text"),
+                    "lang": t.column("lang"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return textstats.top_docs_per_key(ds, key_column="lang", k=3)
+
     def _ann_queries(sf_dir):
         t = pq.read_table(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -520,6 +545,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": search_snippets,
         "regex_counts": regex_counts,
         "facet_lang": facet_lang,
+        "sample_10pct": sample_10pct,
+        "bigram_top20": bigram_top20,
+        "top_docs_lang": top_docs_lang,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
@@ -859,6 +887,37 @@ FROM matches m JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """
 
+    sample_sql = """
+SELECT doc_id FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || 's') % 100 < 10
+"""
+
+    bigram_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+big AS (
+  SELECT l[t.i] || ' ' || l[t.i + 1] AS bigram
+  FROM toks, unnest(range(1, len(l))) AS t(i)
+)
+SELECT bigram, count(*)::BIGINT n FROM big GROUP BY 1
+ORDER BY n DESC, bigram LIMIT 20
+"""
+
+    top_docs_lang_sql = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {TOK_SQL.format(col="text")} l FROM documents
+),
+c AS (SELECT doc_id, lang, len(l)::BIGINT n FROM toks),
+r AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, doc_id) rank,
+         doc_id, n
+  FROM c
+)
+SELECT lang, rank, doc_id, n AS n_tokens FROM r WHERE rank <= 3
+"""
+
     regex_sql = "\nUNION ALL\n".join(
         f"SELECT {qid}::BIGINT query_id, doc_id, "
         f"len(regexp_extract_all(text, '{pat}'))::BIGINT n_matches "
@@ -1025,6 +1084,9 @@ FROM l JOIN r ON l.user_id = r.user_id
         "search_snippets": snippets_sql,
         "regex_counts": regex_sql,
         "facet_lang": facet_sql,
+        "sample_10pct": sample_sql,
+        "bigram_top20": bigram_sql,
+        "top_docs_lang": top_docs_lang_sql,
         "simhash_fp": simhash_fp_sql,
         "simhash_near_dup": simhash_pairs_sql,
         "ann_cosine_topk": ann,

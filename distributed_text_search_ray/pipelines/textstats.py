@@ -35,6 +35,110 @@ _STOPSET = frozenset(STOPWORDS)
 _LANG_SETS = {lang: frozenset(ws) for lang, ws in LANG_STOPWORDS.items()}
 
 
+def deterministic_sample(
+    docs: ray.data.Dataset, percent: int, salt: str = ""
+) -> ray.data.Dataset:
+    """Deterministic, resumable ``percent``-% sample of the corpus.
+
+    Membership is a pure function of the row: ``md5(doc_id + salt) % 100 <
+    percent`` (``md5_u64`` = DuckDB ``md5_number_lower``, so the oracle is
+    exact). Unlike ``Dataset.random_sample`` this is stable across reruns,
+    cluster sizes and block orders — the property a resumable 100 TB
+    pipeline actually needs from a sampler (re-running a failed stage must
+    not change which rows are in-sample). SURVEY.md section 2.6 "sampling".
+    """
+    from distributed_text_search_ray.functions.hashing import md5_u64
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = pa.array([md5_u64(f"{d}{salt}") % 100 < percent for d in ids])
+        return batch.filter(keep)
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def bigram_counts(
+    docs: ray.data.Dataset,
+    top_n: int = 20,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """Top-N within-document token bigrams: (bigram, n), n desc / bigram asc.
+
+    Partial-aggregate shape (SURVEY.md A1): each batch combines its own
+    bigram counts BEFORE the shuffle, so the groupby moves one row per
+    (batch, distinct bigram) — not one per occurrence."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        tk = tokenizer_for(analyzer)
+        cnt: Counter = Counter()
+        for text in batch.column("content").to_pylist():
+            toks = tk.tokens(text)
+            cnt.update(zip(toks, toks[1:]))
+        return pa.table(
+            {
+                "bigram": pa.array([f"{a} {b}" for a, b in cnt], type=pa.string()),
+                "n_part": pa.array(list(cnt.values()), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(top_n)
+    )
+
+
+def top_docs_per_key(
+    docs_with_key: ray.data.Dataset,
+    key_column: str = "lang",
+    k: int = 3,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """Grouped top-k: per key value, the k docs with the most tokens
+    (ties: doc_id asc). (key, rank, doc_id, n_tokens).
+
+    Token counts are a single-pass map; the per-key ranking is a
+    ``groupby(key).map_groups`` — per-group state never leaves one group,
+    the scale-safe shape for windowed ranking (same pattern as
+    sessionize)."""
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        n = [len(tk.tokens(t)) for t in batch.column("content").to_pylist()]
+        return pa.table(
+            {
+                key_column: batch.column(key_column),
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        n = group.column("n_tokens").to_numpy()
+        ids = group.column("doc_id").to_numpy()
+        order = np.lexsort((ids, -n))[:k]
+        return pa.table(
+            {
+                key_column: group.column(key_column).take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "n_tokens": pa.array(n[order], type=pa.int64()),
+            }
+        )
+
+    return (
+        docs_with_key.map_batches(count_tokens, batch_format="pyarrow")
+        .groupby(key_column)
+        .map_groups(rank_group, batch_format="pyarrow")
+    )
+
+
 _regex_cache: dict = {}
 
 

@@ -246,6 +246,44 @@ def test_ngram_jaccard_bucket_cap_drops_boilerplate():
     assert not any(p["doc_a"] < 10 and p["doc_b"] < 10 for p in capped)
 
 
+def test_deterministic_sample_stable_and_unbiased():
+    from distributed_text_search_ray.functions.hashing import md5_u64
+    from distributed_text_search_ray.pipelines.textstats import deterministic_sample
+
+    ds = docs_ds()
+    a = sorted(r["doc_id"] for r in deterministic_sample(ds, 20, salt="x").take_all())
+    b = sorted(r["doc_id"] for r in deterministic_sample(ds, 20, salt="x").take_all())
+    assert a == b  # rerun-stable (the resumability property)
+    want = sorted(
+        r["doc_id"]
+        for r in ds.take_all()
+        if md5_u64(f"{r['doc_id']}x") % 100 < 20
+    )
+    assert a == want
+    assert 0 < len(a) < 500  # neither empty nor everything
+    # different salt -> different (deterministic) subset
+    c = sorted(r["doc_id"] for r in deterministic_sample(ds, 20, salt="y").take_all())
+    assert c != a
+
+
+def test_bigram_counts_match_python():
+    import re
+    from collections import Counter
+
+    from distributed_text_search_ray.pipelines.textstats import bigram_counts
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    cnt: Counter = Counter()
+    for tx in t.column("text").to_pylist():
+        toks = re.findall(r"[a-z0-9_]+", tx.lower())
+        cnt.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["bigram"], r["n"]) for r in bigram_counts(docs_ds(), top_n=10).take_all()
+    ]
+    assert got == want
+
+
 def test_simhash_pairs_on_near_dupes():
     # near-dup = one mutated word in a real doc (hamming ~4); far doc ~40
     t0 = pq.read_table(f"{SF}/documents.parquet").column("text")[1].as_py()
