@@ -70,6 +70,10 @@ REGEX_QUERIES = [
     (3, "zzz_never_matches"),
 ]
 
+MLT_DOC_IDS = [0, 100, 200]
+MLT_TOP_TERMS = 5
+MLT_TOPK = 5
+
 BOOLEAN_QUERIES = [
     (0, "customer AND value"),
     (1, "spark OR vector"),
@@ -386,6 +390,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phrase_search_indexed(_index_for(sf_dir), _docs_ds(sf_dir), PHRASE_QUERIES)
 
+    def more_like_this(sf_dir):
+        from distributed_text_search_ray.pipelines.search import more_like_this as mlt
+
+        rows = mlt(
+            _index_for(sf_dir),
+            _docs_ds(sf_dir),
+            MLT_DOC_IDS,
+            top_terms=MLT_TOP_TERMS,
+            topk=MLT_TOPK + 10,
+        ).take_all()
+        t = _rerank_rounded(
+            [
+                {"query_id": r["src_doc_id"], "doc_id": r["doc_id"], "score": r["score"]}
+                for r in rows
+            ],
+            MLT_TOPK,
+        )
+        return t.rename_columns(["src_doc_id", "rank", "doc_id", "score"])
+
     def search_snippets(sf_dir):
         from distributed_text_search_ray.pipelines.search import attach_snippets
 
@@ -543,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_counts_indexed": phrase_counts_indexed,
         "boolean_match": boolean_match,
         "search_snippets": search_snippets,
+        "more_like_this": more_like_this,
         "regex_counts": regex_counts,
         "facet_lang": facet_lang,
         "sample_10pct": sample_10pct,
@@ -887,6 +911,43 @@ FROM matches m JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """
 
+    mlt_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+src(src_doc_id) AS (VALUES {", ".join(f"({i})" for i in MLT_DOC_IDS)}),
+qsel AS (
+  SELECT s2.src_doc_id, tf.term,
+         row_number() OVER (
+           PARTITION BY s2.src_doc_id
+           ORDER BY tf.tf * ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5)) DESC, tf.term
+         ) rn
+  FROM src s2 JOIN tf ON tf.doc_id = s2.src_doc_id JOIN df USING (term), stats s
+),
+qterms AS (SELECT src_doc_id, term FROM qsel WHERE rn <= {MLT_TOP_TERMS}),
+sc AS (
+  SELECT qt.src_doc_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term AND tf.doc_id <> qt.src_doc_id
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT src_doc_id,
+         row_number() OVER (PARTITION BY src_doc_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT src_doc_id, rank, doc_id, score FROM ranked WHERE rank <= {MLT_TOPK}
+"""
+
     sample_sql = """
 SELECT doc_id FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || 's') % 100 < 10
@@ -1082,6 +1143,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "phrase_counts_indexed": phrase_sql,
         "boolean_match": boolean_sql,
         "search_snippets": snippets_sql,
+        "more_like_this": mlt_sql,
         "regex_counts": regex_sql,
         "facet_lang": facet_sql,
         "sample_10pct": sample_sql,

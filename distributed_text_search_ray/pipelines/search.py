@@ -194,6 +194,88 @@ class FuzzyTopkExecutor(QueryExecutor):
         )
 
 
+class MoreLikeThisExecutor(QueryExecutor):
+    """Actor-pool stage: (src_doc_id, content) rows -> top-k similar docs.
+
+    Characteristic terms of the source doc = top ``top_terms`` by
+    tf * idf(global df) — scalar ``math.log`` per term so selection ties
+    break identically to the SQL oracle's ``ln`` (np.log can differ by an
+    ulp) — then scored as an OR query with the standard exact TAAT path,
+    the source doc itself excluded."""
+
+    def __init__(self, index_dir: str, top_terms: int = 5, topk: int = 5):
+        super().__init__(index_dir, topk=topk, mode="taat")
+        self.top_terms = top_terms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        from distributed_text_search_ray.functions import bm25
+
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for src_id, content in zip(
+            batch.column("src_doc_id").to_pylist(), batch.column("content").to_pylist()
+        ):
+            tf: dict[str, int] = {}
+            for t in self.tokenizer.tokens(content):
+                tf[t] = tf.get(t, 0) + 1
+            scored = []
+            for t, f in tf.items():
+                df = self.view.term_df(t)
+                if df:
+                    scored.append((-f * math.log(1.0 + (self.view.N - df + 0.5) / (df + 0.5)), t))
+            scored.sort()
+            terms = sorted(t for _, t in scored[: self.top_terms])
+            docs, scores = self._score_taat(terms, self.topk + 1)
+            keep = docs != src_id
+            docs, scores = docs[keep][: self.topk], scores[keep][: self.topk]
+            for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), start=1):
+                out_q.append(int(src_id))
+                out_r.append(r)
+                out_d.append(d)
+                out_s.append(s)
+        return pa.table(
+            {
+                "src_doc_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def more_like_this(
+    index_dir: str,
+    docs: ray.data.Dataset,
+    doc_ids: Iterable[int],
+    top_terms: int = 5,
+    topk: int = 5,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Similar-document retrieval: for each source doc, BM25 top-k over its
+    ``top_terms`` highest-tf*idf terms (source excluded). The source docs'
+    content is fetched with a broadcast semi-join filter (tiny id set)."""
+    import pyarrow.compute as pc
+
+    ids = pa.array(sorted(set(int(d) for d in doc_ids)), type=pa.int64())
+    src = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "src_doc_id": t.filter(pc.is_in(t.column("doc_id"), value_set=ids)).column("doc_id"),
+                "content": t.filter(pc.is_in(t.column("doc_id"), value_set=ids)).column("content"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return src.map_batches(
+        MoreLikeThisExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "top_terms": top_terms, "topk": topk},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 def attach_snippets(
     docs: ray.data.Dataset,
     topk_rows: pa.Table,

@@ -81,6 +81,42 @@ def test_filtered_modes_agree(attr_index):
         search_topk_filtered(idx, queries, "lang", "py", mode="wand").take_all()
 
 
+def test_more_like_this_excludes_source_and_ranks(attr_index, code_corpus):
+    import pyarrow as pa
+    import ray.data
+
+    from distributed_text_search_ray.pipelines.search import more_like_this
+    from tests.conftest import corpus_docs
+
+    corpus_dir, idx, _ = attr_index
+    docs = corpus_docs(corpus_dir)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                "content": pa.array([c for _, c in docs], type=pa.string()),
+            }
+        )
+    )
+    src = [docs[0][0], docs[7][0]]
+    rows = more_like_this(idx, ds, src, top_terms=5, topk=5).take_all()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src_doc_id"], []).append(r)
+    assert set(by_src) == set(src)
+    for s, rs in by_src.items():
+        assert all(r["doc_id"] != s for r in rs)  # self excluded
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+    # deterministic across reruns
+    rows2 = more_like_this(idx, ds, src, top_terms=5, topk=5).take_all()
+    assert sorted(map(tuple, (r.values() for r in rows))) == sorted(
+        map(tuple, (r.values() for r in rows2))
+    )
+
+
 def test_missing_sidecar_raises(code_corpus, tmp_path):
     corpus_dir, _ = code_corpus
     idx = str(tmp_path / "idx")
