@@ -70,6 +70,8 @@ REGEX_QUERIES = [
     (3, "zzz_never_matches"),
 ]
 
+CONTAM_BENCH_DOCS = [5, 17]
+
 MLT_DOC_IDS = [0, 100, 200]
 MLT_TOP_TERMS = 5
 MLT_TOPK = 5
@@ -371,6 +373,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ngram_jaccard_dup(sf_dir):
         return dedup.ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.35)
 
+    def contamination(sf_dir):
+        import re
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "in", CONTAM_BENCH_DOCS)],
+        )
+        by_id = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+        bench = [
+            (d, " ".join(re.findall(r"[a-z0-9_]+", by_id[d].lower())[:10]))
+            for d in CONTAM_BENCH_DOCS
+        ]
+        return dedup.contamination_check(_docs_ds(sf_dir), bench, min_overlap=2)
+
     def simhash_fp(sf_dir):
         return dedup.simhash_fingerprints(_docs_ds(sf_dir))
 
@@ -559,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": top_terms,
         "minhash_near_dup": minhash_near_dup,
         "ngram_jaccard_dup": ngram_jaccard_dup,
+        "contamination": contamination,
         "simhash_fp": simhash_fp,
         "simhash_near_dup": simhash_near_dup,
         "fingerprints": fingerprints,
@@ -837,6 +855,29 @@ WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= {threshold}
 
     minhash = jaccard_pairs_sql(0.5)
     ngram_jaccard = jaccard_pairs_sql(0.35)
+
+    _SHINGLE_CASE = """CASE WHEN len({l}) >= 3 THEN
+           list_transform(generate_series(1, len({l}) - 2),
+                          i -> concat({l}[i], chr(31), {l}[i+1], chr(31), {l}[i+2]))
+         WHEN len({l}) >= 1 THEN [array_to_string({l}, chr(31))]
+         ELSE [] END"""
+
+    contamination_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+bt AS (
+  SELECT doc_id AS bench_id, l[1:10] AS bl FROM toks
+  WHERE doc_id IN ({", ".join(str(d) for d in CONTAM_BENCH_DOCS)})
+),
+bsh AS (SELECT bench_id, {_SHINGLE_CASE.format(l="bl")} shingles FROM bt),
+bds AS (SELECT DISTINCT bench_id, s.shingle FROM bsh, unnest(shingles) AS s(shingle)),
+dsh AS (SELECT doc_id, {_SHINGLE_CASE.format(l="l")} shingles FROM toks),
+dds AS (SELECT DISTINCT doc_id, s.shingle FROM dsh, unnest(shingles) AS s(shingle))
+SELECT d.doc_id, b.bench_id, count(*)::BIGINT n_shared
+FROM dds d JOIN bds b ON d.shingle = b.shingle
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
 
     # positional phrase oracle: tokenize WITH positions once, then one
     # chained positional self-join per phrase (generated from the same
@@ -1139,6 +1180,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "top_terms": top_terms_sql,
         "minhash_near_dup": minhash,
         "ngram_jaccard_dup": ngram_jaccard,
+        "contamination": contamination_sql,
         "phrase_counts": phrase_sql,
         "phrase_counts_indexed": phrase_sql,
         "boolean_match": boolean_sql,

@@ -544,6 +544,60 @@ def simhash_near_dup_pairs(
     return pairs.groupby("pp").map_groups(distinct, batch_format="pyarrow")
 
 
+def contamination_check(
+    docs: ray.data.Dataset,
+    benchmark: list[tuple[int, str]],
+    shingle_n: int = 3,
+    min_overlap: int = 2,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """Benchmark-contamination scan: (doc_id, bench_id, n_shared) for every
+    corpus doc sharing >= ``min_overlap`` distinct token n-gram shingles
+    with a benchmark item.
+
+    The benchmark set (eval prompts, test questions) is tiny next to the
+    corpus, so its shingle-hash sets are the broadcast small side (sorted
+    uint64 arrays captured in the stage closure); the corpus streams through
+    one ``map_batches`` pass counting intersections via searchsorted — no
+    shuffle, no index required. The training-data operator this enables:
+    drop or flag contaminated docs before a model ever sees eval data.
+    """
+    analyzer = analyzer or AnalyzerConfig()
+    tk = tokenizer_for(analyzer)
+    bench = [
+        (int(b), np.sort(shingle_hashes(tk.tokens(t), shingle_n)))
+        for b, t in benchmark
+    ]
+    bench = [(b, sh) for b, sh in bench if sh.size]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        tkn = tokenizer_for(analyzer)
+        out_d, out_b, out_n = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
+        ):
+            sh = shingle_hashes(tkn.tokens(text), shingle_n)
+            if not sh.size:
+                continue
+            for bench_id, bsh in bench:
+                pos = np.searchsorted(bsh, sh)
+                pos_c = np.minimum(pos, len(bsh) - 1)
+                n = int((bsh[pos_c] == sh).sum())
+                if n >= min_overlap:
+                    out_d.append(doc_id)
+                    out_b.append(bench_id)
+                    out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "bench_id": pa.array(out_b, type=pa.int64()),
+                "n_shared": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(
     docs: ray.data.Dataset,
     threshold: float = 0.35,

@@ -246,6 +246,28 @@ def test_ngram_jaccard_bucket_cap_drops_boilerplate():
     assert not any(p["doc_a"] < 10 and p["doc_b"] < 10 for p in capped)
 
 
+def test_contamination_check_finds_planted_leak():
+    from distributed_text_search_ray.pipelines.dedup import contamination_check
+
+    bench = [(0, "what is the airspeed velocity of an unladen swallow")]
+    texts = [
+        "completely unrelated document about parquet files and compression",
+        "prefix text then what is the airspeed velocity of an unladen swallow embedded",
+        "shares only airspeed velocity tokens but no trigram runs at velocity all",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    rows = contamination_check(ds, bench, min_overlap=2).take_all()
+    assert [(r["doc_id"], r["bench_id"]) for r in rows] == [(2, 0)]
+    assert rows[0]["n_shared"] == 7  # all 7 bench trigrams embedded verbatim
+
+
 def test_deterministic_sample_stable_and_unbiased():
     from distributed_text_search_ray.functions.hashing import md5_u64
     from distributed_text_search_ray.pipelines.textstats import deterministic_sample
