@@ -453,6 +453,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bigram_top20(sf_dir):
         return textstats.bigram_counts(_docs_ds(sf_dir), top_n=20)
 
+    def distinct_terms_kmv(sf_dir):
+        return textstats.distinct_term_estimate(_docs_ds(sf_dir), k=256)
+
     def top_docs_lang(sf_dir):
         import ray.data
 
@@ -589,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": facet_lang,
         "sample_10pct": sample_10pct,
         "bigram_top20": bigram_top20,
+        "distinct_terms_kmv": distinct_terms_kmv,
         "top_docs_lang": top_docs_lang,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh,
@@ -1006,6 +1010,18 @@ SELECT bigram, count(*)::BIGINT n FROM big GROUP BY 1
 ORDER BY n DESC, bigram LIMIT 20
 """
 
+    kmv_sql = f"""
+WITH {_TOK_CTE},
+hs AS (SELECT DISTINCT md5_number_lower(term) % 9007199254740992 AS h FROM tok),
+topk AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+agg AS (SELECT count(*) n, max(h) mx FROM topk)
+SELECT 256::BIGINT AS k,
+       (CASE WHEN n >= 256 THEN mx ELSE -1 END)::BIGINT AS kth_min_hash,
+       round(CASE WHEN n >= 256 THEN 255 * 9007199254740992 / mx::DOUBLE
+                  ELSE n::DOUBLE END, 4) AS estimate
+FROM agg
+"""
+
     top_docs_lang_sql = f"""
 WITH toks AS (
   SELECT doc_id, lang, {TOK_SQL.format(col="text")} l FROM documents
@@ -1190,6 +1206,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "facet_lang": facet_sql,
         "sample_10pct": sample_sql,
         "bigram_top20": bigram_sql,
+        "distinct_terms_kmv": kmv_sql,
         "top_docs_lang": top_docs_lang_sql,
         "simhash_fp": simhash_fp_sql,
         "simhash_near_dup": simhash_pairs_sql,

@@ -35,6 +35,63 @@ _STOPSET = frozenset(STOPWORDS)
 _LANG_SETS = {lang: frozenset(ws) for lang, ws in LANG_STOPWORDS.items()}
 
 
+def distinct_term_estimate(
+    docs: ray.data.Dataset,
+    k: int = 256,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """KMV (k-minimum-values) distinct-term sketch: one row
+    (k, kth_min_hash, estimate).
+
+    The mergeable-sketch pattern at corpus scale: each batch keeps only its
+    k smallest distinct term hashes (``md5_u64 % 2^53`` — exactly
+    representable in a double, so the SQL oracle reproduces the estimate
+    bit-for-bit); partial sketches union and re-truncate in a single tiny
+    aggregate. Estimate = (k-1) * 2^53 / kth_min — standard KMV, relative
+    error ~ 1/sqrt(k). Deterministic and order-independent (unlike a
+    sampled count), so it is oracle-checkable — the property that separates
+    a verifiable sketch from a heuristic."""
+    from distributed_text_search_ray.functions.hashing import md5_u64
+
+    M = 1 << 53
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        seen: set[str] = set()
+        for text in batch.column("content").to_pylist():
+            seen.update(tk.tokens(text))
+        hs = np.sort(
+            np.unique(
+                np.fromiter(
+                    ((md5_u64(t) % M) for t in seen), dtype=np.int64, count=len(seen)
+                )
+            )
+        )[:k]
+        return pa.table({"h": pa.array(hs, type=pa.int64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        hs = np.sort(np.unique(batch.column("h").to_numpy()))[:k]
+        if not len(hs) or len(hs) < k:
+            # fewer than k distinct terms: the sketch IS the exact count
+            est = float(len(hs))
+        else:
+            est = (k - 1) * M / float(hs[k - 1])
+        return pa.table(
+            {
+                "k": pa.array([k], type=pa.int64()),
+                "kth_min_hash": pa.array(
+                    [int(hs[k - 1]) if len(hs) >= k else -1], type=pa.int64()
+                ),
+                "estimate": pa.array([round_half_away(est, 4)], type=pa.float64()),
+            }
+        )
+
+    # partials are tiny (k rows per batch) — the merge is one small task
+    return docs.map_batches(partial, batch_format="pyarrow").repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
 def deterministic_sample(
     docs: ray.data.Dataset, percent: int, salt: str = ""
 ) -> ray.data.Dataset:

@@ -246,6 +246,33 @@ def test_ngram_jaccard_bucket_cap_drops_boilerplate():
     assert not any(p["doc_a"] < 10 and p["doc_b"] < 10 for p in capped)
 
 
+def test_kmv_sketch_accuracy_and_order_independence():
+    import re
+
+    from distributed_text_search_ray.pipelines.textstats import distinct_term_estimate
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    exact = len(
+        {w for tx in t.column("text").to_pylist() for w in re.findall(r"[a-z0-9_]+", tx.lower())}
+    )
+    row = distinct_term_estimate(docs_ds(), k=256).take_all()[0]
+    assert abs(row["estimate"] - exact) / exact < 3 / (256 ** 0.5)  # ~3 sigma
+    # order independence: different block structure, identical sketch row
+    row2 = distinct_term_estimate(docs_ds().repartition(7), k=256).take_all()[0]
+    assert row == row2
+    # fewer than k distinct terms -> the sketch degrades to the exact count
+    small = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], type=pa.int64()),
+                "content": pa.array(["alpha beta gamma alpha"], type=pa.string()),
+            }
+        )
+    )
+    r = distinct_term_estimate(small, k=256).take_all()[0]
+    assert r["estimate"] == 3.0 and r["kth_min_hash"] == -1
+
+
 def test_contamination_check_finds_planted_leak():
     from distributed_text_search_ray.pipelines.dedup import contamination_check
 
