@@ -505,6 +505,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def tpch_q1(sf_dir):
         return relational.tpch_q1(sf_dir)
 
+    def events_hopping(sf_dir):
+        return relational.events_hopping_window(sf_dir, width_minutes=60, hop_minutes=15)
+
     def events_window_1h(sf_dir):
         ds = relational.events_window_agg(sf_dir, window_minutes=60)
 
@@ -599,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf,
         "tpch_q1": tpch_q1,
         "events_window_1h": events_window_1h,
+        "events_hopping": events_hopping,
         "asof_purchase_click": asof_purchase_click,
         "range_join_1h": range_join_1h,
     }
@@ -1081,6 +1085,15 @@ SELECT event_type,
 FROM events GROUP BY 1, 2
 """
 
+    hopping = """
+SELECT event_type,
+       ((epoch_us(ts) // 900000000 - j.j) * 900)::BIGINT AS window_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events, unnest(range(0, 4)) AS j(j)
+GROUP BY 1, 2
+"""
+
     revenue_nation = """
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) revenue,
        count(*)::BIGINT n_rows
@@ -1213,6 +1226,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "ann_cosine_topk": ann,
         "tpch_q1": q1,
         "events_window_1h": events,
+        "events_hopping": hopping,
         # fingerprints, ann_lsh_topk, ann_ivf_topk, media_features: not
         # SQL-expressible (rolling-hash mod 2^61-1, LSH/IVF, media stubs)
         # -> rows-only check

@@ -127,6 +127,71 @@ def events_window_agg(sf_dir: str, window_minutes: int = 60) -> ray.data.Dataset
     return agg.map_batches(round_floats, batch_format="pyarrow")
 
 
+def events_hopping_window(
+    sf_dir: str, width_minutes: int = 60, hop_minutes: int = 15
+) -> ray.data.Dataset:
+    """Hopping (sliding) window aggregate: overlapping windows of
+    ``width`` starting every ``hop``. Each event belongs to width/hop
+    windows; the fan-out is a vectorized per-batch expansion (np.repeat +
+    tile of window starts), combined per batch BEFORE the shuffle so the
+    groupby moves one row per (batch, event_type, window) — at scale the
+    exchange grows with the number of windows, not width/hop times the
+    event count. Output: (event_type, window_start_epoch_s, n_events,
+    sum_value)."""
+    assert width_minutes % hop_minutes == 0
+    fan = width_minutes // hop_minutes
+    hop_s = hop_minutes * 60
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+
+    def expand_and_combine(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy()
+        base = ts_us // 1_000_000 // hop_s  # hop index containing the event
+        # window start hop-indices: base, base-1, ..., base-fan+1 (every
+        # window [s, s+width) with s on a hop boundary and s <= ts < s+width)
+        starts = (
+            np.repeat(base, fan) - np.tile(np.arange(fan, dtype=np.int64), len(base))
+        ) * hop_s
+        etype = np.repeat(batch.column("event_type").to_numpy(zero_copy_only=False), fan)
+        vals = np.repeat(batch.column("value").to_numpy(), fan)
+        t = pa.table(
+            {
+                "event_type": pa.array(etype, type=pa.string()),
+                "window_start": pa.array(starts, type=pa.int64()),
+                "value": pa.array(vals, type=pa.float64()),
+            }
+        )
+        # per-batch combine (partial aggregate) before the shuffle
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_start", "n_part", "sum_part"])
+
+    agg = (
+        ds.map_batches(expand_and_combine, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_part", alias_name="n_events"),
+            Sum("sum_part", alias_name="sum_value"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": batch.column("window_start"),
+                "n_events": batch.column("n_events"),
+                "sum_value": sql_round(batch.column("sum_value"), 4),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Session windows per user over the events stream table.
 

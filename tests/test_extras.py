@@ -246,6 +246,27 @@ def test_ngram_jaccard_bucket_cap_drops_boilerplate():
     assert not any(p["doc_a"] < 10 and p["doc_b"] < 10 for p in capped)
 
 
+def test_hopping_window_contains_tumbling_at_aligned_starts():
+    """Hour-aligned hopping windows (width 60m, hop 15m) cover exactly the
+    same [s, s+1h) event sets as the tumbling 1h windows."""
+    from distributed_text_search_ray.pipelines.relational import (
+        events_hopping_window,
+        events_window_agg,
+    )
+
+    hop = {
+        (r["event_type"], r["window_start"]): (r["n_events"], r["sum_value"])
+        for r in events_hopping_window(SF, 60, 15).take_all()
+        if r["window_start"] % 3600 == 0
+    }
+    tumb = {}
+    for r in events_window_agg(SF, 60).take_all():
+        ws = r["window_start"]
+        epoch = int(ws.timestamp()) if hasattr(ws, "timestamp") else int(ws)
+        tumb[(r["event_type"], epoch)] = (r["n_events"], r["sum_value"])
+    assert hop == tumb and len(hop) > 100
+
+
 def test_kmv_sketch_accuracy_and_order_independence():
     import re
 
