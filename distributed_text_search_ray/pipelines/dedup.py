@@ -376,34 +376,72 @@ def minhash_lsh_pairs(
     sh_ds = docs.map_batches(
         _candidate_shingles_fn(analyzer, shingle_n, cand_ids), batch_format="pyarrow"
     )
-    j1 = pairs.join(
-        sh_ds, join_type="inner", num_partitions=join_partitions,
-        on=("doc_a",), right_on=("doc_id",),
-    ).rename_columns({"sh": "sh_a"})
-    j2 = j1.join(
-        sh_ds, join_type="inner", num_partitions=join_partitions,
-        on=("doc_b",), right_on=("doc_id",),
-    ).rename_columns({"sh": "sh_b"})
 
-    def verify(batch: pa.Table) -> pa.Table:
+    # ONE join of the shingle table instead of two: each pair contributes a
+    # row per side keyed by the doc to join ((doc_a, doc_b, join_id, side)),
+    # and after the join the pair's two shingle sets are re-gathered with
+    # the coarse-group run-length pattern — the shingle payload crosses the
+    # exchange once
+    def side_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+                "join_id": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+                    ),
+                    type=pa.int8(),
+                ),
+            }
+        )
+
+    joined = pairs.map_batches(side_rows, batch_format="pyarrow").join(
+        sh_ds, join_type="inner", num_partitions=join_partitions,
+        on=("join_id",), right_on=("doc_id",),
+    )
+
+    def add_pp(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        pp = (
+            (splitmix64(a.astype(np.uint64)) ^ splitmix64(b.astype(np.uint64)))
+            % np.uint64(32)
+        ).astype(np.int32)
+        return batch.append_column("pp", pa.array(pp, type=pa.int32()))
+
+    def verify(group: pa.Table) -> pa.Table:
+        a = group.column("doc_a").to_numpy()
+        b = group.column("doc_b").to_numpy()
+        side = group.column("side").to_numpy()
+        sh = group.column("sh").to_pylist()
+        order = np.lexsort((side, b, a))
         a_out, b_out, j_out = [], [], []
-        for a, b, sa, sb in zip(
-            batch.column("doc_a").to_pylist(),
-            batch.column("doc_b").to_pylist(),
-            batch.column("sh_a").to_pylist(),
-            batch.column("sh_b").to_pylist(),
-        ):
-            A = np.frombuffer(sa, dtype=np.uint64)
-            B = np.frombuffer(sb, dtype=np.uint64)
-            inter = np.intersect1d(A, B, assume_unique=True).size
-            union = A.size + B.size - inter
-            if union == 0:
-                continue
-            j = inter / union
-            if j >= threshold:
-                a_out.append(a)
-                b_out.append(b)
-                j_out.append(round_half_away(j, 6))
+        i = 0
+        n = len(a)
+        while i < n:
+            k0 = order[i]
+            # a pair has exactly rows (side=0, side=1) adjacent after the
+            # sort; unpaired rows (partner doc had no shingles) are skipped
+            if i + 1 < n:
+                k1 = order[i + 1]
+                if a[k0] == a[k1] and b[k0] == b[k1] and side[k0] == 0 and side[k1] == 1:
+                    A = np.frombuffer(sh[k0], dtype=np.uint64)
+                    B = np.frombuffer(sh[k1], dtype=np.uint64)
+                    inter = np.intersect1d(A, B, assume_unique=True).size
+                    union = A.size + B.size - inter
+                    if union:
+                        j = inter / union
+                        if j >= threshold:
+                            a_out.append(int(a[k0]))
+                            b_out.append(int(b[k0]))
+                            j_out.append(round_half_away(j, 6))
+                    i += 2
+                    continue
+            i += 1
         return pa.table(
             {
                 "doc_a": pa.array(a_out, type=pa.int64()),
@@ -412,7 +450,11 @@ def minhash_lsh_pairs(
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    return (
+        joined.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(verify, batch_format="pyarrow")
+    )
 
 
 def simhash_fingerprints(
