@@ -407,6 +407,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phrase_search_indexed(_index_for(sf_dir), _docs_ds(sf_dir), PHRASE_QUERIES)
 
+    def doc_keywords(sf_dir):
+        from distributed_text_search_ray.pipelines.search import extract_keywords
+
+        return extract_keywords(_index_for(sf_dir), _docs_ds(sf_dir), k=3)
+
+    def spell_suggest(sf_dir):
+        from distributed_text_search_ray.pipelines.search import suggest_terms
+
+        return suggest_terms(_index_for(sf_dir), FUZZY_PATTERNS)
+
     def more_like_this(sf_dir):
         from distributed_text_search_ray.pipelines.search import more_like_this as mlt
 
@@ -591,6 +601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_match": boolean_match,
         "search_snippets": search_snippets,
         "more_like_this": more_like_this,
+        "spell_suggest": spell_suggest,
+        "doc_keywords": doc_keywords,
         "regex_counts": regex_counts,
         "facet_lang": facet_lang,
         "sample_10pct": sample_10pct,
@@ -960,6 +972,42 @@ FROM matches m JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """
 
+    keywords_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE N),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE df FROM tok GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5)) score
+  FROM tf JOIN df USING (term), stats s
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) rank,
+         term, round(score, 6) score
+  FROM sc
+)
+SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+"""
+
+    suggest_sql = f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT term, count(DISTINCT doc_id) df FROM tok GROUP BY 1),
+pats(query_id, p, k) AS (VALUES {_values(FUZZY_PATTERNS)}),
+cand AS (
+  SELECT pats.query_id, pats.p, v.term, v.df, levenshtein(v.term, pats.p) d
+  FROM pats, vocab v WHERE levenshtein(v.term, pats.p) <= pats.k
+),
+ranked AS (
+  SELECT query_id, p, term, df, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY df DESC, term) rn
+  FROM cand
+)
+SELECT query_id, p AS pattern, term AS suggestion, df::BIGINT df, d::BIGINT distance
+FROM ranked WHERE rn = 1
+"""
+
     mlt_sql = f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
@@ -1215,6 +1263,8 @@ FROM l JOIN r ON l.user_id = r.user_id
         "boolean_match": boolean_sql,
         "search_snippets": snippets_sql,
         "more_like_this": mlt_sql,
+        "spell_suggest": suggest_sql,
+        "doc_keywords": keywords_sql,
         "regex_counts": regex_sql,
         "facet_lang": facet_sql,
         "sample_10pct": sample_sql,

@@ -24,7 +24,7 @@ import ray.data
 
 from distributed_text_search_ray.functions.lev import bounded_term_distances
 from distributed_text_search_ray.stages.executor import IndexView, QueryExecutor
-from distributed_text_search_ray.util import resolve_concurrency
+from distributed_text_search_ray.util import resolve_concurrency, round_half_away
 
 
 def _queries_dataset(queries) -> ray.data.Dataset:
@@ -192,6 +192,141 @@ class FuzzyTopkExecutor(QueryExecutor):
                 "score": pa.array(out_s, type=pa.float64()),
             }
         )
+
+
+class SuggestExecutor:
+    """Actor-pool stage: (query_id, pattern, k) -> "did you mean" row.
+
+    Candidates = dictionary terms within Levenshtein distance k (banded
+    scan, the fuzzy machinery); suggestion = the candidate with the highest
+    document frequency (tie: term asc) — the standard df-ranked speller.
+    Patterns with no candidate emit no row."""
+
+    def __init__(self, index_dir: str):
+        self.expander = DictionaryExpander(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_p, out_s, out_df, out_d = [], [], [], [], []
+        for qid, pattern, k in zip(
+            batch.column("query_id").to_pylist(),
+            batch.column("pattern").to_pylist(),
+            batch.column("k").to_pylist(),
+        ):
+            exp = self.expander
+            m = len(pattern)
+            band = np.flatnonzero(np.abs(exp.lens - m) <= k)
+            if not band.size:
+                continue
+            cand = exp.terms.take(pa.array(band)).to_pylist()
+            dists = bounded_term_distances(pattern, cand, int(k))
+            ok = dists <= k
+            if not ok.any():
+                continue
+            idx = band[ok]
+            terms = [cand[i] for i in np.flatnonzero(ok)]
+            dfs = exp.df[idx]
+            best = min(range(len(terms)), key=lambda i: (-int(dfs[i]), terms[i]))
+            out_q.append(int(qid))
+            out_p.append(pattern)
+            out_s.append(terms[best])
+            out_df.append(int(dfs[best]))
+            out_d.append(int(dists[np.flatnonzero(ok)[best]]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "pattern": pa.array(out_p, type=pa.string()),
+                "suggestion": pa.array(out_s, type=pa.string()),
+                "df": pa.array(out_df, type=pa.int64()),
+                "distance": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+
+def suggest_terms(
+    index_dir: str,
+    patterns: Iterable[tuple[int, str, int]],
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Spelling suggestions over the index dictionary:
+    (query_id, pattern, suggestion, df, distance)."""
+    items = [
+        {"query_id": int(q), "pattern": str(p), "k": int(k)} for q, p, k in patterns
+    ]
+    return ray.data.from_items(items).map_batches(
+        SuggestExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+class KeywordExecutor:
+    """Actor-pool stage: (doc_id, content) -> top-k tf*idf keyword rows.
+
+    The global dictionary (term -> df) loads once per actor (vocabulary is
+    the broadcast small side — the standard design for corpus-wide keyword
+    extraction; at extreme vocabularies shard the dictionary by term hash
+    and route, as the query executors do). Scoring uses scalar ``math.log``
+    per term so ranking ties break identically to the SQL oracle."""
+
+    def __init__(self, index_dir: str, k: int = 3):
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+        from distributed_text_search_ray.stages.executor import config_from_meta, load_meta
+
+        exp = DictionaryExpander(index_dir)
+        self.df = dict(zip(exp.terms.to_pylist(), exp.df.tolist()))
+        meta = load_meta(index_dir)
+        self.N = int(meta["N"])
+        self.k = k
+        self.tokenizer = Tokenizer(config_from_meta(meta).analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        out_d, out_r, out_t, out_s = [], [], [], []
+        for doc_id, content in zip(
+            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
+        ):
+            tf: dict[str, int] = {}
+            for t in self.tokenizer.tokens(content):
+                tf[t] = tf.get(t, 0) + 1
+            scored = []
+            for t, f in tf.items():
+                df = self.df.get(t, 0)
+                if df:
+                    scored.append(
+                        (-f * math.log(1.0 + (self.N - df + 0.5) / (df + 0.5)), t)
+                    )
+            scored.sort()
+            for r, (neg, t) in enumerate(scored[: self.k], start=1):
+                out_d.append(doc_id)
+                out_r.append(r)
+                out_t.append(t)
+                out_s.append(round_half_away(-neg, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "term": pa.array(out_t, type=pa.string()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def extract_keywords(
+    index_dir: str,
+    docs: ray.data.Dataset,
+    k: int = 3,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k tf*idf keywords per document: (doc_id, rank, term, score)."""
+    return docs.map_batches(
+        KeywordExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        batch_format="pyarrow",
+        concurrency=resolve_concurrency(concurrency),
+    )
 
 
 class MoreLikeThisExecutor(QueryExecutor):

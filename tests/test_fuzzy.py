@@ -85,3 +85,49 @@ def test_fuzzy_term_search_matches_oracle(fuzzy_index):
         for r in fuzzy_term_search(index_dir, FUZZY_TERMS).take_all()
     }
     assert got == expected
+
+
+def test_suggest_terms_df_ranked(fuzzy_index):
+    import re
+    from collections import Counter
+
+    from distributed_text_search_ray.pipelines.search import suggest_terms
+
+    corpus_dir, index_dir, cfg = fuzzy_index
+    docs = corpus_docs(corpus_dir)
+    df = Counter(t for _, c in docs for t in set(re.findall(r"[a-z0-9_]+", c.lower())))
+    # misspell the most frequent term by one char; suggestion must restore it
+    top = max(df, key=lambda t: (df[t], t))
+    typo = top[:-1] + ("x" if top[-1] != "x" else "y")
+    rows = suggest_terms(index_dir, [(0, typo, 1), (1, "zzqqzz", 1)]).take_all()
+    by_q = {r["query_id"]: r for r in rows}
+    assert by_q[0]["suggestion"] == top and by_q[0]["df"] == df[top]
+    assert by_q[0]["distance"] == 1
+    assert 1 not in by_q  # no candidate within distance -> no row
+
+
+def test_extract_keywords_ranks_rare_terms(fuzzy_index):
+    import pyarrow as pa
+    import ray.data
+
+    from distributed_text_search_ray.pipelines.search import extract_keywords
+
+    corpus_dir, index_dir, _cfg = fuzzy_index
+    docs = corpus_docs(corpus_dir)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                "content": pa.array([c for _, c in docs], type=pa.string()),
+            }
+        )
+    )
+    rows = extract_keywords(index_dir, ds, k=3).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == len(docs)
+    for d, rs in by_doc.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)

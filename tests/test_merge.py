@@ -61,6 +61,26 @@ def test_merged_index_equals_full_build(split_corpora):
     )
 
 
+def test_merge_partial_resume_rebuilds_only_missing(split_corpora):
+    """A merge killed mid-way (simulated: one finished partition destroyed,
+    meta removed) resumes by rebuilding ONLY the missing partition."""
+    import json
+
+    _full, _a, _b, root = split_corpora
+    idx_m = os.path.join(root, "idx_m")
+    meta_path = os.path.join(idx_m, "index_meta.json")
+    assert os.path.exists(meta_path)
+    before = _results(idx_m)
+    os.remove(meta_path)
+    shutil.rmtree(os.path.join(idx_m, "segments", "part=00002"))
+    rep = merge_indexes(
+        [os.path.join(root, "idx_a"), os.path.join(root, "idx_b")], idx_m
+    )
+    assert rep["phases"]["segments"]["built"] == 1
+    assert rep["phases"]["segments"]["skipped"] == CFG.num_partitions - 1
+    assert _results(idx_m) == before  # identical index contents after resume
+
+
 def test_merge_resumes_and_validates(split_corpora):
     _full, half_a, half_b, root = split_corpora
     idx_a, idx_b = os.path.join(root, "idx_a"), os.path.join(root, "idx_b")
