@@ -373,6 +373,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ngram_jaccard_dup(sf_dir):
         return dedup.ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.35)
 
+    def near_dedup(sf_dir):
+        # rows-only (LSH band hashes are not SQL-expressible); correctness
+        # pinned by test_near_dedup_filter_keeps_one_per_cluster
+        return dedup.near_dedup_filter(
+            _docs_ds(sf_dir), threshold=0.5, bands=32
+        ).select_columns(["doc_id"])
+
     def contamination(sf_dir):
         import re
 
@@ -593,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": minhash_near_dup,
         "ngram_jaccard_dup": ngram_jaccard_dup,
         "contamination": contamination,
+        "near_dedup": near_dedup,
         "simhash_fp": simhash_fp,
         "simhash_near_dup": simhash_near_dup,
         "fingerprints": fingerprints,

@@ -246,6 +246,45 @@ def test_ngram_jaccard_bucket_cap_drops_boilerplate():
     assert not any(p["doc_a"] < 10 and p["doc_b"] < 10 for p in capped)
 
 
+def test_near_dedup_filter_keeps_one_per_cluster():
+    from distributed_text_search_ray.pipelines.dedup import near_dedup_filter
+
+    rng = np.random.default_rng(3)
+    groups, per_group, n_words = 40, 4, 40
+    ids, texts = [], []
+    for g in range(groups):
+        base = [f"g{g}w{k}" for k in range(n_words)]
+        for v in range(per_group):
+            words = list(base)
+            if v:  # v=0 is the pristine representative; jaccard(v0, vi) ~0.85
+                pos = int(rng.integers(0, n_words))
+                words[pos] = f"g{g}v{v}m"
+            ids.append(g * 10 + v)
+            texts.append(" ".join(words))
+    # plus dissimilar singletons that must all survive
+    for s in range(10):
+        ids.append(10_000 + s)
+        texts.append(" ".join(f"solo{s}w{k}" for k in range(n_words)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    # bands=32 (r=4) suits the 0.5 threshold — same guidance as
+    # minhash_lsh_pairs' default banding
+    kept = sorted(
+        r["doc_id"]
+        for r in near_dedup_filter(
+            ds, threshold=0.5, bands=32, pair_partitions=16
+        ).take_all()
+    )
+    want = sorted([g * 10 for g in range(groups)] + [10_000 + s for s in range(10)])
+    assert kept == want
+
+
 def test_hopping_window_contains_tumbling_at_aligned_starts():
     """Hour-aligned hopping windows (width 60m, hop 15m) cover exactly the
     same [s, s+1h) event sets as the tumbling 1h windows."""
