@@ -190,6 +190,23 @@ def _bm25(sf_dir: str, mode: str) -> pa.Table:
     return _rerank_rounded(rows, BM25_TOPK)
 
 
+def _index_pos_for(sf_dir: str) -> str:
+    """Positional (v4) index over the same cached corpus (store_positions)."""
+    from distributed_text_search_ray.config import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+
+    _index_for(sf_dir)  # ensures the resharded corpus exists
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_CACHE_ROOT, key)
+    index_dir = os.path.join(root, "index_pos")
+    cfg = IndexConfig(
+        num_partitions=8, salt_buckets=2, salt_df_threshold=0.5,
+        attribute_columns=("lang",), store_positions=True,
+    )
+    build_index(os.path.join(root, "corpus"), index_dir, cfg)
+    return index_dir
+
+
 def _merged_index_for(sf_dir: str) -> str:
     """Split the cached corpus shards in half, build each half independently,
     merge the two indexes. Salting is shard-local, so the merged index is
@@ -449,6 +466,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         topk = _bm25(sf_dir, "taat")
         return attach_snippets(_docs_ds(sf_dir), topk, BM25_QUERIES)
 
+    def phrase_counts_positional(sf_dir):
+        from distributed_text_search_ray.pipelines.phrase import phrase_search_positional
+
+        return phrase_search_positional(_index_pos_for(sf_dir), PHRASE_QUERIES)
+
     def boolean_match(sf_dir):
         from distributed_text_search_ray.pipelines.boolquery import boolean_search
 
@@ -606,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": fingerprints,
         "phrase_counts": phrase_counts,
         "phrase_counts_indexed": phrase_counts_indexed,
+        "phrase_counts_positional": phrase_counts_positional,
         "boolean_match": boolean_match,
         "search_snippets": search_snippets,
         "more_like_this": more_like_this,
@@ -1268,6 +1291,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "contamination": contamination_sql,
         "phrase_counts": phrase_sql,
         "phrase_counts_indexed": phrase_sql,
+        "phrase_counts_positional": phrase_sql,
         "boolean_match": boolean_sql,
         "search_snippets": snippets_sql,
         "more_like_this": mlt_sql,

@@ -58,6 +58,10 @@ class IndexConfig:
     # (attributes/<shard>.attrs.parquet) for filtered search; columns absent
     # from a shard's schema are skipped (recorded in the shard manifest)
     attribute_columns: tuple = ()
+    # store token positions per posting (a 4th delta+varbyte stream,
+    # pos.bin) so phrase queries answer purely from the index; ~doubles
+    # pair/segment bytes, so it is opt-in
+    store_positions: bool = False
 
     def fingerprint(self) -> str:
         d = asdict(self)
@@ -69,4 +73,6 @@ class IndexConfig:
 # built by an older layout is never silently reused on resume
 # v3: per-block delta restarts + per-block byte offsets (independently
 # decodable blocks for block-max decode skipping)
-INDEX_FORMAT_VERSION = 3
+# v4: optional positional stream (pos.bin + pos_off/pos_nbytes term
+# columns) when IndexConfig.store_positions is set
+INDEX_FORMAT_VERSION = 4

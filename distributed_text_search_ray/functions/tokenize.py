@@ -95,14 +95,22 @@ class Tokenizer:
 
 
 def batch_pairs_dict(
-    tokenizer: Tokenizer, doc_ids: np.ndarray, texts: list[str]
-) -> tuple[pa.DictionaryArray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    tokenizer: Tokenizer,
+    doc_ids: np.ndarray,
+    texts: list[str],
+    with_positions: bool = False,
+) -> tuple:
     """Vectorized :meth:`Tokenizer.batch_pairs`: one Arrow dictionary-encode
     of the chunk's flat token stream + one ``np.unique`` over (doc, code)
     keys replaces the per-document ``Counter`` loop (profiled ~25% of the
     whole tokenize phase). Returns ``(pair_terms_dict_array, pair_doc_ids,
     tfs, doc_lens, doc_token_counts)``; pair order is (doc, code)-sorted
     within the chunk (downstream fully re-sorts, so order is free).
+
+    With ``with_positions`` a sixth element is appended: a
+    ``list<int32>`` Arrow array of each pair's ascending token positions
+    within its doc (one stable argsort of the flat (doc, code) key — the
+    stable sort keeps the original token order, which IS position order).
     """
     from itertools import chain
 
@@ -114,24 +122,39 @@ def batch_pairs_dict(
             pa.array([], type=pa.int32()), pa.array([], type=pa.string())
         )
         z = np.empty(0, dtype=np.int64)
-        return empty_terms, z, z.copy(), z.copy(), counts
+        out = [empty_terms, z, z.copy(), z.copy(), counts]
+        if with_positions:
+            out.append(pa.array([], type=pa.list_(pa.int32())))
+        return tuple(out)
     enc = pa.array(list(chain.from_iterable(toks)), type=pa.string()).dictionary_encode()
     codes = enc.indices.to_numpy().astype(np.int64)
     vocab = len(enc.dictionary)
     doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
-    uk, tf = np.unique(doc_idx * vocab + codes, return_counts=True)
+    key = doc_idx * vocab + codes
+    uk, tf = np.unique(key, return_counts=True)
     d_of = uk // vocab
     c_of = uk % vocab
     pair_terms = pa.DictionaryArray.from_arrays(
         pa.array(c_of.astype(np.int32)), enc.dictionary
     )
-    return (
+    out = [
         pair_terms,
         np.asarray(doc_ids, dtype=np.int64)[d_of],
         tf.astype(np.int64),
         counts[d_of],
         counts,
-    )
+    ]
+    if with_positions:
+        doc_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos_in_doc = np.arange(total, dtype=np.int64) - doc_starts[doc_idx]
+        order = np.argsort(key, kind="stable")
+        offsets = np.concatenate(([0], np.cumsum(tf))).astype(np.int32)
+        out.append(
+            pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(pos_in_doc[order].astype(np.int32))
+            )
+        )
+    return tuple(out)
 
 
 def pairs_table(

@@ -172,6 +172,12 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
     if len(fps) != 1:
         raise ValueError(f"source configs differ (fingerprints {sorted(fps)})")
     cfg = cfgs[0]
+    if cfg.store_positions:
+        raise ValueError(
+            "merging positional (store_positions) indexes is not supported: "
+            "read_segment_pairs does not carry the pos stream yet — rebuild "
+            "from the union corpus instead"
+        )
     N = sum(int(m["N"]) for m in metas)
     total_tokens = sum(int(m["total_tokens"]) for m in metas)
     avgdl = total_tokens / N if N else 0.0

@@ -144,6 +144,95 @@ def phrase_match_counts(
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+class _PhrasePositionalExecutor:
+    """Actor-pool stage for POSITIONAL (v4) indexes: (query_id, phrase)
+    rows -> exact (query_id, doc_id, n_occurrences) from the index alone —
+    no content re-read. Candidates = posting intersection; occurrence
+    check = chained position-membership (start s matches iff term_i has
+    position s+i for every i), searchsorted per candidate doc."""
+
+    def __init__(self, index_dir: str):
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+        from distributed_text_search_ray.stages.executor import IndexView
+
+        self.view = IndexView(index_dir)
+        self.tokenizer = Tokenizer(self.view.cfg.analyzer)
+
+    def _term_pos_map(self, term: str) -> dict[int, np.ndarray]:
+        docs, tfs, pos = self.view.term_positions(term)
+        bounds = np.concatenate(([0], np.cumsum(tfs)))
+        return {
+            int(d): pos[bounds[i] : bounds[i + 1]] for i, d in enumerate(docs.tolist())
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_n = [], [], []
+        for qid, phrase in zip(
+            batch.column("query_id").to_pylist(), batch.column("query").to_pylist()
+        ):
+            terms = self.tokenizer.tokens(phrase)
+            if not terms:
+                continue
+            maps: dict[str, dict[int, np.ndarray]] = {}
+            ok = True
+            for t in sorted(set(terms), key=lambda t: self.view.term_df(t)):
+                m = self._term_pos_map(t)
+                if not m:
+                    ok = False
+                    break
+                maps[t] = m
+            if not ok:
+                continue
+            cand: np.ndarray | None = None
+            for t in sorted(maps, key=lambda t: len(maps[t])):
+                docs = np.fromiter(maps[t].keys(), dtype=np.int64, count=len(maps[t]))
+                docs.sort()
+                cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
+                if not len(cand):
+                    break
+            for d in (cand if cand is not None else np.empty(0, np.int64)).tolist():
+                cur = maps[terms[0]][d]
+                for i in range(1, len(terms)):
+                    pi = maps[terms[i]][d]
+                    want = cur + i
+                    idx = np.searchsorted(pi, want)
+                    idx_c = np.minimum(idx, len(pi) - 1)
+                    cur = cur[pi[idx_c] == want]
+                    if not len(cur):
+                        break
+                # clamp: a start needs the whole phrase inside the doc —
+                # guaranteed by membership (positions exist for every i)
+                if len(cur):
+                    out_q.append(int(qid))
+                    out_d.append(d)
+                    out_n.append(int(len(cur)))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "n_occurrences": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+
+def phrase_search_positional(
+    index_dir: str,
+    phrases: Iterable[tuple[int, str]],
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Phrase counts answered purely from a positional (v4) index — the
+    third, fully index-resident plan (scan / index-assisted verify /
+    positional). Result-identical to ``phrase_match_counts``."""
+    items = [{"query_id": int(q), "query": str(p)} for q, p in phrases]
+    return ray.data.from_items(items).map_batches(
+        _PhrasePositionalExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 class _PhraseCandidates:
     """Actor-pool stage: (query_id, phrase) rows -> (query_id, doc_id)
     candidate rows via posting-list intersection on the loaded index."""

@@ -139,6 +139,36 @@ class IndexView:
             self._cached_postings -= len(old[0])
         return out
 
+    def term_positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, flat_positions) for a positional (v4) index —
+        positions grouped per posting, split points = cumsum(tfs). Raises
+        if the index stores no positions. Salted terms concatenate salt
+        buckets and re-sort by doc id (position groups permuted with their
+        postings)."""
+        chunks = []
+        for p in self.term_parts(term):
+            r = self.reader(p)
+            got = r.positions(term)
+            if got is not None:
+                chunks.append(got)
+            elif not r.has_positions and r.term_row(term) is not None:
+                raise ValueError(
+                    f"index at {self.index_dir} stores no positions "
+                    "(build with IndexConfig(store_positions=True))"
+                )
+        if not chunks:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        docs = np.concatenate([c[0] for c in chunks])
+        tfs = np.concatenate([c[1] for c in chunks])
+        pos = np.concatenate([c[2] for c in chunks])
+        if len(chunks) > 1 and (np.diff(docs) <= 0).any():
+            order = np.argsort(docs, kind="stable")
+            bounds = np.concatenate(([0], np.cumsum(tfs)))
+            pos = np.concatenate([pos[bounds[i] : bounds[i + 1]] for i in order])
+            docs, tfs = docs[order], tfs[order]
+        return docs, tfs, pos
+
     def term_df(self, term: str) -> int:
         if term in self.hot_df:
             return self.hot_df[term]

@@ -67,6 +67,8 @@ class SegmentBuilder:
             g = pa.concat_tables(tables) if tables else None
         else:
             g = None
+        positional = self.cfg.store_positions
+        positions = None
         if g is not None and len(g):
             g = g.combine_chunks().sort_by(
                 [("term", "ascending"), ("doc_id", "ascending")]
@@ -79,15 +81,25 @@ class SegmentBuilder:
             doc_ids = g.column("doc_id").to_numpy()
             tfs = g.column("tf").to_numpy()
             dls = g.column("dl").to_numpy()
+            if positional:
+                positions = g.column("pos").combine_chunks()
         else:
             term_codes = np.empty(0, np.int32)
             term_strings = []
             doc_ids = tfs = dls = np.empty(0, np.int64)
-        terms_table, docs_b, tfs_b, dls_b, stats = build_segment_tables(
-            term_codes, term_strings, doc_ids, tfs, dls, self.N, self.avgdl, self.cfg
+            if positional:
+                positions = pa.array([], type=pa.list_(pa.int32()))
+        built = build_segment_tables(
+            term_codes, term_strings, doc_ids, tfs, dls, self.N, self.avgdl,
+            self.cfg, positions=positions,
         )
+        if positional:
+            terms_table, docs_b, tfs_b, dls_b, stats, pos_b = built
+        else:
+            terms_table, docs_b, tfs_b, dls_b, stats = built
+            pos_b = None
         with mf.AtomicDir(seg_dir) as tmp:
-            checks = write_segment(tmp, terms_table, docs_b, tfs_b, dls_b)
+            checks = write_segment(tmp, terms_table, docs_b, tfs_b, dls_b, pos_b)
             mf.write_manifest(
                 tmp,
                 {

@@ -50,6 +50,9 @@ PAIRS_SCHEMA = pa.schema(
         ("dl", pa.int64()),
     ]
 )
+# positional builds (IndexConfig.store_positions) append a pos column:
+# each pair's ascending token positions within its doc
+PAIRS_SCHEMA_POS = PAIRS_SCHEMA.append(pa.field("pos", pa.list_(pa.int32())))
 
 
 def shard_manifest_dir(pairs_dir: str) -> str:
@@ -151,6 +154,7 @@ class TokenizeShard:
         # throughput at high parallelism)
         term_chunks: list[pa.Array] = []
         doc_chunks, tf_chunks, dl_chunks = [], [], []
+        pos_chunks: list[pa.Array] = []
         n_docs = n_tokens = 0
         for rb in pf.iter_batches(batch_size=2048, columns=cols):
             t = pa.Table.from_batches([rb])
@@ -172,7 +176,13 @@ class TokenizeShard:
                 attr_id_chunks.append(np.asarray(ids, dtype=np.int64))
                 for c in attr_cols:
                     attr_val_chunks[c].append(t.column(c).combine_chunks())
-            terms, pdoc, tfs, dls, counts = batch_pairs_dict(self.tokenizer, ids, texts)
+            if self.cfg.store_positions:
+                terms, pdoc, tfs, dls, counts, pos = batch_pairs_dict(
+                    self.tokenizer, ids, texts, with_positions=True
+                )
+                pos_chunks.append(pos)
+            else:
+                terms, pdoc, tfs, dls, counts = batch_pairs_dict(self.tokenizer, ids, texts)
             term_chunks.append(terms)
             doc_chunks.append(pdoc)
             tf_chunks.append(tfs)
@@ -205,14 +215,20 @@ class TokenizeShard:
         # (One file per (shard, part) meant 96 takes + 96 parquet writes per
         # shard — write overhead dilated heavily under 16-way concurrency.)
         idx = pa.array(order)
-        sorted_table = pa.table(
-            {
-                "term": pa.compute.take(term_col, idx).cast(pa.string()),
-                "doc_id": pa.array(doc_ids[order], type=pa.int64()),
-                "tf": pa.array(tfs[order], type=pa.int64()),
-                "dl": pa.array(dls[order], type=pa.int64()),
-            }
-        )
+        cols = {
+            "term": pa.compute.take(term_col, idx).cast(pa.string()),
+            "doc_id": pa.array(doc_ids[order], type=pa.int64()),
+            "tf": pa.array(tfs[order], type=pa.int64()),
+            "dl": pa.array(dls[order], type=pa.int64()),
+        }
+        if self.cfg.store_positions:
+            pos_all = (
+                pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in pos_chunks])
+                if pos_chunks
+                else pa.array([], type=pa.list_(pa.int32()))
+            )
+            cols["pos"] = pa.compute.take(pos_all, idx)
+        sorted_table = pa.table(cols)
         boundaries = np.flatnonzero(np.diff(parts_sorted)) + 1
         starts = np.concatenate(([0], boundaries)) if len(parts_sorted) else np.empty(0, np.int64)
         ends = np.concatenate((boundaries, [len(parts_sorted)])) if len(parts_sorted) else np.empty(0, np.int64)
@@ -220,7 +236,9 @@ class TokenizeShard:
         os.makedirs(self.pairs_dir, exist_ok=True)
         tmp = os.path.join(self.pairs_dir, f".tmp-{fname}")
         part_row_groups: dict[str, list[int]] = {}
-        writer = pq.ParquetWriter(tmp, PAIRS_SCHEMA)
+        writer = pq.ParquetWriter(
+            tmp, PAIRS_SCHEMA_POS if self.cfg.store_positions else PAIRS_SCHEMA
+        )
         for rg, (s, e) in enumerate(zip(starts, ends)):
             p = int(parts_sorted[s])
             writer.write_table(

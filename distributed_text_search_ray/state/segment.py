@@ -48,6 +48,7 @@ from distributed_text_search_ray.functions.codec import (
 
 TERMS_FILE = "terms.parquet"
 STREAMS = ("docs.bin", "tfs.bin", "dls.bin")
+POS_STREAM = "pos.bin"  # v4 optional positional stream
 
 
 def build_segment_tables(
@@ -59,7 +60,8 @@ def build_segment_tables(
     N: int,
     avgdl: float,
     cfg: IndexConfig,
-) -> tuple[pa.Table, bytes, bytes, bytes, dict]:
+    positions: "pa.ListArray | pa.ChunkedArray | None" = None,
+) -> tuple:
     """Encode one partition's pairs (already sorted by (term, doc_id)) into
     (terms table, docs stream, tfs stream, dls stream, stats).
 
@@ -67,6 +69,12 @@ def build_segment_tables(
     of the sorted term column); ``term_strings``: the dictionary — strings
     for each distinct code, in code order. Keeping the hot path on int codes
     avoids materializing millions of Python strings per partition.
+
+    ``positions`` (v4, opt-in): a pair-aligned ``list<int32>`` of each
+    pair's ascending token positions. When given, the return gains a sixth
+    element (the pos stream bytes: per-pair delta + varbyte, restart at
+    every pair so a term's positions decode with its tfs as the restart
+    table) and the terms table gains ``pos_off``/``pos_nbytes``.
     """
     n = len(term_codes)
     if n == 0:
@@ -88,10 +96,15 @@ def build_segment_tables(
                 "block_dl_off": pa.array([], type=pa.list_(pa.int64())),
             }
         )
+        stats0 = {"n_terms": 0, "n_postings": 0, "sum_tf": 0, "max_doc_id": -1}
+        if positions is not None:
+            empty = empty.append_column(
+                "pos_off", pa.array([], type=pa.int64())
+            ).append_column("pos_nbytes", pa.array([], type=pa.int64()))
         empty = empty.replace_schema_metadata({b"block_size": str(cfg.block_size).encode()})
-        return empty, b"", b"", b"", {
-            "n_terms": 0, "n_postings": 0, "sum_tf": 0, "max_doc_id": -1,
-        }
+        if positions is not None:
+            return empty, b"", b"", b"", stats0, b""
+        return empty, b"", b"", b"", stats0
 
     # term boundaries (input sorted by term, doc_id)
     codes = np.asarray(term_codes)
@@ -145,6 +158,37 @@ def build_segment_tables(
     block_last = doc_ids[block_ends - 1] if len(block_ends) else np.empty(0, np.int64)
     block_offsets = block_offsets.astype(np.int32)
 
+    pos_stream = None
+    pos_off = pos_nb = None
+    if positions is not None:
+        if isinstance(positions, pa.ChunkedArray):
+            positions = (
+                positions.chunk(0)
+                if positions.num_chunks == 1
+                else pa.concat_arrays(positions.chunks)
+            )
+        list_off = positions.offsets.to_numpy().astype(np.int64)  # len n+1
+        pos_vals = positions.values.to_numpy().astype(np.int64)
+        if list_off[0] != 0 or list_off[-1] != len(pos_vals):
+            # sliced/taken list arrays can reference a larger child buffer —
+            # re-materialize contiguous before stream encoding
+            pos_vals = pos_vals[list_off[0] : list_off[-1]]
+            list_off = list_off - list_off[0]
+        pos_deltas = segmented_delta_encode(pos_vals, list_off[:-1])
+        ps, pw = varbyte_encode(pos_deltas)
+        pos_stream = ps.tobytes()
+        pends = np.cumsum(pw)
+        pstarts_bytes = np.concatenate(([0], pends[:-1]))
+        # per-term byte slice: first value of the term's first pair to the
+        # last value of its last pair
+        first_val = list_off[starts]
+        last_pair = np.concatenate((starts[1:], [n])) - 1
+        last_val_end = list_off[last_pair + 1]  # exclusive value index
+        pos_off = pstarts_bytes[first_val]
+        pos_nb = np.where(
+            last_val_end > first_val, pends[last_val_end - 1] - pos_off, 0
+        )
+
     cf = np.add.reduceat(tfs, starts)
     terms_table = pa.table(
         {
@@ -174,6 +218,10 @@ def build_segment_tables(
             ),
         }
     )
+    if positions is not None:
+        terms_table = terms_table.append_column(
+            "pos_off", pa.array(pos_off, type=pa.int64())
+        ).append_column("pos_nbytes", pa.array(pos_nb, type=pa.int64()))
     terms_table = terms_table.replace_schema_metadata(
         {b"block_size": str(cfg.block_size).encode()}
     )
@@ -183,6 +231,11 @@ def build_segment_tables(
         "sum_tf": int(tfs.sum()),
         "max_doc_id": int(doc_ids.max()),
     }
+    if positions is not None:
+        return (
+            terms_table, doc_stream.tobytes(), tf_stream.tobytes(),
+            dl_stream.tobytes(), stats, pos_stream,
+        )
     return terms_table, doc_stream.tobytes(), tf_stream.tobytes(), dl_stream.tobytes(), stats
 
 
@@ -192,6 +245,7 @@ def write_segment(
     doc_stream: bytes,
     tf_stream: bytes,
     dl_stream: bytes,
+    pos_stream: bytes | None = None,
 ) -> dict:
     """Write segment files into ``seg_dir`` (caller handles atomicity).
 
@@ -199,7 +253,12 @@ def write_segment(
     """
     pq.write_table(terms_table, os.path.join(seg_dir, TERMS_FILE))
     checks = {}
-    for name, data in zip(STREAMS, (doc_stream, tf_stream, dl_stream)):
+    names = list(STREAMS)
+    data_list = [doc_stream, tf_stream, dl_stream]
+    if pos_stream is not None:
+        names.append(POS_STREAM)
+        data_list.append(pos_stream)
+    for name, data in zip(names, data_list):
         with open(os.path.join(seg_dir, name), "wb") as f:
             f.write(data)
         checks[name] = hashlib.md5(data).hexdigest()
@@ -266,7 +325,11 @@ class SegmentReader:
         # posting-stream bytes fed to varbyte_decode (diagnostic: shows how
         # much decode block-max scoring skipped relative to a full scan)
         self.bytes_decoded = 0
-        for name in STREAMS:
+        names = list(STREAMS)
+        self.has_positions = os.path.exists(os.path.join(seg_dir, POS_STREAM))
+        if self.has_positions:
+            names.append(POS_STREAM)
+        for name in names:
             p = os.path.join(seg_dir, name)
             self._streams[name] = (
                 np.memmap(p, dtype=np.uint8, mode="r")
@@ -361,6 +424,31 @@ class SegmentReader:
             np.concatenate(out_t).astype(np.int64),
             np.concatenate(out_l).astype(np.int64),
         )
+
+    def positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """(doc_ids, tfs, flat_positions) for a term — positions are grouped
+        per posting (split points = cumsum(tfs)). None if the term is absent
+        or the segment stores no positions (v3 layout)."""
+        if not self.has_positions:
+            return None
+        i = self.term_row(term)
+        if i is None:
+            return None
+        got = self.postings(term)
+        if got is None:
+            return None
+        doc_ids, tfs, _dls = got
+        row = {
+            c: self._terms.column(c)[i].as_py() for c in ("cf", "pos_off", "pos_nbytes")
+        }
+        self.bytes_decoded += row["pos_nbytes"]
+        deltas = varbyte_decode(
+            self._streams[POS_STREAM][row["pos_off"] : row["pos_off"] + row["pos_nbytes"]],
+            count=int(row["cf"]),
+        )
+        restarts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+        pos = segmented_delta_decode(deltas, restarts)
+        return doc_ids, tfs, pos
 
     def block_meta(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         """(block_max_scores, block_last_docids) for block-max scoring."""

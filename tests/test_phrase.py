@@ -89,6 +89,60 @@ def test_phrase_indexed_matches_scan(code_corpus, tmp_path):
     assert indexed == scan == _brute(dict(docs), phrases)
 
 
+def test_phrase_positional_matches_scan_with_salting(code_corpus, tmp_path):
+    """Positional (v4) index answers phrases purely from pos.bin,
+    identically to the scan — including terms salted across partitions
+    (aggressive salting forces multi-bucket positional postings) and
+    repeated-token / overlapping phrases."""
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.phrase import phrase_search_positional
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx")
+    build_index(
+        corpus_dir,
+        idx,
+        IndexConfig(
+            num_partitions=4, salt_buckets=3, salt_df_threshold=0.05,
+            store_positions=True,
+        ),
+    )
+    docs = corpus_docs(corpus_dir)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                "content": pa.array([c for _, c in docs], type=pa.string()),
+            }
+        )
+    )
+    toks = re.findall(r"[a-z0-9_]+", docs[0][1].lower())
+    phrases = [
+        (0, " ".join(toks[:2])),
+        (1, toks[0]),
+        (2, " ".join(toks[:4])),
+        (3, f"{toks[0]} {toks[0]}"),  # repeated token
+        (4, "zz_missing qq_missing"),
+    ]
+    scan = _rows(phrase_match_counts(ds, phrases))
+    posi = _rows(phrase_search_positional(idx, phrases))
+    assert scan and posi == scan == _brute(dict(docs), phrases)
+
+
+def test_positional_index_errors_without_positions(code_corpus, tmp_path):
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.phrase import phrase_search_positional
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx")
+    build_index(corpus_dir, idx, IndexConfig(num_partitions=4))  # v3 layout
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="store_positions|no positions"):
+        phrase_search_positional(idx, [(0, "def")]).take_all()
+
+
 def test_attach_snippets_window_semantics():
     from distributed_text_search_ray.pipelines.search import attach_snippets
 
