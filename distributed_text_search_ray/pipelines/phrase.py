@@ -158,12 +158,24 @@ class _PhrasePositionalExecutor:
         self.view = IndexView(index_dir)
         self.tokenizer = Tokenizer(self.view.cfg.analyzer)
 
-    def _term_pos_map(self, term: str) -> dict[int, np.ndarray]:
-        docs, tfs, pos = self.view.term_positions(term)
+    @staticmethod
+    def _gather_global(
+        cand: np.ndarray, docs: np.ndarray, tfs: np.ndarray, pos: np.ndarray
+    ) -> np.ndarray:
+        """Candidate docs' positions as ONE sorted flat array of
+        ``doc_ordinal * 2^32 + position`` — the stride makes same-doc
+        membership checks a plain searchsorted over the merged array, so
+        the whole phrase chain runs vectorized with no per-doc loop."""
+        idx = np.searchsorted(docs, cand)  # every cand present by construction
         bounds = np.concatenate(([0], np.cumsum(tfs)))
-        return {
-            int(d): pos[bounds[i] : bounds[i + 1]] for i, d in enumerate(docs.tolist())
-        }
+        lens = tfs[idx]
+        starts = bounds[idx]
+        total = int(lens.sum())
+        ends_ex = np.cumsum(lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(ends_ex - lens, lens)
+        flat = pos[np.repeat(starts, lens) + within]
+        ordinals = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+        return (ordinals << np.int64(32)) + flat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_d, out_n = [], [], []
@@ -173,39 +185,42 @@ class _PhrasePositionalExecutor:
             terms = self.tokenizer.tokens(phrase)
             if not terms:
                 continue
-            maps: dict[str, dict[int, np.ndarray]] = {}
+            data: dict[str, tuple] = {}
             ok = True
-            for t in sorted(set(terms), key=lambda t: self.view.term_df(t)):
-                m = self._term_pos_map(t)
-                if not m:
+            for t in set(terms):
+                docs, tfs, pos = self.view.term_positions(t)
+                if not len(docs):
                     ok = False
                     break
-                maps[t] = m
+                data[t] = (docs, tfs, pos)
             if not ok:
                 continue
             cand: np.ndarray | None = None
-            for t in sorted(maps, key=lambda t: len(maps[t])):
-                docs = np.fromiter(maps[t].keys(), dtype=np.int64, count=len(maps[t]))
-                docs.sort()
+            for t in sorted(data, key=lambda t: len(data[t][0])):
+                docs = data[t][0]
                 cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
                 if not len(cand):
                     break
-            for d in (cand if cand is not None else np.empty(0, np.int64)).tolist():
-                cur = maps[terms[0]][d]
-                for i in range(1, len(terms)):
-                    pi = maps[terms[i]][d]
-                    want = cur + i
-                    idx = np.searchsorted(pi, want)
-                    idx_c = np.minimum(idx, len(pi) - 1)
-                    cur = cur[pi[idx_c] == want]
-                    if not len(cur):
-                        break
-                # clamp: a start needs the whole phrase inside the doc —
-                # guaranteed by membership (positions exist for every i)
-                if len(cur):
-                    out_q.append(int(qid))
-                    out_d.append(d)
-                    out_n.append(int(len(cur)))
+            if cand is None or not len(cand):
+                continue
+            gpos = {t: self._gather_global(cand, *data[t]) for t in data}
+            cur = gpos[terms[0]]
+            for i in range(1, len(terms)):
+                gi = gpos[terms[i]]
+                want = cur + i
+                j = np.searchsorted(gi, want)
+                j_c = np.minimum(j, len(gi) - 1)
+                cur = cur[gi[j_c] == want]
+                if not len(cur):
+                    break
+            if not len(cur):
+                continue
+            ords = (cur >> np.int64(32)).astype(np.int64)
+            counts = np.bincount(ords, minlength=len(cand))
+            hit = np.flatnonzero(counts)
+            out_q.extend([int(qid)] * len(hit))
+            out_d.extend(cand[hit].tolist())
+            out_n.extend(counts[hit].tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),
