@@ -11,18 +11,20 @@ often" — two ways:
   per-doc offset table — one fused numpy pass per (phrase, batch), never a
   Python loop over positions. The scan analog of the APM pipeline, and the
   conformance oracle for the indexed path.
-- ``phrase_search_indexed``: index-assisted. The index stores no positions
-  (positions would triple posting bytes for a query type that is rare at
-  100 TB), so the classic two-phase plan applies: candidate docs = the
-  INTERSECTION of the phrase terms' posting lists (actor-pool stage over
-  the loaded ``IndexView``, pure hash routing, no shuffle), then positional
-  verification scans ONLY the candidate docs' content (broadcast-id
-  semi-join against the corpus, then the same vectorized scan). On a
-  selective phrase the verify stage touches a vanishing fraction of the
-  corpus; worst case (every term a stop word) degrades to the scan path's
-  cost on the candidate subset.
+- ``phrase_search_indexed``: index-assisted, for DEFAULT (v3, position-free)
+  indexes: candidate docs = the INTERSECTION of the phrase terms' posting
+  lists (actor-pool stage over the loaded ``IndexView``, pure hash routing,
+  no shuffle), then positional verification scans ONLY the candidate docs'
+  content (broadcast-id semi-join against the corpus, then the same
+  vectorized scan). On a selective phrase the verify stage touches a
+  vanishing fraction of the corpus; worst case (every term a stop word)
+  degrades to the scan path's cost on the candidate subset.
+- ``phrase_search_positional``: fully index-resident, for v4 indexes built
+  with ``IndexConfig(store_positions=True)`` (+24% index bytes measured):
+  posting intersection plus a vectorized chained position-membership check
+  over the decoded pos stream — no content read at all.
 
-Both return identical ``(query_id, doc_id, n_occurrences)`` rows
+All return identical ``(query_id, doc_id, n_occurrences)`` rows
 (n_occurrences > 0), differential-tested against each other and the DuckDB
 positional self-join oracle.
 """
@@ -311,8 +313,8 @@ def phrase_search_indexed(
     broadcast id-set would blow up — detect nothing here; callers at scale
     should route such phrases to ``phrase_match_counts`` (full scan costs
     the same as verifying an O(N) candidate set, without the id-set
-    broadcast). A positional segment format is the planned fix if phrase
-    workloads dominate.
+    broadcast) — or build with ``store_positions=True`` and use
+    ``phrase_search_positional``, which needs no candidate broadcast.
     """
     phrases = list(phrases)
     analyzer = analyzer or AnalyzerConfig()
