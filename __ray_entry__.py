@@ -345,6 +345,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def length_quantiles(sf_dir):
         return textstats.token_length_quantiles(_docs_ds(sf_dir))
 
+    def repetition_scores(sf_dir):
+        return textstats.repetition_scores(_docs_ds(sf_dir))
+
+    def redact_props(sf_dir):
+        import ray.data
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+        )
+        return textstats.redact_text(ev, id_column="event_id", text_column="props")
+
+    def pack_sequences(sf_dir):
+        from distributed_text_search_ray.pipelines.pack import pack_sequences as _pack
+
+        return _pack(_docs_ds(sf_dir), max_tokens=256, range_size=200)
+
     def lang_stats(sf_dir):
         import ray.data
 
@@ -615,6 +631,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": langid,
         "doc_sha256": doc_sha256,
         "length_quantiles": length_quantiles,
+        "repetition_scores": repetition_scores,
+        "redact_props": redact_props,
+        "pack_sequences": pack_sequences,
         "lang_stats": lang_stats,
         "exact_dedup": exact_dedup,
         "dedup_filter": dedup_filter,
@@ -855,6 +874,43 @@ qd AS (SELECT quantile_disc(n, [0.25, 0.5, 0.75, 0.95]) vals FROM lens)
 SELECT unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
        unnest(vals)::BIGINT AS n_tokens
 FROM qd
+"""
+
+    repetition_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} AS ts FROM documents
+),
+ord AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i FROM toks
+),
+grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w AS bg,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS tg
+  FROM ord WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+bi AS (SELECT doc_id, bg, count(*) c FROM grams WHERE bg IS NOT NULL GROUP BY 1, 2),
+tri AS (SELECT doc_id, tg, count(*) c FROM grams WHERE tg IS NOT NULL GROUP BY 1, 2),
+bi_agg AS (SELECT doc_id, max(c) mx, sum(c) tot FROM bi GROUP BY 1),
+tri_agg AS (SELECT doc_id, count(*) dst, sum(c) tot FROM tri GROUP BY 1)
+SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+       round(coalesce(1.0 - ta.dst * 1.0 / ta.tot, 0.0), 6) AS dup_trigram_frac,
+       round(coalesce(ba.mx * 1.0 / ba.tot, 0.0), 6) AS top_bigram_frac
+FROM toks t LEFT JOIN bi_agg ba USING (doc_id) LEFT JOIN tri_agg ta USING (doc_id)
+"""
+
+    # same rule order as textstats.REDACT_RULES: EMAIL first, then NUM over
+    # the email-redacted text (nesting = ordered application)
+    _email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _num_re = r"[0-9]+(\.[0-9]+)?"
+    redact_sql = f"""
+SELECT event_id,
+       regexp_replace(regexp_replace(props, '{_email_re}', '<EMAIL>', 'g'),
+                      '{_num_re}', '<NUM>', 'g') AS redacted,
+       (len(regexp_extract_all(props, '{_email_re}'))
+        + len(regexp_extract_all(regexp_replace(props, '{_email_re}', '<EMAIL>', 'g'),
+                                 '{_num_re}')))::BIGINT AS n_redactions
+FROM events
 """
 
     exact_dd = """
@@ -1282,6 +1338,8 @@ FROM l JOIN r ON l.user_id = r.user_id
         "langid": langid,
         "doc_sha256": sha,
         "length_quantiles": quantiles_sql,
+        "repetition_scores": repetition_sql,
+        "redact_props": redact_sql,
         "lang_stats": lang_stats_sql,
         "exact_dedup": exact_dd,
         "dedup_filter": dedup_filter_sql,

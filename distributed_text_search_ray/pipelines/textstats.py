@@ -345,6 +345,99 @@ def fingerprints(
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def repetition_scores(
+    docs: ray.data.Dataset, analyzer: AnalyzerConfig | None = None
+) -> ray.data.Dataset:
+    """Gopher-style n-gram repetition quality signals, per document:
+
+    - ``dup_trigram_frac``: fraction of token-trigram occurrences that are
+      repeats of an earlier trigram in the same doc
+      (= 1 - distinct_trigrams / total_trigrams; 0 when < 3 tokens).
+    - ``top_bigram_frac``: share of token-bigram occurrences claimed by the
+      single most frequent bigram (0 when < 2 tokens).
+
+    Boilerplate / template / spam text scores high on both; the classic
+    pre-training filter drops docs above a threshold. Single-pass
+    ``map_batches`` (no shuffle); per-doc Counter work is inherently
+    per-string, same as tokenization. Floats rounded to 6 dp with SQL
+    ``round`` semantics so the DuckDB oracle matches value-for-value.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        tk = tokenizer_for(analyzer)
+        n_toks, dup3, top2 = [], [], []
+        for text in batch.column("content").to_pylist():
+            toks = tk.tokens(text)
+            n = len(toks)
+            n_toks.append(n)
+            if n >= 3:
+                tgs = list(zip(toks, toks[1:], toks[2:]))
+                dup3.append(round_half_away(1.0 - len(set(tgs)) / len(tgs), 6))
+            else:
+                dup3.append(0.0)
+            if n >= 2:
+                bgs = Counter(zip(toks, toks[1:]))
+                top2.append(round_half_away(max(bgs.values()) / (n - 1), 6))
+            else:
+                top2.append(0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_toks, type=pa.int64()),
+                "dup_trigram_frac": pa.array(dup3, type=pa.float64()),
+                "top_bigram_frac": pa.array(top2, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+# default redaction rules: (pattern, replacement), applied in order. The
+# regexes stay inside the common re/RE2 syntax subset so the same pattern
+# string drives both the engine and the DuckDB regexp_replace oracle.
+REDACT_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]+(\.[0-9]+)?", "<NUM>"),
+]
+
+
+def redact_text(
+    ds: ray.data.Dataset,
+    id_column: str = "doc_id",
+    text_column: str = "content",
+    rules: list[tuple[str, str]] | None = None,
+) -> ray.data.Dataset:
+    """PII-style scrubbing: replace every match of each rule pattern with its
+    placeholder; emit (id, redacted, n_redactions).
+
+    Rules apply in declaration order (so the EMAIL rule claims its digits
+    before the NUM rule sees them — order is part of the contract and the
+    oracle nests ``regexp_replace`` in the same order). Single-pass
+    ``map_batches``; patterns compile once per worker via the process cache.
+    """
+    rules = REDACT_RULES if rules is None else rules
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for pat, repl in rules:
+            rx = _compiled(pat)
+            for i, t in enumerate(texts):
+                texts[i], n = rx.subn(repl, t)
+                counts[i] += n
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "redacted": pa.array(texts, type=pa.string()),
+                "n_redactions": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def token_length_quantiles(
     docs: ray.data.Dataset,
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),

@@ -623,10 +623,111 @@ def test_cheap_queries_match_duckdb_oracles():
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF}/{tbl}.parquet')"
         )
     qs, oracles = e.queries(), e.oracle_sql()
-    for name in ("range_join_1h", "length_quantiles", "simhash_fp", "exact_dedup"):
+    for name in (
+        "range_join_1h",
+        "length_quantiles",
+        "simhash_fp",
+        "exact_dedup",
+        "repetition_scores",
+        "redact_props",
+    ):
         got = qs[name](SF).to_pandas()
         cols = sorted(got.columns)
         mine = sorted(map(tuple, got[cols].itertuples(index=False)))
         w = con.sql(oracles[name]).df()
         want = sorted(map(tuple, w[sorted(w.columns)].itertuples(index=False)))
         assert mine == want, name
+
+
+def test_repetition_scores_flag_planted_boilerplate():
+    """A doc that is one phrase repeated scores ~1 on both fractions; the
+    organic corpus docs stay low. Values are pinned by the SQL oracle in
+    test_cheap_queries_match_duckdb_oracles; this checks the signal."""
+    from distributed_text_search_ray.pipelines.textstats import repetition_scores
+
+    spam = " ".join(["click here now"] * 40)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "content": pa.array([spam, "the quick brown fox jumps over dogs"]),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in repetition_scores(ds).take_all()}
+    assert rows[1]["dup_trigram_frac"] > 0.9
+    assert rows[1]["top_bigram_frac"] > 0.3
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    # short docs degrade to 0, not NaN
+    tiny = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([3], type=pa.int64()), "content": pa.array(["hi"])})
+    )
+    r3 = repetition_scores(tiny).take_all()[0]
+    assert (r3["dup_trigram_frac"], r3["top_bigram_frac"]) == (0.0, 0.0)
+
+
+def test_redact_text_rules_ordered():
+    from distributed_text_search_ray.pipelines.textstats import redact_text
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "content": pa.array(
+                    ["mail bob99@example.com at 12.5 or 7", "no secrets here"]
+                ),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in redact_text(ds).take_all()}
+    # EMAIL rule fires before NUM ever sees the address's digits
+    assert rows[1]["redacted"] == "mail <EMAIL> at <NUM> or <NUM>"
+    assert rows[1]["n_redactions"] == 3
+    assert rows[2] == {"doc_id": 2, "redacted": "no secrets here", "n_redactions": 0}
+
+
+def test_pack_sequences_matches_pure_python_and_is_layout_independent():
+    from distributed_text_search_ray.functions.tokenize import tokenizer_for
+    from distributed_text_search_ray.pipelines.pack import pack_greedy, pack_sequences
+
+    max_tokens, range_size = 64, 50
+    ds = docs_ds()
+    got = pack_sequences(ds, max_tokens=max_tokens, range_size=range_size).take_all()
+    got_by_id = {r["doc_id"]: r for r in got}
+
+    # pure-python oracle: same greedy fill per doc_id range
+    tk = tokenizer_for(None)
+    t = pq.read_table(f"{SF}/documents.parquet")
+    counts = {
+        d: tk.token_count(txt)
+        for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    assert len(got) == len(counts)
+    by_range: dict = {}
+    for d in counts:
+        by_range.setdefault(d // range_size, []).append(d)
+    for rid, ids in by_range.items():
+        ids = np.array(sorted(ids))
+        n = np.array([counts[d] for d in ids])
+        packs, pos, kept, trunc = pack_greedy(ids, n, max_tokens)
+        for i, d in enumerate(ids):
+            r = got_by_id[d]
+            assert r["pack_id"] == rid * (1 << 32) + packs[i]
+            assert r["pack_pos"] == pos[i]
+            assert r["packed_tokens"] == kept[i]
+            assert r["truncated"] == bool(trunc[i])
+
+    # invariant: no pack exceeds the budget
+    fills: dict = {}
+    for r in got:
+        fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["packed_tokens"]
+        assert r["packed_tokens"] <= max_tokens
+    assert all(v <= max_tokens for v in fills.values())
+
+    # block-layout independence: same assignment after a repartition
+    got2 = pack_sequences(
+        ds.repartition(7), max_tokens=max_tokens, range_size=range_size
+    ).take_all()
+    assert sorted(map(tuple, (sorted(r.items()) for r in got2))) == sorted(
+        map(tuple, (sorted(r.items()) for r in got))
+    )
