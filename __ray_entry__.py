@@ -361,6 +361,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _pack(_docs_ds(sf_dir), max_tokens=256, range_size=200)
 
+    def curated_corpus(sf_dir):
+        from distributed_text_search_ray.pipelines.curate import curate_corpus
+
+        return curate_corpus(_docs_ds(sf_dir))
+
     def lang_stats(sf_dir):
         import ray.data
 
@@ -634,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": repetition_scores,
         "redact_props": redact_props,
         "pack_sequences": pack_sequences,
+        "curated_corpus": curated_corpus,
         "lang_stats": lang_stats,
         "exact_dedup": exact_dedup,
         "dedup_filter": dedup_filter,
@@ -911,6 +917,60 @@ SELECT event_id,
         + len(regexp_extract_all(regexp_replace(props, '{_email_re}', '<EMAIL>', 'g'),
                                  '{_num_re}')))::BIGINT AS n_redactions
 FROM events
+"""
+
+    # composed curation oracle: same token CTE feeds quality, langid, and
+    # repetition; thresholds mirror curate_corpus defaults; final dedup is
+    # dedup_filter's keep-min-doc_id rule over the SURVIVORS only
+    curated_sql = f"""
+WITH toks AS (
+  SELECT doc_id, text, {TOK_SQL.format(col="text")} AS ts FROM documents
+),
+ord AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i FROM toks
+),
+s AS (
+  SELECT doc_id, count(*) n,
+    count(*) FILTER (WHERE tok IN ('a','and','in','is','it','of','the','to')) sw,
+    count(*) FILTER (WHERE tok IN ('the','a','of','and','to')) s_en,
+    count(*) FILTER (WHERE tok IN ('el','los','las','una','y')) s_es,
+    count(*) FILTER (WHERE tok IN ('der','die','das','und','nicht')) s_de,
+    count(*) FILTER (WHERE tok IN ('le','les','des','une','et')) s_fr
+  FROM ord GROUP BY 1
+),
+grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w AS bg,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS tg
+  FROM ord WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+bi_agg AS (
+  SELECT doc_id, max(c) mx, sum(c) tot FROM (
+    SELECT doc_id, bg, count(*) c FROM grams WHERE bg IS NOT NULL GROUP BY 1, 2
+  ) GROUP BY 1
+),
+tri_agg AS (
+  SELECT doc_id, count(*) dst, sum(c) tot FROM (
+    SELECT doc_id, tg, count(*) c FROM grams WHERE tg IS NOT NULL GROUP BY 1, 2
+  ) GROUP BY 1
+),
+sel AS (
+  SELECT t.doc_id, t.text
+  FROM toks t JOIN s USING (doc_id)
+  LEFT JOIN bi_agg ba USING (doc_id) LEFT JOIN tri_agg ta USING (doc_id)
+  WHERE s.n >= 20
+    AND (CASE
+      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+      WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+      WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+      WHEN s_fr > 0 THEN 'fr'
+      ELSE 'und' END) = 'en'
+    AND round(sw / s.n::DOUBLE * 0.5 + least(s.n, 200) / 400.0, 6) >= 0.1
+    AND round(coalesce(1.0 - ta.dst * 1.0 / ta.tot, 0.0), 6) <= 0.05
+    AND round(coalesce(ba.mx * 1.0 / ba.tot, 0.0), 6) <= 0.2
+)
+SELECT d.doc_id, d.text AS content
+FROM sel d JOIN (SELECT min(doc_id) m FROM sel GROUP BY md5(text)) r ON d.doc_id = r.m
 """
 
     exact_dd = """
@@ -1340,6 +1400,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "length_quantiles": quantiles_sql,
         "repetition_scores": repetition_sql,
         "redact_props": redact_sql,
+        "curated_corpus": curated_sql,
         "lang_stats": lang_stats_sql,
         "exact_dedup": exact_dd,
         "dedup_filter": dedup_filter_sql,

@@ -731,3 +731,41 @@ def test_pack_sequences_matches_pure_python_and_is_layout_independent():
     assert sorted(map(tuple, (sorted(r.items()) for r in got2))) == sorted(
         map(tuple, (sorted(r.items()) for r in got))
     )
+
+
+def test_curate_corpus_equals_composed_individual_operators():
+    """The fused curation stage must keep exactly the docs the individual
+    signal operators would keep under the same thresholds, then dedup by
+    min doc_id — curate's one-pass fusion is an optimization, not new
+    semantics. (The SQL side of the same contract is the driver oracle.)"""
+    from distributed_text_search_ray.pipelines.curate import curate_corpus
+    from distributed_text_search_ray.pipelines.dedup import dedup_filter
+    from distributed_text_search_ray.pipelines.textstats import repetition_scores
+
+    ds = docs_ds()
+    got = sorted(r["doc_id"] for r in curate_corpus(ds).take_all())
+
+    lang = {r["doc_id"]: r["pred_lang"] for r in language_id(ds).take_all()}
+    qual = {r["doc_id"]: r for r in quality_scores(ds).take_all()}
+    rep = {r["doc_id"]: r for r in repetition_scores(ds).take_all()}
+    survivors = [
+        d
+        for d in lang
+        if lang[d] == "en"
+        and qual[d]["n_tokens"] >= 20
+        and qual[d]["quality"] >= 0.1
+        and rep[d]["dup_trigram_frac"] <= 0.05
+        and rep[d]["top_bigram_frac"] <= 0.2
+    ]
+    t = pq.read_table(f"{SF}/documents.parquet")
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    sub = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(survivors), type=pa.int64()),
+                "content": pa.array([texts[d] for d in sorted(survivors)], type=pa.string()),
+            }
+        )
+    )
+    want = sorted(r["doc_id"] for r in dedup_filter(sub).take_all())
+    assert got == want and len(got) > 0
