@@ -406,7 +406,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def minhash_near_dup(sf_dir):
-        return dedup.minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.5)
+        # Oracle-robust banding: the exact-Jaccard SQL oracle admits every
+        # pair >= 0.5, so LSH recall is the only way this check can diverge.
+        # r=3/b=42 gives per-pair miss (1-j^3)^42 = 0.4% at exactly j=0.5
+        # and ~1e-13 at j=0.8 — the measured floor of qualifying pairs in
+        # the driver testdata (min jaccard 0.9 at sf0.01, 0.8 at sf0.1).
+        # Seeded permutations make the outcome deterministic for fixed
+        # inputs either way; this margin covers regenerated testdata too.
+        return dedup.minhash_lsh_pairs(
+            _docs_ds(sf_dir), threshold=0.5, num_perm=126, bands=42
+        )
 
     def ngram_jaccard_dup(sf_dir):
         return dedup.ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.35)
