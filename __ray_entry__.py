@@ -420,6 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ngram_jaccard_dup(sf_dir):
         return dedup.ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.35)
 
+    def dup_spans(sf_dir):
+        return dedup.dup_span_coverage(_docs_ds(sf_dir))
+
     def near_dedup(sf_dir):
         # rows-only (LSH band hashes are not SQL-expressible); correctness
         # pinned by test_near_dedup_filter_keeps_one_per_cluster
@@ -655,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": top_terms,
         "minhash_near_dup": minhash_near_dup,
         "ngram_jaccard_dup": ngram_jaccard_dup,
+        "dup_spans": dup_spans,
         "contamination": contamination,
         "near_dedup": near_dedup,
         "simhash_fp": simhash_fp,
@@ -1038,6 +1042,23 @@ WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= {threshold}
          WHEN len({l}) >= 1 THEN [array_to_string({l}, chr(31))]
          ELSE [] END"""
 
+    dup_spans_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+sh AS (SELECT doc_id, {_SHINGLE_CASE.format(l="l")} shingles FROM toks),
+w AS (SELECT doc_id, s.shingle FROM sh, unnest(shingles) AS s(shingle)),
+d AS (SELECT shingle, count(DISTINCT doc_id) nd FROM w GROUP BY 1),
+per AS (
+  SELECT w.doc_id, count(*) n_windows,
+         sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) dup_windows
+  FROM w JOIN d USING (shingle) GROUP BY 1
+)
+SELECT doc_id, n_windows::BIGINT AS n_windows, dup_windows::BIGINT AS dup_windows,
+       round(dup_windows / n_windows::DOUBLE, 6) AS dup_fraction
+FROM per
+"""
+
     contamination_sql = f"""
 WITH toks AS (
   SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
@@ -1416,6 +1437,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "top_terms": top_terms_sql,
         "minhash_near_dup": minhash,
         "ngram_jaccard_dup": ngram_jaccard,
+        "dup_spans": dup_spans_sql,
         "contamination": contamination_sql,
         "phrase_counts": phrase_sql,
         "phrase_counts_indexed": phrase_sql,

@@ -102,6 +102,16 @@ def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
     multipliers — fully vectorized over the token stream (hashing each
     shingle string individually profiled ~10x slower); deterministic across
     processes."""
+    return np.unique(shingle_hashes_all(tokens, n))
+
+
+def shingle_hashes_all(tokens: list[str], n: int = 3) -> np.ndarray:
+    """One hash per n-gram window in positional order, duplicates kept.
+
+    Same fold as ``shingle_hashes`` (which is just the unique of this), so
+    the two interoperate: a window-level operator and a set-level operator
+    agree on which shingles are equal. Docs shorter than ``n`` tokens get
+    one window covering all tokens (matching the SQL oracles' CASE arm)."""
     if not tokens:
         return np.empty(0, dtype=np.uint64)
     th = _token_hashes(tokens)
@@ -109,11 +119,11 @@ def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
         acc = np.zeros(1, dtype=np.uint64)
         for j in range(len(tokens)):
             acc = splitmix64(acc * np.uint64(0x9E3779B97F4A7C15) + th[j : j + 1])
-        return np.unique(acc)
+        return acc
     acc = th[: len(th) - n + 1].copy()
     for j in range(1, n):
         acc = splitmix64(acc * np.uint64(0x9E3779B97F4A7C15) + th[j : len(th) - n + 1 + j])
-    return np.unique(acc)
+    return acc
 
 
 def minhash_signatures_batch(

@@ -919,3 +919,170 @@ def ngram_jaccard_pairs(
         .groupby("pp")
         .map_groups(reduce_pairs, batch_format="pyarrow")
     )
+
+
+def dup_span_coverage(
+    docs: ray.data.Dataset,
+    shingle_n: int = 3,
+    analyzer: AnalyzerConfig | None = None,
+    shingle_partitions: int = 64,
+    doc_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-document duplicated-span coverage (exact substring-dedup signal).
+
+    For each document, the fraction of its n-gram token windows whose exact
+    n-gram also occurs in at least one OTHER document — the per-doc signal
+    behind exact substring deduplication of training corpora (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better": cut
+    spans duplicated across documents; here surfaced as a filterable score
+    instead of an edit). Output: (doc_id, n_windows, dup_windows,
+    dup_fraction). Docs with zero tokens are omitted; docs shorter than
+    ``shingle_n`` tokens count one window over all their tokens (same CASE
+    convention as the Jaccard oracles).
+
+    Shape (all exact, no sampling): a distributed shingle-inverted count.
+
+    1. ``map_batches``: per doc, window hashes WITH multiplicity
+       (``shingle_hashes_all``), collapsed to one row per distinct
+       (shingle, doc) carrying the in-doc window count ``cnt`` and the
+       doc's total window count ``nw``; rows coarse-partitioned by
+       ``shingle % shingle_partitions``.
+    2. ``groupby(part).map_groups`` (vectorized): sort by shingle, run
+       length = distinct docs containing it ((shingle, doc) rows are
+       globally unique); windows of shingles with >= 2 docs are duplicated.
+       Per-group per-doc partial sums via factorize+bincount; re-keyed by
+       ``doc_id % doc_partitions``.
+    3. ``groupby(dp).map_groups`` (vectorized): sum partials per doc —
+       the same coarse-group reduce as ``ngram_jaccard_pairs`` (a per-doc
+       ``groupby`` aggregate pays per group; corpora have billions of
+       docs).
+
+    Scale: stage-2 groups hold corpus_windows/shingle_partitions rows
+    (~28 B each) — size ``shingle_partitions`` to the worker heap. A
+    boilerplate shingle costs O(docs containing it) rows here, NOT O(n^2)
+    pairs — this operator has no quadratic hazard, which is exactly why
+    span coverage is the scale-correct dedup signal for heavy-boilerplate
+    corpora.
+    """
+    analyzer = analyzer or AnalyzerConfig()
+    from distributed_text_search_ray.functions.hashing import shingle_hashes_all
+
+    P, Q = shingle_partitions, doc_partitions
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        sh_c, cnt_c, id_c, nw_c = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
+        ):
+            wh = shingle_hashes_all(tk.tokens(text), shingle_n)
+            if wh.size == 0:
+                continue
+            uniq, cnt = np.unique(wh, return_counts=True)
+            sh_c.append(uniq)
+            cnt_c.append(cnt)
+            id_c.append(np.full(uniq.size, doc_id, dtype=np.int64))
+            nw_c.append(np.full(uniq.size, wh.size, dtype=np.int64))
+        if not sh_c:
+            return pa.table(
+                {
+                    "part": pa.array([], type=pa.int32()),
+                    "sh": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                    "nw": pa.array([], type=pa.int64()),
+                }
+            )
+        sh = np.concatenate(sh_c)
+        return pa.table(
+            {
+                "part": pa.array((sh % np.uint64(P)).astype(np.int32), type=pa.int32()),
+                "sh": pa.array(sh.view(np.int64), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(id_c), type=pa.int64()),
+                "cnt": pa.array(np.concatenate(cnt_c), type=pa.int64()),
+                "nw": pa.array(np.concatenate(nw_c), type=pa.int64()),
+            }
+        )
+
+    def mark_and_partial(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dp": pa.array([], type=pa.int32()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "dup": pa.array([], type=pa.int64()),
+                "nw": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        sh = group.column("sh").to_numpy()
+        doc = group.column("doc_id").to_numpy()
+        cnt = group.column("cnt").to_numpy()
+        nw = group.column("nw").to_numpy()
+        order = np.argsort(sh, kind="stable")
+        sh, doc, cnt, nw = sh[order], doc[order], cnt[order], nw[order]
+        is_start = np.empty(len(sh), dtype=bool)
+        is_start[0] = True
+        is_start[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(is_start)
+        ndocs = np.diff(np.concatenate((starts, [len(sh)])))
+        dup_row = np.repeat(ndocs >= 2, ndocs)
+        # per-doc partials: every doc row contributes nw once (first
+        # occurrence in this group) and cnt when its shingle is duplicated
+        docs_u, inv = np.unique(doc, return_inverse=True)
+        dup_partial = np.bincount(
+            inv, weights=np.where(dup_row, cnt, 0), minlength=docs_u.size
+        ).astype(np.int64)
+        first = np.zeros(docs_u.size, dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(doc) - 1, -1, -1)
+        return pa.table(
+            {
+                "dp": pa.array(
+                    (docs_u.astype(np.uint64) % np.uint64(Q)).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                "doc_id": pa.array(docs_u, type=pa.int64()),
+                "dup": pa.array(dup_partial, type=pa.int64()),
+                "nw": pa.array(nw[first], type=pa.int64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_windows": pa.array([], type=pa.int64()),
+                    "dup_windows": pa.array([], type=pa.int64()),
+                    "dup_fraction": pa.array([], type=pa.float64()),
+                }
+            )
+        doc = group.column("doc_id").to_numpy()
+        dup = group.column("dup").to_numpy()
+        nw = group.column("nw").to_numpy()
+        docs_u, inv = np.unique(doc, return_inverse=True)
+        dup_sum = np.bincount(inv, weights=dup, minlength=docs_u.size).astype(np.int64)
+        # nw is the doc's TOTAL window count replicated on every partial —
+        # any representative works
+        first = np.zeros(docs_u.size, dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(doc) - 1, -1, -1)
+        nw_tot = nw[first]
+        frac = dup_sum / nw_tot.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs_u, type=pa.int64()),
+                "n_windows": pa.array(nw_tot, type=pa.int64()),
+                "dup_windows": pa.array(dup_sum, type=pa.int64()),
+                "dup_fraction": pa.array(
+                    [round_half_away(x, 6) for x in frac], type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(window_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mark_and_partial, batch_format="pyarrow")
+        .groupby("dp")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

@@ -769,3 +769,72 @@ def test_curate_corpus_equals_composed_individual_operators():
     )
     want = sorted(r["doc_id"] for r in dedup_filter(sub).take_all())
     assert got == want and len(got) > 0
+
+
+def test_dup_span_coverage_matches_python_oracle():
+    """Per-doc duplicated-window fractions vs an exhaustive in-test oracle:
+    plant an identical 12-word span into several docs, keep others fully
+    unique, and include a short (<n tokens) doc to pin the one-window CASE
+    arm. Partition counts are forced small and awkward so docs/shingles
+    genuinely cross group boundaries."""
+    from collections import Counter
+
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.config import AnalyzerConfig
+    from distributed_text_search_ray.pipelines.dedup import dup_span_coverage
+
+    rng = np.random.default_rng(7)
+    shared = " ".join(f"spanword{k}" for k in range(12))
+    ids, texts = [], []
+    for i in range(40):
+        words = [f"u{i}w{k}" for k in range(int(rng.integers(8, 25)))]
+        if i % 4 == 0:  # 10 docs carry the planted span mid-document
+            words = words[:5] + shared.split() + words[5:]
+        ids.append(i)
+        texts.append(" ".join(words))
+    ids.append(100)
+    texts.append("tiny doc")  # 2 tokens < n=3 -> one window
+    ids.append(101)
+    texts.append("tiny doc")  # exact dup of the short doc
+
+    tk = Tokenizer(AnalyzerConfig())
+    n = 3
+
+    def windows(text):
+        toks = tk.tokens(text)
+        if not toks:
+            return []
+        if len(toks) < n:
+            return [tuple(toks)]
+        return [tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+
+    per_doc = {d: windows(t) for d, t in zip(ids, texts)}
+    docs_of = {}
+    for d, ws in per_doc.items():
+        for w in set(ws):
+            docs_of.setdefault(w, set()).add(d)
+    expect = {}
+    for d, ws in per_doc.items():
+        if not ws:
+            continue
+        dup = sum(1 for w in ws if len(docs_of[w]) >= 2)
+        expect[d] = (len(ws), dup, round(dup / len(ws), 6))
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    ).repartition(5)
+    out = dup_span_coverage(ds, shingle_partitions=3, doc_partitions=2).take_all()
+    got = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"], r["dup_fraction"]) for r in out
+    }
+    assert got == expect
+    # planted-span docs must score strictly above every fully-unique doc
+    planted = [got[i][2] for i in range(0, 40, 4)]
+    unique = [got[i][2] for i in range(40) if i % 4 != 0]
+    assert min(planted) > max(unique) == 0.0
+    assert got[100] == (1, 1, 1.0) and got[101] == (1, 1, 1.0)
