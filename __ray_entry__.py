@@ -348,6 +348,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def repetition_scores(sf_dir):
         return textstats.repetition_scores(_docs_ds(sf_dir))
 
+    def unigram_logperp(sf_dir):
+        # vocab_size=256 < corpus vocabulary so the OOV mass path is
+        # exercised at gate scale, not just the in-vocab lookup
+        return textstats.unigram_logperp(_docs_ds(sf_dir), vocab_size=256)
+
     def redact_props(sf_dir):
         import ray.data
 
@@ -649,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sha256": doc_sha256,
         "length_quantiles": length_quantiles,
         "repetition_scores": repetition_scores,
+        "unigram_logperp": unigram_logperp,
         "redact_props": redact_props,
         "pack_sequences": pack_sequences,
         "curated_corpus": curated_corpus,
@@ -893,6 +899,22 @@ qd AS (SELECT quantile_disc(n, [0.25, 0.5, 0.75, 0.95]) vals FROM lens)
 SELECT unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
        unnest(vals)::BIGINT AS n_tokens
 FROM qd
+"""
+
+    unigram_logperp_sql = f"""
+WITH {_TOK_CTE},
+counts AS (SELECT term, count(*)::BIGINT c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE t FROM counts),
+topv AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT 256),
+oovm AS (SELECT (SELECT t FROM tot) - (SELECT sum(c)::DOUBLE FROM topv) o),
+nll AS (
+  SELECT tok.doc_id,
+         CASE WHEN topv.term IS NOT NULL THEN -ln(topv.c / (SELECT t FROM tot))
+              ELSE -ln((SELECT o FROM oovm) / (SELECT t FROM tot)) END v
+  FROM tok LEFT JOIN topv ON tok.term = topv.term
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(v), 6) AS logperp
+FROM nll GROUP BY 1
 """
 
     repetition_sql = f"""
@@ -1429,6 +1451,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "doc_sha256": sha,
         "length_quantiles": quantiles_sql,
         "repetition_scores": repetition_sql,
+        "unigram_logperp": unigram_logperp_sql,
         "redact_props": redact_sql,
         "curated_corpus": curated_sql,
         "lang_stats": lang_stats_sql,

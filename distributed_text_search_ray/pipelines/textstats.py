@@ -545,3 +545,101 @@ def lang_stats(docs_with_lang: ray.data.Dataset, analyzer: AnalyzerConfig | None
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def unigram_logperp(
+    docs: ray.data.Dataset,
+    vocab_size: int = 4096,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """Per-document unigram log-perplexity against the corpus's own
+    unigram model — the CCNet-style LM quality filter with the corpus as
+    its own reference model (no external LM in this container). Output:
+    (doc_id, n_tokens, logperp) where logperp = round(avg over the doc's
+    token stream of -ln p(token), 6); docs with zero tokens are omitted.
+
+    Model: p(t) = cnt(t)/total for the ``vocab_size`` most frequent terms
+    (ties: count desc, term asc — deterministic and SQL-replicable); every
+    out-of-vocabulary token shares one aggregate probability
+    p_oov = oov_occurrences/total (the truncated-vocabulary + OOV-mass
+    convention that bounds the broadcast model at ``vocab_size`` rows no
+    matter how large the corpus vocabulary grows — the reason this scales
+    where a full-vocabulary broadcast would not).
+
+    Two passes, both streaming: (1) per-batch partial term counts ->
+    string-key ``groupby(term).sum`` (vocabulary-sized, the same shape as
+    the build dictionary phase) -> top-V selected by a distributed
+    ``sort.limit`` (only V rows and two scalars ever reach the driver);
+    (2) the V-row model broadcast via ``ray.put``, per-doc cross-entropy
+    vectorized in ``map_batches`` (token stream -> model lookup via a
+    sorted term array + searchsorted, one np.take + mean per doc).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        counts: dict[str, int] = {}
+        for text in batch.column("content").to_pylist():
+            for t in tk.tokens(text):
+                counts[t] = counts.get(t, 0) + 1
+        if not counts:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        terms = list(counts)
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "c": pa.array([counts[t] for t in terms], type=pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+    total = vocab.sum("cnt")
+    top = vocab.sort(["cnt", "term"], descending=[True, False]).limit(vocab_size).take_all()
+    top_terms = np.array([r["term"] for r in top], dtype=object)
+    top_cnt = np.array([r["cnt"] for r in top], dtype=np.float64)
+    order = np.argsort(top_terms)
+    top_terms, top_cnt = top_terms[order], top_cnt[order]
+    oov = float(total) - float(top_cnt.sum())
+    nll_in = -np.log(top_cnt / float(total))
+    nll_oov = -np.log(oov / float(total)) if oov > 0 else 0.0
+    model_ref = _ray.put((top_terms, nll_in, nll_oov))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms, nll, oov_nll = _ray.get(model_ref)
+        tk = tokenizer_for(analyzer)
+        ids, ntok, lp = [], [], []
+        if len(terms) == 0:  # empty corpus -> no scorable docs
+            batch = batch.slice(0, 0)
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
+        ):
+            toks = tk.tokens(text)
+            if not toks:
+                continue
+            ta = np.array(toks, dtype=object)
+            pos = np.searchsorted(terms, ta)
+            pos_c = np.minimum(pos, len(terms) - 1)
+            in_vocab = terms[pos_c] == ta
+            vals = np.where(in_vocab, nll[pos_c], oov_nll)
+            ids.append(doc_id)
+            ntok.append(len(toks))
+            lp.append(round_half_away(float(vals.mean()), 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "logperp": pa.array(lp, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

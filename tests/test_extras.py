@@ -838,3 +838,64 @@ def test_dup_span_coverage_matches_python_oracle():
     unique = [got[i][2] for i in range(40) if i % 4 != 0]
     assert min(planted) > max(unique) == 0.0
     assert got[100] == (1, 1, 1.0) and got[101] == (1, 1, 1.0)
+
+
+def test_unigram_logperp_matches_python_oracle():
+    """Truncated-vocabulary unigram cross-entropy vs an exhaustive in-test
+    oracle, with vocab_size small enough that the OOV-mass path is hit:
+    common terms dominate the top-V, rare per-doc terms fall to OOV. Also
+    pins the determinism of the top-V tie-break (count desc, term asc)."""
+    import math
+
+    from distributed_text_search_ray.config import AnalyzerConfig
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.pipelines.textstats import unigram_logperp
+
+    rng = np.random.default_rng(13)
+    common = [f"kw{k}" for k in range(20)]
+    ids, texts = [], []
+    for i in range(60):
+        words = list(rng.choice(common, size=int(rng.integers(10, 30))))
+        words += [f"rare{i}x{j}" for j in range(int(rng.integers(1, 6)))]
+        rng.shuffle(words)
+        ids.append(i)
+        texts.append(" ".join(words))
+    ids.append(999)
+    texts.append("")  # zero tokens -> omitted
+
+    V = 16  # far below the ~20 common + ~200 rare vocabulary
+    tk = Tokenizer(AnalyzerConfig())
+    from collections import Counter
+
+    counts = Counter()
+    for t in texts:
+        counts.update(tk.tokens(t))
+    total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    in_vocab = dict(top)
+    oov = total - sum(in_vocab.values())
+    expect = {}
+    for d, t in zip(ids, texts):
+        toks = tk.tokens(t)
+        if not toks:
+            continue
+        nll = [
+            -math.log((in_vocab[w] if w in in_vocab else oov) / total) for w in toks
+        ]
+        expect[d] = (len(toks), round(sum(nll) / len(nll), 6))
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    ).repartition(4)
+    out = unigram_logperp(ds, vocab_size=V).take_all()
+    got = {r["doc_id"]: (r["n_tokens"], r["logperp"]) for r in out}
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d][0] == expect[d][0]
+        assert abs(got[d][1] - expect[d][1]) <= 1e-6, (d, got[d], expect[d])
+    assert 999 not in got
