@@ -602,6 +602,10 @@ def unigram_logperp(
         docs.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("c", alias_name="cnt"))
+        # vocabulary-sized (the aggregate output, not the corpus) and
+        # consumed twice below (total + top-V) — materialize once instead
+        # of re-running the count pipeline per consumer
+        .materialize()
     )
     total = vocab.sum("cnt")
     top = vocab.sort(["cnt", "term"], descending=[True, False]).limit(vocab_size).take_all()
