@@ -428,6 +428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dup_spans(sf_dir):
         return dedup.dup_span_coverage(_docs_ds(sf_dir))
 
+    def dup_span_filtered(sf_dir):
+        return dedup.dup_span_filter(_docs_ds(sf_dir), max_dup_fraction=0.5)
+
     def near_dedup(sf_dir):
         # rows-only (LSH band hashes are not SQL-expressible); correctness
         # pinned by test_near_dedup_filter_keeps_one_per_cluster
@@ -665,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": minhash_near_dup,
         "ngram_jaccard_dup": ngram_jaccard_dup,
         "dup_spans": dup_spans,
+        "dup_span_filtered": dup_span_filtered,
         "contamination": contamination,
         "near_dedup": near_dedup,
         "simhash_fp": simhash_fp,
@@ -1081,6 +1085,23 @@ SELECT doc_id, n_windows::BIGINT AS n_windows, dup_windows::BIGINT AS dup_window
 FROM per
 """
 
+    dup_span_filtered_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+sh AS (SELECT doc_id, {_SHINGLE_CASE.format(l="l")} shingles FROM toks),
+w AS (SELECT doc_id, s.shingle FROM sh, unnest(shingles) AS s(shingle)),
+d AS (SELECT shingle, count(DISTINCT doc_id) nd FROM w GROUP BY 1),
+per AS (
+  SELECT w.doc_id, count(*) n_windows,
+         sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) dup_windows
+  FROM w JOIN d USING (shingle) GROUP BY 1
+)
+SELECT doc.doc_id, doc.text AS content
+FROM documents doc JOIN per ON doc.doc_id = per.doc_id
+WHERE round(per.dup_windows / per.n_windows::DOUBLE, 6) < 0.5
+"""
+
     contamination_sql = f"""
 WITH toks AS (
   SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
@@ -1461,6 +1482,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "minhash_near_dup": minhash,
         "ngram_jaccard_dup": ngram_jaccard,
         "dup_spans": dup_spans_sql,
+        "dup_span_filtered": dup_span_filtered_sql,
         "contamination": contamination_sql,
         "phrase_counts": phrase_sql,
         "phrase_counts_indexed": phrase_sql,

@@ -1086,3 +1086,45 @@ def dup_span_coverage(
         .groupby("dp")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def dup_span_filter(
+    docs: ray.data.Dataset,
+    max_dup_fraction: float = 0.5,
+    shingle_n: int = 3,
+    analyzer: AnalyzerConfig | None = None,
+    join_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Materialize the corpus with heavily-duplicated docs dropped: keep
+    docs whose ``dup_span_coverage`` fraction is < ``max_dup_fraction``
+    (strictly below — a doc made mostly of spans shared with other docs is
+    boilerplate/near-dup bulk). Docs with zero tokens have no coverage row
+    and are dropped with the rest.
+
+    Scale shape: the survivor-id set is O(corpus), so no broadcast — the
+    docs stream joins the coverage survivors with a hash-partitioned
+    ``Dataset.join`` (same shape as ``dedup_filter``). Output:
+    (doc_id, content).
+    """
+    if docs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "content": pa.array([], type=pa.string()),
+                }
+            )
+        )
+    cov = dup_span_coverage(docs, shingle_n=shingle_n, analyzer=analyzer)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        frac = batch.column("dup_fraction").to_numpy()
+        keep = frac < max_dup_fraction
+        return pa.table(
+            {"doc_id": pa.array(batch.column("doc_id").to_numpy()[keep], type=pa.int64())}
+        )
+
+    keep_ids = cov.map_batches(survivors, batch_format="pyarrow")
+    return docs.select_columns(["doc_id", "content"]).join(
+        keep_ids, join_type="inner", num_partitions=join_partitions, on=("doc_id",)
+    )

@@ -899,3 +899,38 @@ def test_unigram_logperp_matches_python_oracle():
         assert got[d][0] == expect[d][0]
         assert abs(got[d][1] - expect[d][1]) <= 1e-6, (d, got[d], expect[d])
     assert 999 not in got
+
+
+def test_dup_span_filter_drops_span_heavy_docs():
+    """Docs built mostly from a shared span must be dropped at
+    max_dup_fraction=0.5; fully-unique docs survive with content intact."""
+    from distributed_text_search_ray.pipelines.dedup import (
+        dup_span_coverage,
+        dup_span_filter,
+    )
+
+    shared = " ".join(f"boiler{k}" for k in range(30))
+    ids, texts = [], []
+    for i in range(12):
+        if i % 3 == 0:  # mostly the shared span -> coverage > 0.5
+            texts.append(shared + f" tail{i}")
+        else:
+            texts.append(" ".join(f"u{i}w{k}" for k in range(20)))
+        ids.append(i)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    ).repartition(3)
+    kept = {r["doc_id"]: r["content"] for r in dup_span_filter(ds, 0.5).take_all()}
+    cov = {
+        r["doc_id"]: r["dup_fraction"] for r in dup_span_coverage(ds).take_all()
+    }
+    expect = {d for d, f in cov.items() if f < 0.5}
+    assert set(kept) == expect
+    assert all(i not in kept for i in range(0, 12, 3))
+    for d in kept:
+        assert kept[d] == texts[d]
