@@ -53,6 +53,14 @@ class Tokenizer:
             text = text.lower()
         return self._rx.findall(text)
 
+    def has_token(self, text: str) -> bool:
+        """True iff ``tokens(text)`` would be non-empty — a first-match
+        regex probe, not a full tokenize (used by filters that must drop
+        zero-token docs without paying a re-tokenization pass)."""
+        if self.cfg.lowercase:
+            text = text.lower()
+        return self._rx.search(text) is not None
+
     def term_freqs(self, text: str) -> Counter:
         return Counter(self.tokens(text))
 

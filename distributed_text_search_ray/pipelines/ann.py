@@ -280,19 +280,28 @@ def ann_lsh_topk(
     column: str = "embedding",
     exclude_self: bool = True,
     concurrency=None,
+    probe_all: bool = False,
 ) -> ray.data.Dataset:
     """Approximate cosine top-k: score only vectors sharing the query's LSH
     bucket or differing in one bit (multi-probe). Scale path: the per-query
-    candidate set shrinks by ~2^n_bits / (n_bits+1)."""
+    candidate set shrinks by ~2^n_bits / (n_bits+1).
+
+    ``probe_all=True`` probes every bucket — the exactness-forcing
+    configuration (output provably equals ``ann_brute_topk``), used to
+    oracle-gate this operator while still exercising the full bucketing
+    machinery; the approximate defaults stay recall-tested."""
     dim = len(queries[0][1])
     bucketer = _LshBucketer(dim, n_bits, seed, column)
     Q = np.array([q[1] for q in queries], dtype=np.float64)
     qbuckets = bucketer.bucket_of(Q)
     probe: set[int] = set()
-    for b in qbuckets.tolist():
-        probe.add(b)
-        for bit in range(n_bits):
-            probe.add(b ^ (1 << bit))
+    if probe_all:
+        probe.update(range(1 << n_bits))
+    else:
+        for b in qbuckets.tolist():
+            probe.add(b)
+            for bit in range(n_bits):
+                probe.add(b ^ (1 << bit))
     probe_list = sorted(probe)
 
     bucketed = embeddings.map_batches(

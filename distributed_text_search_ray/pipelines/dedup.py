@@ -141,32 +141,63 @@ class _MinhashBands:
 
 
 def dedup_filter(
-    docs: ray.data.Dataset, join_partitions: int = 8
+    docs: ray.data.Dataset, num_partitions: int = 32
 ) -> ray.data.Dataset:
-    """Materialize the DEDUPED corpus: one representative row (min doc_id)
-    per distinct content.
+    """Materialize the DEDUPED corpus — one representative row (min doc_id)
+    per distinct content — in ONE pass over the input.
 
-    Scale shape: the representative set is O(distinct docs) = O(corpus), so
-    it cannot be broadcast — the docs stream joins the representative-id
-    dataset with a hash-partitioned ``Dataset.join`` (both sides partitioned
-    by doc_id). Output: (doc_id, content) of survivors.
+    Scale shape: a per-batch combiner keeps one candidate row (min doc_id)
+    per content md5, then a single hash-partitioned shuffle on the md5
+    co-locates candidates and a vectorized per-partition reduce keeps the
+    global min. No join and no pre-count: the round-2 design consumed the
+    upstream pipeline three times (a ``count()`` guard plus both sides of a
+    ``Dataset.join`` — under ``curate_corpus`` that re-ran the fused
+    tokenize+filter stage), and Ray's join aggregator crashes on the
+    schema-less empty blocks ``groupby().map_groups()`` emits for empty
+    hash partitions (BENCH_r02). Skew: every surviving candidate of a
+    globally hot content lands in one partition, but the per-batch combiner
+    bounds that to one row per input batch. Output: (doc_id, content).
     """
-    if docs.count() == 0:  # empty blocks lose their schema inside the join
-        return ray.data.from_arrow(
-            pa.table(
+    P = num_partitions
+
+    def _first_per_key(keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        """Row indices of the min-id row per distinct key (vectorized)."""
+        order = np.lexsort((ids, keys))
+        ks = keys[order]
+        first = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            np.not_equal(ks[1:], ks[:-1], out=first[1:])
+        return order[first]
+
+    def combine(batch: pa.Table) -> pa.Table:
+        texts = batch.column("content").to_pylist()
+        ids = batch.column("doc_id").to_numpy()
+        md5s = np.array([md5_hex(t) for t in texts], dtype="U32")
+        rows = _first_per_key(md5s, ids) if len(ids) else np.empty(0, dtype=np.int64)
+        sub = batch.select(["doc_id", "content"]).take(pa.array(rows))
+        kept = md5s[rows]
+        part = np.array([int(h[:8], 16) % P for h in kept], dtype=np.int32)
+        return sub.append_column("h", pa.array(kept, type=pa.string())).append_column(
+            "part", pa.array(part, type=pa.int32())
+        )
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
                 {
                     "doc_id": pa.array([], type=pa.int64()),
                     "content": pa.array([], type=pa.string()),
                 }
             )
-        )
-    reps = (
-        exact_dedup(docs)
-        .select_columns(["representative_doc_id"])
-        .rename_columns({"representative_doc_id": "doc_id"})
-    )
-    return docs.select_columns(["doc_id", "content"]).join(
-        reps, join_type="inner", num_partitions=join_partitions, on=("doc_id",)
+        ids = group.column("doc_id").to_numpy()
+        keys = np.asarray(group.column("h").to_pylist(), dtype="U32")
+        rows = np.sort(_first_per_key(keys, ids))
+        return group.select(["doc_id", "content"]).take(pa.array(rows))
+
+    return (
+        docs.map_batches(combine, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(keep_min, batch_format="pyarrow")
     )
 
 
@@ -481,6 +512,7 @@ def near_dedup_filter(
     analyzer: AnalyzerConfig | None = None,
     pair_partitions: int = 64,
     join_partitions: int = 4,
+    anti_join: bool = False,
 ) -> ray.data.Dataset:
     """Near-duplicate-FILTERED corpus: keep one representative per near-dup
     cluster. Returns the surviving (doc_id, content) rows.
@@ -564,10 +596,11 @@ def near_dedup_filter(
     verified = _verify_pairs(edges, docs, analyzer, shingle_n, threshold, join_partitions)
 
     # the dropped-id set can be O(corpus) on dup-heavy corpora (that is the
-    # point of the operator), so it is broadcast as a shared object-store
-    # array via closure capture — one copy per node, not per task. At
-    # 10^12-doc scale swap this for a left-anti hash join of docs against
-    # the dropped-id dataset (same output, one more exchange).
+    # point of the operator), so by default it is broadcast as a shared
+    # object-store array via closure capture — one copy per node, not per
+    # task. At 10^12-doc scale pass ``anti_join=True`` for a left-anti hash
+    # join of docs against the dropped-id dataset (same output, one more
+    # exchange, zero driver state).
     def dropped_ids(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -575,15 +608,20 @@ def near_dedup_filter(
             {"doc_id": pc.unique(batch.column("doc_b")).cast(pa.int64())}
         )
 
-    drop = np.sort(
-        np.asarray(
-            sorted(
-                verified.map_batches(dropped_ids, batch_format="pyarrow").unique(
-                    "doc_id"
-                )
-            ),
-            dtype=np.int64,
+    dropped_ds = verified.map_batches(dropped_ids, batch_format="pyarrow")
+
+    if anti_join:
+        from distributed_text_search_ray.pipelines.joins import left_anti_join
+
+        return left_anti_join(
+            docs.select_columns(["doc_id", "content"]),
+            dropped_ds,
+            on="doc_id",
+            num_partitions=max(join_partitions, 8),
         )
+
+    drop = np.sort(
+        np.asarray(sorted(dropped_ds.unique("doc_id")), dtype=np.int64)
     )
 
     def keep_survivors(batch: pa.Table) -> pa.Table:
@@ -1093,38 +1131,62 @@ def dup_span_filter(
     max_dup_fraction: float = 0.5,
     shingle_n: int = 3,
     analyzer: AnalyzerConfig | None = None,
+    anti_join: bool = False,
     join_partitions: int = 8,
 ) -> ray.data.Dataset:
     """Materialize the corpus with heavily-duplicated docs dropped: keep
     docs whose ``dup_span_coverage`` fraction is < ``max_dup_fraction``
     (strictly below — a doc made mostly of spans shared with other docs is
     boilerplate/near-dup bulk). Docs with zero tokens have no coverage row
-    and are dropped with the rest.
+    and are dropped with the rest (reproduced here with a first-token regex
+    probe, not a re-tokenization).
 
-    Scale shape: the survivor-id set is O(corpus), so no broadcast — the
-    docs stream joins the coverage survivors with a hash-partitioned
-    ``Dataset.join`` (same shape as ``dedup_filter``). Output:
-    (doc_id, content).
+    Scale shape: the DROPPED id set is the small side by construction (the
+    operator's premise is that most of the corpus survives the threshold),
+    so the default path collects it and broadcast-filters the doc stream
+    with a sorted-array ``searchsorted`` — the same shape as
+    ``near_dedup_filter``, with no join and no second corpus shuffle. The
+    round-2 survivor-side ``Dataset.join`` crashed Ray's join aggregator
+    whenever an all-empty hash partition of the coverage groupby landed on
+    the join's right side (schema-less empty blocks → acero ArrowInvalid;
+    it killed BENCH_r02). On boilerplate-saturated corpora where even the
+    dropped set outgrows driver memory, pass ``anti_join=True`` for a
+    hash-partitioned left-anti join instead. Output: (doc_id, content).
     """
-    if docs.count() == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "content": pa.array([], type=pa.string()),
-                }
-            )
-        )
+    analyzer = analyzer or AnalyzerConfig()
     cov = dup_span_coverage(docs, shingle_n=shingle_n, analyzer=analyzer)
 
-    def survivors(batch: pa.Table) -> pa.Table:
+    def over_threshold(batch: pa.Table) -> pa.Table:
         frac = batch.column("dup_fraction").to_numpy()
-        keep = frac < max_dup_fraction
+        keep = frac >= max_dup_fraction
         return pa.table(
             {"doc_id": pa.array(batch.column("doc_id").to_numpy()[keep], type=pa.int64())}
         )
 
-    keep_ids = cov.map_batches(survivors, batch_format="pyarrow")
-    return docs.select_columns(["doc_id", "content"]).join(
-        keep_ids, join_type="inner", num_partitions=join_partitions, on=("doc_id",)
-    )
+    dropped_ds = cov.map_batches(over_threshold, batch_format="pyarrow")
+
+    def tokenful(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        batch = batch.select(["doc_id", "content"])
+        mask = [tk.has_token(t) for t in batch.column("content").to_pylist()]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    docs_t = docs.map_batches(tokenful, batch_format="pyarrow")
+
+    if anti_join:
+        from distributed_text_search_ray.pipelines.joins import left_anti_join
+
+        return left_anti_join(
+            docs_t, dropped_ds, on="doc_id", num_partitions=join_partitions
+        )
+
+    drop = np.sort(np.asarray(sorted(dropped_ds.unique("doc_id")), dtype=np.int64))
+
+    def keep_survivors(batch: pa.Table) -> pa.Table:
+        if not len(drop):
+            return batch
+        ids = batch.column("doc_id").to_numpy()
+        pos = np.minimum(np.searchsorted(drop, ids), len(drop) - 1)
+        return batch.filter(pa.array(drop[pos] != ids))
+
+    return docs_t.map_batches(keep_survivors, batch_format="pyarrow")

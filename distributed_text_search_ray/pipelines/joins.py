@@ -10,6 +10,9 @@ a general engine needs them:
 - ``hash_join``: both sides large — Ray's hash-partitioned ``Dataset.join``
   with an explicit ``num_partitions`` (an all-to-all on both sides; keep keys
   low-skew or pre-salt).
+- ``left_anti_join``: rows of the left side whose key has no match on the
+  right — the scale path for "drop this id set" when the set outgrows a
+  driver-collected broadcast array.
 """
 
 from __future__ import annotations
@@ -54,6 +57,43 @@ def hash_join(
     this is an all-to-all exchange of both sides)."""
     return left.join(
         right, join_type=join_type, num_partitions=num_partitions, on=(on,)
+    )
+
+
+def left_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Rows of ``left`` whose ``on`` key has NO match in ``right`` — the
+    complement of the broadcast pattern set every reference rank holds
+    (src/flexible_mpi.c:325), and the 10^12-row alternative to collecting a
+    dropped-id set on the driver (see ``dedup.near_dedup_filter``).
+
+    Robustness contract: Ray's hash-join aggregator finalizes each
+    partition with an acero join that resolves the key column BY NAME; a
+    join partition fed only schema-less empty blocks — which
+    ``groupby().map_groups()`` emits for empty hash partitions — has no
+    columns at all and raises ``ArrowInvalid: No match ... for key field
+    reference`` (this crashed the round-2 bench inside
+    ``dup_span_filter``). The right side is therefore materialized (in
+    every engine use it is the narrow id-only side) so an empty set can
+    short-circuit to ``left`` unchanged, and repartitioned — Ray's
+    ``repartition`` coalesces the schema-less empties into typed blocks.
+    The left side must carry typed blocks (true for any read/
+    map_batches-produced dataset).
+
+    Right-side duplicate keys don't change anti-join semantics, so callers
+    need not pre-distinct the right side.
+    """
+    right = right.materialize()
+    n = right.count()
+    if n == 0:
+        return left
+    right = right.select_columns([on]).repartition(max(1, min(num_partitions, n)))
+    return left.join(
+        right, join_type="left_anti", num_partitions=num_partitions, on=(on,)
     )
 
 

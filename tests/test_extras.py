@@ -934,3 +934,125 @@ def test_dup_span_filter_drops_span_heavy_docs():
     assert all(i not in kept for i in range(0, 12, 3))
     for d in kept:
         assert kept[d] == texts[d]
+
+
+def test_left_anti_join_survives_schema_less_empty_blocks():
+    """Regression for the round-2 bench crash: Ray's groupby().map_groups()
+    emits schema-less empty blocks for empty hash partitions; a Dataset.join
+    partition fed only those raises ArrowInvalid inside acero (BENCH_r02,
+    dup_span_filtered). left_anti_join must pin the right side."""
+    from distributed_text_search_ray.pipelines.joins import left_anti_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "content": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    )
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2], type=pa.int32()),
+            "doc_id": pa.array([2, 2, 3], type=pa.int64()),
+        }
+    )
+    # repartition(4) of 3 rows + a groupby leaves empty hash partitions —
+    # the exact shape that produced the schema-less blocks
+    right = (
+        ray.data.from_arrow(t)
+        .repartition(4)
+        .groupby("k")
+        .map_groups(
+            lambda g: pa.table({"doc_id": g.column("doc_id")}),
+            batch_format="pyarrow",
+        )
+    )
+    out = left_anti_join(left, right, on="doc_id", num_partitions=4)
+    assert sorted(r["doc_id"] for r in out.take_all()) == [1, 4]
+
+    empty = ray.data.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64())}))
+    out2 = left_anti_join(left, empty, on="doc_id", num_partitions=4)
+    assert sorted(r["doc_id"] for r in out2.take_all()) == [1, 2, 3, 4]
+
+
+def _span_corpus():
+    shared = " ".join(f"boiler{k}" for k in range(30))
+    ids, texts = [], []
+    for i in range(12):
+        if i % 3 == 0:
+            texts.append(shared + f" tail{i}")
+        else:
+            texts.append(" ".join(f"u{i}w{k}" for k in range(20)))
+        ids.append(i)
+    ids.append(99)
+    texts.append("  \n\t ")  # zero-token doc: no coverage row, must be dropped
+    return (
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "content": pa.array(texts, type=pa.string()),
+                }
+            )
+        ).repartition(3),
+        ids,
+        texts,
+    )
+
+
+def test_dup_span_filter_after_coverage_same_session():
+    """VERDICT r2 item 1: dup_spans then dup_span_filtered in ONE Ray
+    session crashed the round-2 suite. Also pins the zero-token-doc drop."""
+    from distributed_text_search_ray.pipelines.dedup import (
+        dup_span_coverage,
+        dup_span_filter,
+    )
+
+    ds, ids, texts = _span_corpus()
+    cov = {r["doc_id"]: r["dup_fraction"] for r in dup_span_coverage(ds).take_all()}
+    kept = {r["doc_id"]: r["content"] for r in dup_span_filter(ds, 0.5).take_all()}
+    assert set(kept) == {d for d, f in cov.items() if f < 0.5}
+    assert 99 not in kept and 99 not in cov
+
+
+def test_dup_span_filter_anti_join_matches_broadcast():
+    from distributed_text_search_ray.pipelines.dedup import dup_span_filter
+
+    ds, _, _ = _span_corpus()
+    base = sorted(
+        (r["doc_id"], r["content"]) for r in dup_span_filter(ds, 0.5).take_all()
+    )
+    anti = sorted(
+        (r["doc_id"], r["content"])
+        for r in dup_span_filter(ds, 0.5, anti_join=True).take_all()
+    )
+    assert anti == base and len(base) > 0
+
+
+def test_near_dedup_filter_anti_join_matches_broadcast():
+    from distributed_text_search_ray.pipelines.dedup import near_dedup_filter
+
+    ids, texts = [], []
+    for g in range(8):
+        base = [f"g{g}w{k}" for k in range(40)]
+        for v in range(3):
+            words = list(base)
+            if v:
+                words[v] = f"g{g}v{v}m"
+            ids.append(g * 10 + v)
+            texts.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    kw = dict(threshold=0.5, bands=32, pair_partitions=16)
+    base = sorted(r["doc_id"] for r in near_dedup_filter(ds, **kw).take_all())
+    anti = sorted(
+        r["doc_id"] for r in near_dedup_filter(ds, anti_join=True, **kw).take_all()
+    )
+    assert anti == base == [g * 10 for g in range(8)]
