@@ -72,6 +72,7 @@ def windowed_match_counts(
     text_column: str = "content",
     concurrency: int | None = None,
     concat: bool = False,
+    plan: str | None = None,
 ) -> ray.data.Dataset:
     """(query_id, n_matches) for each (query_id, pattern, k).
 
@@ -86,7 +87,22 @@ def windowed_match_counts(
     neighbor-halo stitching — nothing corpus-sized leaves the object
     store). Default (False) is the engine's per-document model (SURVEY.md
     section 8.3).
+
+    ``plan`` overrides the automatic strategy choice — the analog of the
+    reference's env-var strategy switches (``DISTRIBUTE_PATTERNS`` /
+    ``ONLY_RANK_0``, ``src/flexible_mpi.c:308-313``): ``"broadcast"``
+    forces the 2-D pattern-chunk x window-segment tiling (the
+    DISTRIBUTE_PATTERNS regime; the corpus must fit the broadcast),
+    ``"stream"`` forces the doc-stream scan (data-only split),
+    ``None``/``"auto"`` keeps the size-based heuristic. The env var
+    ``DTS_APM_PLAN`` applies the same override without a code change (the
+    ``get_env_int`` pattern, M7 ``src/flexible_mpi.c:25-33``).
     """
+    import os as _os
+
+    plan = plan or _os.environ.get("DTS_APM_PLAN") or "auto"
+    if plan not in ("auto", "broadcast", "stream"):
+        raise ValueError(f"unknown APM plan {plan!r}; use auto|broadcast|stream")
     if isinstance(docs, str):
         from distributed_text_search_ray.sources.corpus import read_corpus
 
@@ -106,8 +122,11 @@ def windowed_match_counts(
     # regime) or the corpus is interactive-tiny; a medium corpus with few
     # patterns segments into hundreds of under-filled tiles — the streaming
     # doc-scan plan is better there
-    use_broadcast = approx_bytes is not None and approx_bytes < 256 * 1024 * 1024 and (
-        concat or len(pats) > 64 or approx_bytes < 1 * 1024 * 1024
+    use_broadcast = plan == "broadcast" or (
+        plan == "auto"
+        and approx_bytes is not None
+        and approx_bytes < 256 * 1024 * 1024
+        and (concat or len(pats) > 64 or approx_bytes < 1 * 1024 * 1024)
     )
     if use_broadcast:
         # Raw-task exception (documented): this plan is a pure scatter/gather

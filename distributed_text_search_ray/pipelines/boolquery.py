@@ -171,9 +171,17 @@ class _FacetExecutor(_BooleanExecutor):
                 f"no attribute sidecar under {attr_dir}; build with "
                 f"IndexConfig(attribute_columns=({attr!r},))"
             )
+        # sidecars are per-shard: a shard whose docs lack this attribute
+        # writes a sidecar without the column — skip it (its docs facet as
+        # non-matching) instead of letting pyarrow raise on the column
+        # projection; null attribute values are likewise non-matching (they
+        # would also break the sorted() over value keys below)
         by_value: dict[str, list[np.ndarray]] = {}
         for f in files:
+            if attr not in pq.read_schema(f).names:
+                continue
             t = pq.read_table(f, columns=["doc_id", attr])
+            t = t.filter(pc.is_valid(t.column(attr)))
             for v in pc.unique(t.column(attr)).to_pylist():
                 by_value.setdefault(v, []).append(
                     t.filter(pc.equal(t.column(attr), v)).column("doc_id").to_numpy()

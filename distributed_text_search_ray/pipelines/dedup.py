@@ -854,10 +854,15 @@ def ngram_jaccard_pairs(
 
     The only quadratic hazard at scale is a shingle shared by many docs
     (license boilerplate): buckets above ``max_bucket_size`` docs are
-    dropped with a logged count, a recall cut on exactly the shingles that
-    carry ~zero Jaccard signal (a shingle in B docs contributes 1/union to
-    B^2/2 pairs). For heavy-boilerplate corpora prefer
-    ``minhash_lsh_pairs``; this operator is the oracle-grade exact path.
+    dropped with a logged count. Note the cap is not purely a recall cut:
+    for a pair that DOES survive while sharing a capped shingle, the
+    intersection count loses that shingle but ``sz_a``/``sz_b`` still
+    include it, so the reported jaccard is biased low by up to
+    (#capped shared shingles)/union. With the default cap that requires a
+    shingle in >65536 docs, which carries ~zero Jaccard signal anyway (a
+    shingle in B docs contributes 1/union to B^2/2 pairs). Exactness holds
+    whenever no bucket is dropped — the logged count is the audit signal;
+    for heavy-boilerplate corpora prefer ``minhash_lsh_pairs``.
     """
     analyzer = analyzer or AnalyzerConfig()
     P = pair_partitions

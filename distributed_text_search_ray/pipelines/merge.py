@@ -103,6 +103,23 @@ class _MergePart:
             docs_parts.append(docs)
             tfs_parts.append(tfs)
             dls_parts.append(dls)
+        # doc-id disjointness across sources, checked directly: a doc present
+        # in two sources with DISJOINT token sets slips past the
+        # (term, doc)-pair check below yet double-counts N/total_tokens and
+        # carries inconsistent dl values. Partitioning spreads a doc's
+        # postings over many parts, so a shared doc is caught by whichever
+        # parts see it from both sources.
+        seen = np.empty(0, dtype=np.int64)
+        for _terms, _df, docs_s, _tfs, _dls in per_src:
+            u = np.unique(docs_s)
+            inter = np.intersect1d(seen, u, assume_unique=True)
+            if len(inter):
+                raise ValueError(
+                    f"part {part}: {len(inter)} doc ids present in more than "
+                    f"one source index (e.g. {int(inter[0])}) — merge "
+                    "requires disjoint doc-id sets"
+                )
+            seen = np.union1d(seen, u)
         if codes_parts:
             codes = np.concatenate(codes_parts)
             docs = np.concatenate(docs_parts)

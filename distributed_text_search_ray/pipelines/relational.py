@@ -136,8 +136,8 @@ def events_hopping_window(
     tile of window starts), combined per batch BEFORE the shuffle so the
     groupby moves one row per (batch, event_type, window) — at scale the
     exchange grows with the number of windows, not width/hop times the
-    event count. Output: (event_type, window_start_epoch_s, n_events,
-    sum_value)."""
+    event count. Output: (event_type, window_start, n_events, sum_value)
+    with window_start in epoch seconds."""
     assert width_minutes % hop_minutes == 0
     fan = width_minutes // hop_minutes
     hop_s = hop_minutes * 60

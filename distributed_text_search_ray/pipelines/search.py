@@ -393,15 +393,14 @@ def more_like_this(
     import pyarrow.compute as pc
 
     ids = pa.array(sorted(set(int(d) for d in doc_ids)), type=pa.int64())
-    src = docs.map_batches(
-        lambda t: pa.table(
-            {
-                "src_doc_id": t.filter(pc.is_in(t.column("doc_id"), value_set=ids)).column("doc_id"),
-                "content": t.filter(pc.is_in(t.column("doc_id"), value_set=ids)).column("content"),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+
+    def pick_sources(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.is_in(t.column("doc_id"), value_set=ids))
+        return pa.table(
+            {"src_doc_id": hit.column("doc_id"), "content": hit.column("content")}
+        )
+
+    src = docs.map_batches(pick_sources, batch_format="pyarrow")
     return src.map_batches(
         MoreLikeThisExecutor,
         fn_constructor_kwargs={"index_dir": index_dir, "top_terms": top_terms, "topk": topk},
@@ -523,8 +522,13 @@ def load_attribute_ids(index_dir: str, attr: str, value: str) -> np.ndarray:
             f"no attribute sidecar under {attr_dir}; build with "
             f"IndexConfig(attribute_columns=({attr!r},))"
         )
+    # per-shard sidecars may lack the column entirely (shard had no such
+    # attribute): those shards' docs are excluded from filtered results —
+    # skip them rather than raising on the column projection
     chunks = []
     for f in files:
+        if attr not in pq.read_schema(f).names:
+            continue
         t = pq.read_table(f, columns=["doc_id", attr])
         chunks.append(
             t.filter(pc.equal(t.column(attr), value)).column("doc_id").to_numpy()

@@ -253,3 +253,40 @@ def test_dna_scenario_grid_matches_oracle(tmp_path):
     for (qid_, p, k), _ in zip(patterns, range(len(patterns))):
         if k == 0 and expected[qid_] == 0 and p in "".join(t for _, t in docs):
             raise AssertionError("sampled pattern missing")
+
+
+def test_apm_plan_override_all_plans_agree():
+    """The plan knob (analog of the reference's DISTRIBUTE_PATTERNS /
+    ONLY_RANK_0 env switches, flexible_mpi.c:308-313) must not change
+    results: broadcast, stream and auto produce identical counts, and the
+    DTS_APM_PLAN env var applies the same override."""
+    import os
+
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    letters = np.array(list("ABCDE"))
+    texts = ["".join(rng.choice(letters, 400)) for _ in range(6)]
+    pats = [(i, "".join(rng.choice(letters, 4)), k) for i, k in enumerate([0, 1, 2])]
+    ds = ray.data.from_arrow(pa.table({"content": pa.array(texts, type=pa.string())}))
+
+    def counts(**kw):
+        return {
+            r["query_id"]: r["n_matches"]
+            for r in windowed_match_counts(ds, pats, **kw).take_all()
+        }
+
+    auto = counts()
+    assert counts(plan="broadcast") == auto
+    assert counts(plan="stream") == auto
+    os.environ["DTS_APM_PLAN"] = "stream"
+    try:
+        assert counts() == auto
+    finally:
+        del os.environ["DTS_APM_PLAN"]
+    try:
+        windowed_match_counts(ds, pats, plan="bogus")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
