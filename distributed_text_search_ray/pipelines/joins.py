@@ -46,6 +46,19 @@ def broadcast_lookup(
     return large.map_batches(merge, batch_format="pyarrow")
 
 
+def _clamp_to_cpus(num_partitions: int) -> int:
+    """Ray's hash shuffle holds one aggregator actor per partition for the
+    whole join; partitions > cluster CPUs deadlocks the pool (reproduced at
+    32 partitions on a 4-CPU session), so clamp."""
+    import ray as _ray
+
+    try:
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(1, min(num_partitions, ncpu))
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -53,10 +66,13 @@ def hash_join(
     num_partitions: int = 32,
     join_type: str = "inner",
 ) -> ray.data.Dataset:
-    """Hash-partitioned join of two large Datasets (explicit partition count;
-    this is an all-to-all exchange of both sides)."""
+    """Hash-partitioned join of two large Datasets (explicit partition count,
+    clamped to cluster CPUs; this is an all-to-all exchange of both sides)."""
     return left.join(
-        right, join_type=join_type, num_partitions=num_partitions, on=(on,)
+        right,
+        join_type=join_type,
+        num_partitions=_clamp_to_cpus(num_partitions),
+        on=(on,),
     )
 
 
@@ -86,7 +102,11 @@ def left_anti_join(
 
     Right-side duplicate keys don't change anti-join semantics, so callers
     need not pre-distinct the right side.
+
+    ``num_partitions`` is clamped to the cluster's CPU count (see
+    ``_clamp_to_cpus``).
     """
+    num_partitions = _clamp_to_cpus(num_partitions)
     right = right.materialize()
     n = right.count()
     if n == 0:

@@ -1056,3 +1056,52 @@ def test_near_dedup_filter_anti_join_matches_broadcast():
         r["doc_id"] for r in near_dedup_filter(ds, anti_join=True, **kw).take_all()
     )
     assert anti == base == [g * 10 for g in range(8)]
+
+
+def test_left_anti_join_random_differential():
+    """left_anti_join == set difference on random id multisets (includes
+    duplicate right-side keys, which must not change semantics)."""
+    rng = np.random.default_rng(17)
+    left_ids = rng.choice(2000, size=300, replace=False).astype(np.int64)
+    right_ids = rng.choice(2000, size=150, replace=True).astype(np.int64)
+    from distributed_text_search_ray.pipelines.joins import left_anti_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(left_ids, type=pa.int64()),
+                "payload": pa.array([f"p{i}" for i in left_ids]),
+            }
+        )
+    ).repartition(5)
+    right = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(right_ids, type=pa.int64())})
+    ).repartition(3)
+    got = sorted(r["doc_id"] for r in left_anti_join(left, right, on="doc_id").take_all())
+    want = sorted(set(left_ids.tolist()) - set(right_ids.tolist()))
+    assert got == want
+
+
+def test_dedup_filter_random_differential():
+    """dedup_filter == keep-min-doc_id-per-content on a random dup-heavy
+    corpus, across any block layout."""
+    rng = np.random.default_rng(23)
+    from distributed_text_search_ray.pipelines.dedup import dedup_filter
+
+    contents = [f"content variant {rng.integers(0, 40)}" for _ in range(300)]
+    ids = rng.permutation(10_000)[:300].astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "content": pa.array(contents, type=pa.string()),
+            }
+        )
+    ).repartition(7)
+    got = sorted((r["doc_id"], r["content"]) for r in dedup_filter(ds).take_all())
+    first: dict[str, int] = {}
+    for d, c in zip(ids.tolist(), contents):
+        if c not in first or d < first[c]:
+            first[c] = d
+    want = sorted((d, c) for c, d in first.items())
+    assert got == want
