@@ -78,6 +78,19 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("out_dir")
     mg.add_argument("sources", nargs="+")
 
+    mt = sub.add_parser(
+        "materialize",
+        help="resumable per-shard corpus copy (optionally curated): killed "
+        "runs skip completed shards via lineage manifests",
+    )
+    mt.add_argument("corpus_dir")
+    mt.add_argument("out_dir")
+    mt.add_argument(
+        "--curate",
+        action="store_true",
+        help="apply the curate_corpus filter formulas per shard before writing",
+    )
+
     args = p.parse_args(argv)
     _ensure_ray()
 
@@ -151,6 +164,31 @@ def main(argv: list[str] | None = None) -> int:
 
         report = merge_indexes(args.sources, args.out_dir)
         print(json.dumps({k: report[k] for k in ("fingerprint", "N", "complete")}))
+    elif args.cmd == "materialize":
+        from distributed_text_search_ray.sources.sink import write_corpus_resumable
+
+        if args.curate:
+            # shard-local curation: the fused quality filter runs per shard;
+            # cross-shard exact dedup is a separate global pass
+            # (pipelines.curate.curate_corpus) by design — the sink's unit of
+            # resume is the input shard
+            from distributed_text_search_ray.pipelines.curate import (
+                make_curation_filter,
+            )
+            from distributed_text_search_ray.sources.corpus import _add_doc_ids
+
+            filt = make_curation_filter()
+
+            def transform(t):
+                return filt(_add_doc_ids(t))
+
+            tag = "curate-v1"
+        else:
+            transform, tag = None, "identity"
+        report = write_corpus_resumable(
+            args.corpus_dir, args.out_dir, transform, transform_tag=tag
+        )
+        print(json.dumps(report))
     return 0
 
 

@@ -53,6 +53,28 @@ def curate_corpus(
     operators emit and what the SQL oracle computes, so boundary docs land
     on the same side in both engines.
     """
+    return dedup_filter(
+        docs.map_batches(
+            make_curation_filter(
+                langs, min_quality, min_tokens, max_dup_trigram, max_top_bigram, analyzer
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def make_curation_filter(
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.1,
+    min_tokens: int = 20,
+    max_dup_trigram: float = 0.05,
+    max_top_bigram: float = 0.2,
+    analyzer: AnalyzerConfig | None = None,
+):
+    """The fused per-batch quality filter of :func:`curate_corpus` as a
+    standalone batch callable — shard-local (no dedup), so it composes with
+    the resumable per-shard sink (``sources.sink.write_corpus_resumable``)
+    as well as with ``map_batches``."""
     lang_set = frozenset(langs)
 
     def f(batch: pa.Table) -> pa.Table:
@@ -94,4 +116,4 @@ def curate_corpus(
             }
         )
 
-    return dedup_filter(docs.map_batches(f, batch_format="pyarrow"))
+    return f

@@ -134,3 +134,57 @@ def test_incremental_corpus_append(tmp_path):
     a = sorted(map(tuple, (r.values() for r in search_topk(idx, queries).take_all())))
     b = sorted(map(tuple, (r.values() for r in search_topk(clean, queries).take_all())))
     assert a == b
+
+
+def test_corpus_sink_resumes_and_invalidates(tmp_path):
+    """write_corpus_resumable: second run skips every complete shard; a
+    rewritten input shard or a bumped transform_tag re-executes exactly the
+    invalidated work; read_written_corpus round-trips content."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray.sources.sink import (
+        read_written_corpus,
+        write_corpus_resumable,
+    )
+    from distributed_text_search_ray.sources.synth import code_like_shard
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    for s in range(4):
+        pq.write_table(
+            code_like_shard(s, 30, seed=5), os.path.join(in_dir, f"s{s}.parquet")
+        )
+
+    def drop_short(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(pc.utf8_length(t.column("content")), 80))
+
+    r1 = write_corpus_resumable(in_dir, out_dir, drop_short, transform_tag="v1")
+    assert r1["shards"] == 4 and r1["skipped"] == 0 and r1["rows_in"] == 120
+
+    r2 = write_corpus_resumable(in_dir, out_dir, drop_short, transform_tag="v1")
+    assert r2["skipped"] == 4 and r2["rows_out"] == r1["rows_out"]
+
+    # rewrite one input shard (same doc count, new mtime/content) -> only it re-runs
+    pq.write_table(
+        code_like_shard(0, 30, seed=99), os.path.join(in_dir, "s0.parquet")
+    )
+    r3 = write_corpus_resumable(in_dir, out_dir, drop_short, transform_tag="v1")
+    assert r3["skipped"] == 3
+
+    # transform version bump invalidates everything
+    r4 = write_corpus_resumable(in_dir, out_dir, drop_short, transform_tag="v2")
+    assert r4["skipped"] == 0
+
+    # round-trip: sink output == transform applied to the inputs directly
+    got = sorted(
+        r["content"]
+        for r in read_written_corpus(out_dir).take_all()
+    )
+    want = []
+    for f in sorted(os.listdir(in_dir)):
+        t = drop_short(pq.read_table(os.path.join(in_dir, f)))
+        want.extend(t.column("content").to_pylist())
+    assert got == sorted(want) and len(got) == r4["rows_out"]
