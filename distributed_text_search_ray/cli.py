@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("out_dir")
     mg.add_argument("sources", nargs="+")
 
+    ex = sub.add_parser(
+        "extend",
+        help="add new corpus shards to an existing index (delta build + "
+        "segment merge; never re-tokenizes the existing corpus)",
+    )
+    ex.add_argument("index_dir")
+    ex.add_argument("new_corpus_dir")
+    ex.add_argument("out_dir")
+
     mt = sub.add_parser(
         "materialize",
         help="resumable per-shard corpus copy (optionally curated): killed "
@@ -163,6 +172,11 @@ def main(argv: list[str] | None = None) -> int:
         from distributed_text_search_ray.pipelines.merge import merge_indexes
 
         report = merge_indexes(args.sources, args.out_dir)
+        print(json.dumps({k: report[k] for k in ("fingerprint", "N", "complete")}))
+    elif args.cmd == "extend":
+        from distributed_text_search_ray.pipelines.merge import extend_index
+
+        report = extend_index(args.index_dir, args.new_corpus_dir, args.out_dir)
         print(json.dumps({k: report[k] for k in ("fingerprint", "N", "complete")}))
     elif args.cmd == "materialize":
         from distributed_text_search_ray.sources.sink import write_corpus_resumable

@@ -306,3 +306,40 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
     os.replace(meta_path + ".tmp", meta_path)
     report.update(meta)
     return report
+
+
+def extend_index(
+    index_dir: str,
+    new_corpus_path: str,
+    out_dir: str,
+    *,
+    concurrency: int | None = None,
+) -> dict:
+    """Incremental index growth: add a batch of NEW corpus shards to an
+    existing index without re-tokenizing the existing corpus.
+
+    Builds a delta index over only the new shards (same recorded config as
+    the base index — analyzer parity is what makes the merge score-exact),
+    then segment-merges base + delta into ``out_dir``. Cost is
+    O(new corpus) tokenize + O(vocab) merge; search results over ``out_dir``
+    are rank- AND score-identical to a from-scratch build over the union
+    (pinned by test_merge/test_extend). Doc-id disjointness is enforced by
+    the merge (doc ids are (repo, path) fingerprints, so re-adding an
+    existing document aborts loudly instead of double-counting).
+
+    Resumable end-to-end: the delta build and the merge each skip completed
+    work via their lineage manifests, so a killed extend re-runs in place.
+    The delta index is left next to ``out_dir`` (``<out_dir>.delta``) as the
+    merge's resume input; remove it after the merge report says complete.
+    """
+    from distributed_text_search_ray.pipelines.build import build_index
+
+    base_meta = load_meta(index_dir)
+    if not base_meta.get("complete"):
+        raise ValueError(f"base index {index_dir} is not complete")
+    cfg = config_from_meta(base_meta)
+    delta_dir = out_dir.rstrip("/") + ".delta"
+    build_index(new_corpus_path, delta_dir, cfg, concurrency=concurrency)
+    report = merge_indexes([index_dir, delta_dir], out_dir)
+    report["delta_dir"] = delta_dir
+    return report

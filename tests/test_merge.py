@@ -96,3 +96,27 @@ def test_merge_resumes_and_validates(split_corpora):
     build_index(half_b, idx_other, IndexConfig(num_partitions=2))
     with pytest.raises(ValueError, match="configs differ"):
         merge_indexes([idx_a, idx_other], os.path.join(root, "idx_bad"))
+
+
+def test_extend_index_equals_full_build(split_corpora, tmp_path):
+    """Incremental growth: extend(base over half_a, half_b) is rank- AND
+    score-identical to the from-scratch union build, without re-tokenizing
+    half_a (its shard manifests stay untouched)."""
+    from distributed_text_search_ray.pipelines.merge import extend_index
+
+    full_corpus, half_a, half_b, root = split_corpora
+    idx_base = os.path.join(str(tmp_path), "idx_base")
+    idx_full = os.path.join(root, "idx_full")  # built by the merge test or here
+    idx_ext = os.path.join(str(tmp_path), "idx_ext")
+    build_index(half_a, idx_base, CFG)
+    if not os.path.exists(os.path.join(idx_full, "index_meta.json")):
+        build_index(full_corpus, idx_full, CFG)
+    before = os.stat(os.path.join(idx_base, "index_meta.json")).st_mtime_ns
+    rep = extend_index(idx_base, half_b, idx_ext)
+    assert rep["complete"]
+    assert _results(idx_ext) == _results(idx_full)
+    # the base index was read, never rebuilt
+    assert os.stat(os.path.join(idx_base, "index_meta.json")).st_mtime_ns == before
+    # re-adding the SAME documents aborts loudly (doc-id disjointness)
+    with pytest.raises(Exception, match="disjoint|more than"):
+        extend_index(idx_ext, half_b, os.path.join(str(tmp_path), "idx_dup"))
