@@ -63,6 +63,17 @@ PHRASE_QUERIES = [
     (3, "zzz missing phrase"),
 ]
 
+# proximity (within-window) search: all distinct terms within a span of
+# PROXIMITY_MAX_SPAN token positions; single-term -> span 0, absent term ->
+# no rows (both pinned by tests/test_phrase.py proximity tests)
+PROXIMITY_QUERIES = [
+    (0, "customer value"),
+    (1, "data table index"),
+    (2, "vector"),
+    (3, "customer zzz_missing"),
+]
+PROXIMITY_MAX_SPAN = 12
+
 REGEX_QUERIES = [
     (0, "[0-9]+"),
     (1, "cust[a-z]*"),
@@ -512,6 +523,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phrase_search_positional(_index_pos_for(sf_dir), PHRASE_QUERIES)
 
+    def proximity(sf_dir):
+        from distributed_text_search_ray.pipelines.phrase import proximity_search
+
+        return proximity_search(
+            _index_pos_for(sf_dir), PROXIMITY_QUERIES, max_span=PROXIMITY_MAX_SPAN
+        )
+
     def boolean_match(sf_dir):
         from distributed_text_search_ray.pipelines.boolquery import boolean_search
 
@@ -698,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_counts": phrase_counts,
         "phrase_counts_indexed": phrase_counts_indexed,
         "phrase_counts_positional": phrase_counts_positional,
+        "proximity_search": proximity,
         "boolean_match": boolean_match,
         "search_snippets": search_snippets,
         "more_like_this": more_like_this,
@@ -1170,6 +1189,15 @@ tokp AS (
         + "\nUNION ALL\n".join(phrase_selects)
     )
 
+    from distributed_text_search_ray.pipelines.phrase import proximity_sql
+
+    proximity_sql_all = "\nUNION ALL\n".join(
+        "SELECT * FROM ("
+        + proximity_sql(q, qid, PROXIMITY_MAX_SPAN, TOK_SQL.format(col="text"))
+        + ")"
+        for qid, q in PROXIMITY_QUERIES
+    )
+
     from distributed_text_search_ray.pipelines.boolquery import boolean_query_sql
 
     boolean_sql = "\nUNION ALL\n".join(
@@ -1521,6 +1549,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "phrase_counts": phrase_sql,
         "phrase_counts_indexed": phrase_sql,
         "phrase_counts_positional": phrase_sql,
+        "proximity_search": proximity_sql_all,
         "boolean_match": boolean_sql,
         "search_snippets": snippets_sql,
         "more_like_this": mlt_sql,

@@ -345,3 +345,145 @@ def phrase_search_indexed(
         return counter(sub, text_column)
 
     return docs.map_batches(verify, batch_format="pyarrow")
+
+
+class _ProximityExecutor:
+    """Actor-pool stage for positional (v4) indexes: (query_id, query) rows
+    -> (query_id, doc_id, min_span) for docs where one occurrence of EVERY
+    distinct query term fits in a token window with max(pos) - min(pos) <=
+    ``max_span`` (proximity / within-window search; min_span is the tightest
+    achievable span). Fully index-resident — no content re-read.
+
+    Vectorized minimal-window over candidate docs: all k terms' global
+    coordinates (doc_ordinal<<32 | position, ``_gather_global``) merge with
+    term labels into one sorted stream; the best window ENDING at element i
+    spans pos_i - min_over_labels(last_seen_label) where last_seen is a
+    forward-filled running maximum per label (k accumulate passes — no
+    per-doc Python loop). Doc boundaries need no masking: a last-seen
+    carried over from a previous doc inflates the span past 2^32, which no
+    sane max_span reaches, so such windows self-filter.
+    """
+
+    def __init__(self, index_dir: str, max_span: int):
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+        from distributed_text_search_ray.stages.executor import IndexView
+
+        if not (0 <= max_span < (1 << 31)):
+            raise ValueError(f"max_span must be in [0, 2^31): {max_span}")
+        self.view = IndexView(index_dir)
+        self.tokenizer = Tokenizer(self.view.cfg.analyzer)
+        self.max_span = max_span
+
+    _SENTINEL = np.int64(-(1 << 62))
+
+    def _one(self, qid: int, query: str, out_q, out_d, out_s) -> None:
+        terms = sorted(set(self.tokenizer.tokens(query)))
+        if not terms:
+            return
+        data: dict[str, tuple] = {}
+        for t in terms:
+            docs, tfs, pos = self.view.term_positions(t)
+            if not len(docs):
+                return  # ALL terms required
+            data[t] = (docs, tfs, pos)
+        cand: np.ndarray | None = None
+        for t in sorted(terms, key=lambda t: len(data[t][0])):
+            docs = data[t][0]
+            cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
+            if not len(cand):
+                return
+        k = len(terms)
+        gs = [_PhrasePositionalExecutor._gather_global(cand, *data[t]) for t in terms]
+        G = np.concatenate(gs)
+        L = np.repeat(np.arange(k, dtype=np.int64), [len(g) for g in gs])
+        order = np.argsort(G, kind="stable")
+        G, L = G[order], L[order]
+        min_last = np.full(len(G), np.int64((1 << 62)), dtype=np.int64)
+        seen_all = np.ones(len(G), dtype=bool)
+        for j in range(k):
+            lab = np.where(L == j, G, self._SENTINEL)
+            last = np.maximum.accumulate(lab)
+            seen_all &= last != self._SENTINEL
+            np.minimum(min_last, last, out=min_last)
+        span = G - min_last
+        ok = seen_all & (span <= self.max_span)
+        if not ok.any():
+            return
+        ords = (G[ok] >> np.int64(32)).astype(np.int64)
+        best = np.full(len(cand), np.int64(1 << 62), dtype=np.int64)
+        np.minimum.at(best, ords, span[ok])
+        hit = np.flatnonzero(best <= self.max_span)
+        out_q.extend([int(qid)] * len(hit))
+        out_d.extend(cand[hit].tolist())
+        out_s.extend(best[hit].tolist())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q: list[int] = []
+        out_d: list[int] = []
+        out_s: list[int] = []
+        for qid, query in zip(
+            batch.column("query_id").to_pylist(), batch.column("query").to_pylist()
+        ):
+            self._one(qid, query, out_q, out_d, out_s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "min_span": pa.array(out_s, type=pa.int64()),
+            }
+        )
+
+
+def proximity_search(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]],
+    max_span: int,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Within-window (proximity) search over a positional (v4) index:
+    (query_id, doc_id, min_span) for docs where all distinct query terms
+    co-occur within a span of ``max_span`` token positions. Single-term
+    queries match every containing doc with min_span 0; a query with any
+    index-absent term matches nothing."""
+    items = [{"query_id": int(q), "query": str(p)} for q, p in queries]
+    return ray.data.from_items(items).map_batches(
+        _ProximityExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "max_span": max_span},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+def proximity_sql(
+    query: str, query_id: int, max_span: int, tok_sql: str, analyzer=None
+) -> str:
+    """DuckDB oracle for one proximity query: the same last-seen running
+    maximum, as k window-function columns over the unnested token stream
+    (SQL positions are 1-based; only span differences matter)."""
+    from distributed_text_search_ray.config import AnalyzerConfig
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+    terms = sorted(set(Tokenizer(analyzer or AnalyzerConfig()).tokens(query)))
+    if not terms:
+        return f"SELECT {query_id} AS query_id, doc_id, 0 AS min_span FROM documents WHERE FALSE"
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    lasts = ",\n        ".join(
+        f"max(CASE WHEN term = '{t}' THEN pos END) OVER w AS l{j}"
+        for j, t in enumerate(terms)
+    )
+    least = ", ".join(f"l{j}" for j in range(len(terms)))
+    notnull = " AND ".join(f"l{j} IS NOT NULL" for j in range(len(terms)))
+    least_expr = f"LEAST({least})" if len(terms) > 1 else "l0"
+    return f"""
+WITH toks AS (SELECT doc_id, {tok_sql} AS l FROM documents),
+tok AS (SELECT doc_id, l[i] AS term, i AS pos
+        FROM toks, unnest(generate_series(1, len(l))) AS s(i)),
+r AS (SELECT doc_id, pos,
+        {lasts}
+      FROM tok WHERE term IN ({quoted})
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)),
+sp AS (SELECT doc_id, pos - {least_expr} AS span FROM r WHERE {notnull})
+SELECT {query_id} AS query_id, doc_id, min(span)::BIGINT AS min_span
+FROM sp GROUP BY doc_id HAVING min(span) <= {max_span}
+"""

@@ -206,3 +206,103 @@ def test_phrase_candidates_prune(code_corpus, tmp_path):
         )
     )
     assert out.num_rows <= df[rare] < len(docs)
+
+
+def _brute_proximity(docs: dict, queries, max_span):
+    """Pure-Python minimal-window oracle: for each doc, min over one
+    occurrence choice per distinct term of (max pos - min pos)."""
+    out = []
+    for qid, q in queries:
+        terms = sorted(set(re.findall(r"[a-z0-9_]+", q.lower())))
+        if not terms:
+            continue
+        for d, content in docs.items():
+            toks = re.findall(r"[a-z0-9_]+", content.lower())
+            pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+            if any(not p for p in pos.values()):
+                continue
+            merged = sorted((p, t) for t in terms for p in pos[t])
+            last = {}
+            best = None
+            for p, t in merged:
+                last[t] = p
+                if len(last) == len(terms):
+                    span = p - min(last.values())
+                    best = span if best is None else min(best, span)
+            if best is not None and best <= max_span:
+                out.append((qid, d, best))
+    return sorted(out)
+
+
+def test_proximity_search_matches_brute(code_corpus, tmp_path):
+    """proximity_search over the positional index == pure-Python minimal
+    window oracle, with aggressive salting; single-term queries span 0;
+    missing terms match nothing."""
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.phrase import proximity_search
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx")
+    build_index(
+        corpus_dir,
+        idx,
+        IndexConfig(
+            num_partitions=4, salt_buckets=3, salt_df_threshold=0.05,
+            store_positions=True,
+        ),
+    )
+    docs = dict(corpus_docs(corpus_dir))
+    toks = re.findall(r"[a-z0-9_]+", list(docs.values())[0].lower())
+    queries = [
+        (0, f"{toks[0]} {toks[5]}"),
+        (1, f"{toks[0]} {toks[3]} {toks[7]}"),
+        (2, toks[1]),                      # single term -> span 0
+        (3, f"{toks[0]} zz_missing"),      # absent term -> no rows
+        (4, f"{toks[2]} {toks[2]}"),       # duplicate term == single term
+    ]
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["min_span"])
+        for r in proximity_search(idx, queries, max_span=12).take_all()
+    )
+    assert got == _brute_proximity(docs, queries, 12)
+    assert any(q == 2 and s == 0 for q, _, s in got)
+    assert not any(q == 3 for q, _, _ in got)
+
+
+def test_proximity_sql_oracle_agrees(code_corpus, tmp_path):
+    """The DuckDB window-function oracle (proximity_sql) reproduces the
+    operator on the same corpus."""
+    import duckdb
+
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.phrase import (
+        proximity_search,
+        proximity_sql,
+    )
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx")
+    build_index(
+        corpus_dir, idx, IndexConfig(num_partitions=4, store_positions=True)
+    )
+    docs = corpus_docs(corpus_dir)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, \"text\" VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    tok_sql = (
+        "list_filter(string_split_regex(lower(\"text\"), '[^a-z0-9_]+'), x -> x <> '')"
+    )
+    toks = re.findall(r"[a-z0-9_]+", docs[0][1].lower())
+    queries = [(0, f"{toks[0]} {toks[5]}"), (1, f"{toks[1]} {toks[4]} {toks[9]}")]
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["min_span"])
+        for r in proximity_search(idx, queries, max_span=10).take_all()
+    )
+    want = []
+    for qid, q in queries:
+        want.extend(
+            tuple(r) for r in con.execute(proximity_sql(q, qid, 10, tok_sql)).fetchall()
+        )
+    assert got == sorted(want) and got
