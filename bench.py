@@ -29,9 +29,14 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_CORPUS = "/dev/shm/dts_bench_corpus"  # tmpfs: measurements reflect
 # compute+shuffle, not shared-VM disk writeback variance (runs on /tmp varied
 # by ~20% between identical invocations)
-SCALING_SHARDS = 128
-SCALING_DOCS_PER_SHARD = 18000
+# Corpus size is env-tunable: the shared VM's quiet windows are often
+# shorter than a full 2.6 GB 3-pair run (~25 min), and efficiency is a
+# ratio — a 1.3 GB corpus (GRAFT_SCALING_SHARDS=64, the round-1 size)
+# halves the window needed without changing what is measured.
+SCALING_SHARDS = int(os.environ.get("GRAFT_SCALING_SHARDS", "128"))
+SCALING_DOCS_PER_SHARD = int(os.environ.get("GRAFT_SCALING_DOCS", "18000"))
 SCALING_MEAN_TOKENS = 260
+SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 
 
 def _init_ray(num_cpus: int):
@@ -212,18 +217,27 @@ def _one_worker(n: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-def run_scaling(repeats: int = 3) -> dict:
+def run_scaling(repeats: int | None = None) -> dict:
     ensure_scaling_corpus()
     # the shared VM's absolute speed drifts +/-15-20% over tens of minutes
     # (hypervisor contention; single-core microbench varies 8.1-9.5 Mtok/s).
-    # Efficiency is a RATIO, so measure lo and hi back-to-back as a pair —
-    # host drift cancels within a pair — and report the pair with the best
-    # (most drift-free) ratio.
+    # Efficiency is a RATIO, so each sample is a MIRRORED pair — lo,hi then
+    # hi,lo back-to-back, efficiency = geomean of the two ratios — which
+    # cancels linear host drift in either direction (a plain lo-then-hi
+    # pair reads low whenever the host slows mid-pair, which round-2/3
+    # post-run probes showed happening in most runs).
     pairs = []
-    for _ in range(repeats):
+    for _ in range(repeats or SCALING_REPEATS):
         lo = _one_worker(CPUS_LO)
         hi = _one_worker(CPUS_HI)
-        eff = (lo["build_sec"] / hi["build_sec"]) / (CPUS_HI / CPUS_LO)
+        hi2 = _one_worker(CPUS_HI)
+        lo2 = _one_worker(CPUS_LO)
+        e1 = (lo["build_sec"] / hi["build_sec"]) / (CPUS_HI / CPUS_LO)
+        e2 = (lo2["build_sec"] / hi2["build_sec"]) / (CPUS_HI / CPUS_LO)
+        eff = (e1 * e2) ** 0.5
+        # keep the faster lo/hi of the mirrored pair for throughput fields
+        lo = min(lo, lo2, key=lambda r: r["build_sec"])
+        hi = min(hi, hi2, key=lambda r: r["build_sec"])
         pairs.append((eff, lo, hi))
     pairs.sort(key=lambda t: t[0])
     med_eff, med_lo, med_hi = pairs[len(pairs) // 2]
@@ -245,6 +259,70 @@ def run_scaling(repeats: int = 3) -> dict:
         "query_sec_lo": results[CPUS_LO]["query_sec"],
         "query_sec_hi": results[CPUS_HI]["query_sec"],
         "n_docs": results[CPUS_LO]["n_docs"],
+    }
+
+
+# ------------------- compute-bound scaling supplement -------------------
+
+def scaling_apm_worker(num_cpus: int) -> None:
+    """Engine scaling on a CPU-cache-resident workload: the APM banded-DP
+    scan (stream plan) over a small in-memory corpus. The index BUILD
+    streams every corpus byte, so its measured efficiency is capped by the
+    shared VM's memory-bandwidth scaling (host_probe: 0.3-0.6 most of the
+    session); this workload is compute-bound, so it isolates the ENGINE's
+    coordination overhead from the host's bandwidth ceiling."""
+    import numpy as np
+    import pyarrow as pa
+
+    ray = _init_ray(num_cpus)
+    import ray.data as rd
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from distributed_text_search_ray.pipelines.apm import windowed_match_counts
+
+    rng = np.random.default_rng(3)
+    letters = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+    docs = ["".join(rng.choice(letters, 60_000)) for _ in range(64)]  # ~3.8 MB
+    pats = [(i, "".join(rng.choice(letters, 12)), 3) for i in range(48)]
+    ds = rd.from_arrow(
+        pa.table({"content": pa.array(docs, type=pa.string())})
+    ).repartition(num_cpus * 4).materialize()
+    warm = [(i, "".join(np.random.default_rng(77).choice(letters, 12)), 3)
+            for i in range(48)]
+    windowed_match_counts(ds, warm, plan="stream").take_all()
+    t0 = time.perf_counter()
+    windowed_match_counts(ds, pats, plan="stream").take_all()
+    sec = time.perf_counter() - t0
+    positions = len(docs) * 60_000 * len(pats)
+    print(json.dumps({
+        "num_cpus": num_cpus,
+        "apm_sec": round(sec, 3),
+        "mpos_per_sec": round(positions / sec / 1e6, 1),
+    }))
+    ray.shutdown()
+
+
+def run_scaling_apm(repeats: int = 3) -> dict:
+    def one(n: int) -> float:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-apm-worker", str(n)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])["apm_sec"]
+
+    pairs = []
+    for _ in range(repeats):
+        lo, hi, hi2, lo2 = one(CPUS_LO), one(CPUS_HI), one(CPUS_HI), one(CPUS_LO)
+        e1 = (lo / hi) / (CPUS_HI / CPUS_LO)
+        e2 = (lo2 / hi2) / (CPUS_HI / CPUS_LO)
+        pairs.append(round((e1 * e2) ** 0.5, 3))
+    pairs.sort()
+    return {
+        "metric": f"apm_compute_scaling_{CPUS_LO}_to_{CPUS_HI}_cpus",
+        "value": pairs[len(pairs) // 2],
+        "pair_efficiencies": pairs,
+        "unit": "efficiency",
     }
 
 
@@ -312,6 +390,10 @@ def run_reference_shapes() -> dict:
 if __name__ == "__main__":
     if "--reference-shapes" in sys.argv:
         print(json.dumps(run_reference_shapes()))
+    elif "--scaling-apm-worker" in sys.argv:
+        scaling_apm_worker(int(sys.argv[sys.argv.index("--scaling-apm-worker") + 1]))
+    elif "--scaling-apm" in sys.argv:
+        print(json.dumps(run_scaling_apm()))
     elif "--scaling-worker" in sys.argv:
         scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
     elif "--scaling" in sys.argv:
