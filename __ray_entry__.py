@@ -442,6 +442,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dup_span_filtered(sf_dir):
         return dedup.dup_span_filter(_docs_ds(sf_dir), max_dup_fraction=0.5)
 
+    def dup_span_edited(sf_dir):
+        return dedup.dup_span_edit(_docs_ds(sf_dir))
+
     def near_dedup(sf_dir):
         # rows-only (LSH band hashes are not SQL-expressible); correctness
         # pinned by test_near_dedup_filter_keeps_one_per_cluster
@@ -709,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dup": ngram_jaccard_dup,
         "dup_spans": dup_spans,
         "dup_span_filtered": dup_span_filtered,
+        "dup_span_edited": dup_span_edited,
         "contamination": contamination,
         "simhash_fp": simhash_fp,
         "simhash_near_dup": simhash_near_dup,
@@ -1138,6 +1142,44 @@ FROM documents doc JOIN per ON doc.doc_id = per.doc_id
 WHERE round(per.dup_windows / per.n_windows::DOUBLE, 6) < 0.5
 """
 
+    # dup_span_edit: same shingle-dup CTE as dup_spans, then a token-level
+    # window-cover mark (EXISTS over each doc's dup windows) and an ordered
+    # string_agg rebuild; zero-token docs pass through via the LEFT JOIN arm
+    dup_span_edited_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+sh AS (SELECT doc_id, l, {_SHINGLE_CASE.format(l="l")} shingles FROM toks),
+w AS (SELECT doc_id, i AS wi, shingles[i] AS shingle, len(l) AS nt
+      FROM sh, unnest(generate_series(1, len(shingles))) AS s(i)),
+d AS (SELECT shingle, count(DISTINCT doc_id) nd FROM w GROUP BY 1),
+dupw AS (
+  SELECT w.doc_id, w.wi AS lo,
+         CASE WHEN w.nt >= 3 THEN w.wi + 2 ELSE w.nt END AS hi
+  FROM w JOIN d USING (shingle) WHERE d.nd >= 2
+),
+tokpos AS (SELECT doc_id, i AS pos, l[i] AS token, len(l) AS nt
+           FROM toks, unnest(generate_series(1, len(l))) AS s(i)),
+marked AS (
+  SELECT t.doc_id, t.pos, t.token, t.nt,
+         EXISTS (SELECT 1 FROM dupw dw WHERE dw.doc_id = t.doc_id
+                 AND t.pos BETWEEN dw.lo AND dw.hi) AS dropped
+  FROM tokpos t
+),
+agg AS (
+  SELECT doc_id, any_value(nt) AS n_tokens,
+         sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped,
+         coalesce(string_agg(token, ' ' ORDER BY pos)
+                  FILTER (WHERE NOT dropped), '') AS content
+  FROM marked GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       CASE WHEN agg.doc_id IS NULL THEN doc.text ELSE agg.content END AS content,
+       coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(agg.n_dropped, 0)::BIGINT AS n_dropped
+FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
+"""
+
     contamination_sql = f"""
 WITH toks AS (
   SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
@@ -1545,6 +1587,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "ngram_jaccard_dup": ngram_jaccard,
         "dup_spans": dup_spans_sql,
         "dup_span_filtered": dup_span_filtered_sql,
+        "dup_span_edited": dup_span_edited_sql,
         "contamination": contamination_sql,
         "phrase_counts": phrase_sql,
         "phrase_counts_indexed": phrase_sql,

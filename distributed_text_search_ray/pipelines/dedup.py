@@ -1195,3 +1195,187 @@ def dup_span_filter(
         return batch.filter(pa.array(drop[pos] != ids))
 
     return docs_t.map_batches(keep_survivors, batch_format="pyarrow")
+
+
+def dup_span_edit(
+    docs: ray.data.Dataset,
+    shingle_n: int = 3,
+    analyzer: AnalyzerConfig | None = None,
+    shingle_partitions: int = 64,
+    doc_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact substring-dedup EDIT (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — the edit itself, not just the
+    ``dup_span_coverage`` signal): drop every token covered by ANY
+    duplicated n-gram window (one whose exact n-gram also occurs in at
+    least one OTHER document) and re-join the survivors with single
+    spaces. Output: (doc_id, content, n_tokens, n_dropped) where content
+    is the token-level edited text (original whitespace/punctuation is not
+    preserved — the operator is defined over the analyzer's token stream),
+    n_tokens counts pre-edit tokens, and zero-token docs pass through
+    unchanged.
+
+    Shape: stages 1-2 are ``dup_span_coverage``'s shingle-inverted mark,
+    but stage 2 emits each doc's duplicated shingle HASHES instead of
+    counts; stage 3 co-locates those rows with the doc content via a
+    side-tagged union hash-partitioned on doc_id (the as-of-join
+    composition — deliberately not a ``Dataset.join``, so the schema-less
+    empty blocks Ray's groupby emits can never reach the join aggregator)
+    and rebuilds every doc from its kept tokens, vectorized (window→token
+    coverage via a diff+cumsum range mark). A doc's dup-shingle rows are
+    bounded by its window count, so group size tracks group content size.
+    """
+    analyzer = analyzer or AnalyzerConfig()
+    from distributed_text_search_ray.functions.hashing import shingle_hashes_all
+
+    P, Q = shingle_partitions, doc_partitions
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        sh_c, id_c = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
+        ):
+            wh = np.unique(shingle_hashes_all(tk.tokens(text), shingle_n))
+            if wh.size == 0:
+                continue
+            sh_c.append(wh)
+            id_c.append(np.full(wh.size, doc_id, dtype=np.int64))
+        sh = np.concatenate(sh_c) if sh_c else np.empty(0, dtype=np.uint64)
+        ids = np.concatenate(id_c) if id_c else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array((sh % np.uint64(P)).astype(np.int32), type=pa.int32()),
+                "sh": pa.array(sh.view(np.int64), type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    def mark_dups(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dp": pa.array([], type=pa.int32()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "sh": pa.array([], type=pa.int64()),
+                "content": pa.array([], type=pa.string()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        sh = group.column("sh").to_numpy()
+        doc = group.column("doc_id").to_numpy()
+        order = np.argsort(sh, kind="stable")
+        sh, doc = sh[order], doc[order]
+        is_start = np.empty(len(sh), dtype=bool)
+        is_start[0] = True
+        is_start[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(is_start)
+        ndocs = np.diff(np.concatenate((starts, [len(sh)])))
+        dup_row = np.repeat(ndocs >= 2, ndocs)  # (sh, doc) rows are distinct
+        doc_d, sh_d = doc[dup_row], sh[dup_row]
+        return pa.table(
+            {
+                "dp": pa.array(
+                    (doc_d.astype(np.uint64) % np.uint64(Q)).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                "doc_id": pa.array(doc_d, type=pa.int64()),
+                "sh": pa.array(sh_d, type=pa.int64()),
+                "content": pa.array([None] * len(doc_d), type=pa.string()),
+            }
+        )
+
+    dup_rows = (
+        docs.map_batches(window_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mark_dups, batch_format="pyarrow")
+    )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "dp": pa.array(
+                    (ids.astype(np.uint64) % np.uint64(Q)).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "sh": pa.array([None] * len(ids), type=pa.int64()),
+                "content": batch.column("content"),
+            }
+        )
+
+    tagged = docs.select_columns(["doc_id", "content"]).map_batches(
+        tag_docs, batch_format="pyarrow"
+    )
+
+    def edit(group: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "content": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "n_dropped": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return out
+        import pyarrow.compute as pc
+
+        tk = tokenizer_for(analyzer)
+        content_col = group.column("content")
+        is_doc = content_col.is_valid().to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy()
+        # fill_null keeps the int64 dtype — a plain to_numpy on a nullable
+        # int column degrades to float64 and silently corrupts 64-bit hashes
+        shs = (
+            pc.fill_null(group.column("sh"), 0)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dup_of: dict[int, list] = {}
+        for d, s in zip(ids[~is_doc], shs[~is_doc]):
+            dup_of.setdefault(int(d), []).append(s)
+        o_id, o_text, o_nt, o_nd = [], [], [], []
+        texts = content_col.to_pylist()
+        for i in np.flatnonzero(is_doc):
+            d = int(ids[i])
+            text = texts[i]
+            toks = tk.tokens(text)
+            nt = len(toks)
+            if nt == 0:
+                o_id.append(d), o_text.append(text), o_nt.append(0), o_nd.append(0)
+                continue
+            # view BEFORE sorting: int64-order != uint64-order for hashes
+            # with the top bit set, and searchsorted needs uint64 order
+            dups = np.sort(np.asarray(dup_of.get(d, []), dtype=np.int64).view(np.uint64))
+            wh = shingle_hashes_all(toks, shingle_n)
+            if len(dups):
+                pos = np.minimum(np.searchsorted(dups, wh), len(dups) - 1)
+                dup_w = np.flatnonzero(dups[pos] == wh)
+            else:
+                dup_w = np.empty(0, dtype=np.int64)
+            if len(dup_w):
+                span = shingle_n if nt >= shingle_n else nt
+                diff = np.zeros(nt + 1, dtype=np.int64)
+                np.add.at(diff, dup_w, 1)
+                np.add.at(diff, np.minimum(dup_w + span, nt), -1)
+                covered = np.cumsum(diff[:-1]) > 0
+            else:
+                covered = np.zeros(nt, dtype=bool)
+            kept = [t for t, c in zip(toks, covered) if not c]
+            o_id.append(d)
+            o_text.append(" ".join(kept))
+            o_nt.append(nt)
+            o_nd.append(int(covered.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, type=pa.int64()),
+                "content": pa.array(o_text, type=pa.string()),
+                "n_tokens": pa.array(o_nt, type=pa.int64()),
+                "n_dropped": pa.array(o_nd, type=pa.int64()),
+            }
+        )
+
+    return tagged.union(dup_rows).groupby("dp").map_groups(edit, batch_format="pyarrow")

@@ -1105,3 +1105,69 @@ def test_dedup_filter_random_differential():
             first[c] = d
     want = sorted((d, c) for c, d in first.items())
     assert got == want
+
+
+def test_dup_span_edit_matches_python_oracle():
+    """dup_span_edit == pure-Python window-cover oracle: tokens covered by
+    any cross-doc-duplicated n-gram window are dropped, short docs form one
+    window, zero-token docs pass through."""
+    import re
+    from collections import defaultdict
+
+    from distributed_text_search_ray.pipelines.dedup import dup_span_edit
+
+    shared = " ".join(f"boiler{k}" for k in range(10))
+    docs = {
+        0: shared + " unique0 tail zero",
+        1: "start one " + shared,
+        2: "all unique two tokens here completely",
+        3: "  \n ",
+        4: "tiny doc",
+        5: "tiny doc",
+        6: "pre " + shared + " mid " + shared,  # two dup spans in one doc
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), type=pa.int64()),
+                "content": pa.array(list(docs.values()), type=pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = {
+        r["doc_id"]: (r["content"], r["n_tokens"], r["n_dropped"])
+        for r in dup_span_edit(ds).take_all()
+    }
+
+    def tok(t):
+        return re.findall(r"[a-z0-9_]+", t.lower())
+
+    n = 3
+    wins = {}
+    for d, t in docs.items():
+        toks = tok(t)
+        if not toks:
+            wins[d] = []
+        elif len(toks) < n:
+            wins[d] = [(tuple(toks), 0, len(toks))]
+        else:
+            wins[d] = [(tuple(toks[i : i + n]), i, i + n) for i in range(len(toks) - n + 1)]
+    owners = defaultdict(set)
+    for d, ws in wins.items():
+        for s, _, _ in ws:
+            owners[s].add(d)
+    want = {}
+    for d, t in docs.items():
+        toks = tok(t)
+        if not toks:
+            want[d] = (t, 0, 0)
+            continue
+        covered = [False] * len(toks)
+        for s, lo, hi in wins[d]:
+            if len(owners[s]) >= 2:
+                for i in range(lo, hi):
+                    covered[i] = True
+        kept = [x for x, c in zip(toks, covered) if not c]
+        want[d] = (" ".join(kept), len(toks), sum(covered))
+    assert out == want
+    assert out[0][2] == 10 and out[4][0] == "" and out[3][0] == docs[3]
