@@ -1171,3 +1171,62 @@ def test_dup_span_edit_matches_python_oracle():
         want[d] = (" ".join(kept), len(toks), sum(covered))
     assert out == want
     assert out[0][2] == 10 and out[4][0] == "" and out[3][0] == docs[3]
+
+
+def test_dup_span_edit_random_small_alphabet():
+    """Randomized differential: a 3-letter vocabulary forces heavy n-gram
+    collisions, overlapping dup windows, repeated tokens and whole-doc
+    drops — one seeded corpus, engine vs the pure-Python cover oracle."""
+    import re
+    from collections import defaultdict
+
+    from distributed_text_search_ray.pipelines.dedup import dup_span_edit
+
+    rng = np.random.default_rng(41)
+    words = ["aa", "bb", "cc"]
+    docs = {
+        i: " ".join(rng.choice(words, rng.integers(0, 9)).tolist())
+        for i in range(40)
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), type=pa.int64()),
+                "content": pa.array(list(docs.values()), type=pa.string()),
+            }
+        )
+    ).repartition(5)
+    out = {
+        r["doc_id"]: (r["content"], r["n_tokens"], r["n_dropped"])
+        for r in dup_span_edit(ds).take_all()
+    }
+
+    def tok(t):
+        return re.findall(r"[a-z0-9_]+", t.lower())
+
+    n = 3
+    wins = {}
+    for d, t in docs.items():
+        toks = tok(t)
+        if not toks:
+            wins[d] = []
+        elif len(toks) < n:
+            wins[d] = [(tuple(toks), 0, len(toks))]
+        else:
+            wins[d] = [(tuple(toks[i : i + n]), i, i + n) for i in range(len(toks) - n + 1)]
+    owners = defaultdict(set)
+    for d, ws in wins.items():
+        for s, _, _ in ws:
+            owners[s].add(d)
+    for d, t in docs.items():
+        toks = tok(t)
+        if not toks:
+            assert out[d] == (t, 0, 0)
+            continue
+        covered = [False] * len(toks)
+        for s, lo, hi in wins[d]:
+            if len(owners[s]) >= 2:
+                for i in range(lo, hi):
+                    covered[i] = True
+        kept = [x for x, c in zip(toks, covered) if not c]
+        assert out[d] == (" ".join(kept), len(toks), sum(covered)), d
