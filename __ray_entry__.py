@@ -546,6 +546,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return facet_counts(_index_for(sf_dir), BOOLEAN_QUERIES, attr="lang")
 
+    def token_budget_mix(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "content": t.column("text"),
+                    "lang": t.column("lang"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return textstats.token_budget_sample(
+            ds, budgets={"en": 20000, "fr": 8000}, salt="s"
+        )
+
     def sample_10pct(sf_dir):
         return textstats.deterministic_sample(
             _docs_ds(sf_dir), percent=10, salt="s"
@@ -729,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_counts": regex_counts,
         "facet_lang": facet_lang,
         "sample_10pct": sample_10pct,
+        "token_budget_mix": token_budget_mix,
         "bigram_top20": bigram_top20,
         "distinct_terms_kmv": distinct_terms_kmv,
         "top_docs_lang": top_docs_lang,
@@ -1357,6 +1378,25 @@ SELECT doc_id FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || 's') % 100 < 10
 """
 
+    # token-budget mixture: hash-ordered per-group prefix sum; a doc is kept
+    # iff its group's tokens BEFORE it (in md5 order) are under the budget,
+    # so the budget-crossing doc is the last one kept
+    token_budget_sql = f"""
+WITH m AS (
+  SELECT doc_id, lang, len({TOK_SQL.format(col="text")}) AS n_tokens,
+         md5_number_lower(CAST(doc_id AS VARCHAR) || 's') AS h
+  FROM documents WHERE lang IN ('en', 'fr')
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS spent
+  FROM m
+)
+SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens FROM c
+WHERE spent < CASE lang WHEN 'en' THEN 20000 ELSE 8000 END
+"""
+
     bigram_sql = f"""
 WITH toks AS (
   SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
@@ -1601,6 +1641,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "regex_counts": regex_sql,
         "facet_lang": facet_sql,
         "sample_10pct": sample_sql,
+        "token_budget_mix": token_budget_sql,
         "bigram_top20": bigram_sql,
         "distinct_terms_kmv": kmv_sql,
         "top_docs_lang": top_docs_lang_sql,

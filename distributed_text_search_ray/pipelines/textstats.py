@@ -647,3 +647,87 @@ def unigram_logperp(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def token_budget_sample(
+    docs: ray.data.Dataset,
+    budgets: dict[str, int],
+    group_column: str = "lang",
+    salt: str = "",
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """Per-group token-budget corpus selection — the data-MIXTURE step of a
+    pretraining pipeline ("N tokens of en, M of fr, ..."): for each key in
+    ``budgets``, keep docs in deterministic md5 order until the group's
+    cumulative token count reaches its budget; the doc that CROSSES the
+    budget is the last one kept (budgets are met, never undershot, and a
+    non-empty group always contributes at least one doc). Groups absent
+    from ``budgets`` are dropped entirely.
+
+    Deterministic and resumable like :func:`deterministic_sample`:
+    selection is a pure function of (doc_id, salt, corpus) — stable across
+    reruns, cluster sizes and block orders, which is what lets a failed
+    mixture job re-run without changing which rows are in-sample.
+    Output: (doc_id, ``group_column``, n_tokens).
+
+    Shape: one tokenize ``map_batches`` emits (group, doc_id, n_tokens, h)
+    — 24 B/doc, never content — then ``groupby(group)`` computes the
+    hash-ordered prefix sum per group vectorized. At 10^12 docs a single
+    group outgrows one worker; the same selection then runs as two passes
+    (histogram of h-buckets → bucket-level prefix sums find the boundary
+    bucket → fine sort inside only that bucket), which this single-pass
+    plan documents as its scale refinement.
+    """
+    from distributed_text_search_ray.functions.hashing import md5_u64
+
+    def measure(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        groups = batch.column(group_column).to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        keep = [i for i, g in enumerate(groups) if g in budgets]
+        texts = batch.column("content").to_pylist()
+        return pa.table(
+            {
+                group_column: pa.array([groups[i] for i in keep], type=pa.string()),
+                "doc_id": pa.array([ids[i] for i in keep], type=pa.int64()),
+                "n_tokens": pa.array(
+                    [tk.token_count(texts[i]) for i in keep], type=pa.int64()
+                ),
+                "h": pa.array(
+                    [md5_u64(f"{ids[i]}{salt}") for i in keep], type=pa.uint64()
+                ),
+            }
+        )
+
+    def select(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                group_column: pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        g = group.column(group_column)[0].as_py()
+        budget = budgets[g]
+        ids = group.column("doc_id").to_numpy()
+        nt = group.column("n_tokens").to_numpy()
+        h = group.column("h").to_numpy()
+        order = np.lexsort((ids, h))
+        csum = np.cumsum(nt[order])
+        keep = (csum - nt[order]) < budget  # doc starts before budget is spent
+        rows = np.sort(order[keep])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rows], type=pa.int64()),
+                group_column: pa.array([g] * len(rows), type=pa.string()),
+                "n_tokens": pa.array(nt[rows], type=pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(measure, batch_format="pyarrow")
+        .groupby(group_column)
+        .map_groups(select, batch_format="pyarrow")
+    )

@@ -1230,3 +1230,47 @@ def test_dup_span_edit_random_small_alphabet():
                     covered[i] = True
         kept = [x for x, c in zip(toks, covered) if not c]
         assert out[d] == (" ".join(kept), len(toks), sum(covered)), d
+
+
+def test_token_budget_sample_properties():
+    """Budget is met-not-undershot (last kept doc crosses it), selection is
+    deterministic under any block layout, unlisted groups are dropped, and
+    a non-empty listed group contributes at least one doc even when its
+    first doc alone exceeds the budget."""
+    from distributed_text_search_ray.pipelines.textstats import token_budget_sample
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(60):
+        lang = ["en", "fr", "zz"][i % 3]
+        n = int(rng.integers(3, 30))
+        rows.append((i, " ".join(f"w{i}t{k}" for k in range(n)), lang))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "content": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    budgets = {"en": 100, "fr": 1}  # fr=1: first doc alone must cross it
+    a = sorted(
+        tuple(r.values())
+        for r in token_budget_sample(
+            ray.data.from_arrow(t).repartition(7), budgets, salt="s"
+        ).take_all()
+    )
+    b = sorted(
+        tuple(r.values())
+        for r in token_budget_sample(
+            ray.data.from_arrow(t).repartition(2), budgets, salt="s"
+        ).take_all()
+    )
+    assert a == b and a  # block-layout determinism
+    by_lang = {}
+    for d, lang, n in a:
+        by_lang.setdefault(lang, []).append((d, n))
+    assert set(by_lang) == {"en", "fr"}  # zz dropped
+    assert len(by_lang["fr"]) == 1  # budget 1 -> exactly the crossing doc
+    en_total = sum(n for _, n in by_lang["en"])
+    en_max = max(n for _, n in by_lang["en"])
+    assert en_total >= 100 and en_total - en_max < 100  # met, minimally
