@@ -546,6 +546,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return facet_counts(_index_for(sf_dir), BOOLEAN_QUERIES, attr="lang")
 
+    def doc_chunks(sf_dir):
+        return textstats.chunk_documents(_docs_ds(sf_dir), max_tokens=64, overlap=16)
+
     def token_budget_mix(sf_dir):
         import ray.data
 
@@ -750,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": facet_lang,
         "sample_10pct": sample_10pct,
         "token_budget_mix": token_budget_mix,
+        "doc_chunks": doc_chunks,
         "bigram_top20": bigram_top20,
         "distinct_terms_kmv": distinct_terms_kmv,
         "top_docs_lang": top_docs_lang,
@@ -1378,6 +1382,25 @@ SELECT doc_id FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || 's') % 100 < 10
 """
 
+    # doc chunking: chunk i covers tokens [i*stride+1, i*stride+max] 1-based;
+    # chunk count = 1 if nt <= max else ceil((nt-overlap)/stride)
+    doc_chunks_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} AS l FROM documents
+),
+n AS (SELECT doc_id, l, len(l) AS nt FROM toks WHERE len(l) > 0),
+c AS (
+  SELECT doc_id, l, nt,
+         CASE WHEN nt <= 64 THEN 1
+              ELSE CAST(ceil((nt - 16) / 48.0) AS BIGINT) END AS n_chunks
+  FROM n
+)
+SELECT doc_id, s.i AS chunk_id,
+       array_to_string(l[s.i * 48 + 1 : least(s.i * 48 + 64, nt)], ' ') AS content,
+       (least(s.i * 48 + 64, nt) - s.i * 48)::BIGINT AS n_tokens
+FROM c, unnest(generate_series(0, n_chunks - 1)) AS s(i)
+"""
+
     # token-budget mixture: hash-ordered per-group prefix sum; a doc is kept
     # iff its group's tokens BEFORE it (in md5 order) are under the budget,
     # so the budget-crossing doc is the last one kept
@@ -1642,6 +1665,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "facet_lang": facet_sql,
         "sample_10pct": sample_sql,
         "token_budget_mix": token_budget_sql,
+        "doc_chunks": doc_chunks_sql,
         "bigram_top20": bigram_sql,
         "distinct_terms_kmv": kmv_sql,
         "top_docs_lang": top_docs_lang_sql,

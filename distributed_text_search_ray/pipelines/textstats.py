@@ -731,3 +731,58 @@ def token_budget_sample(
         .groupby(group_column)
         .map_groups(select, batch_format="pyarrow")
     )
+
+
+def chunk_documents(
+    docs: ray.data.Dataset,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """Split long docs into overlapping token-window chunks — the
+    long-document preprocessing step before sequence packing / embedding.
+
+    Chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; a doc of nt tokens yields 1 chunk when
+    nt <= max_tokens, else ceil((nt - overlap) / stride) chunks (this
+    formula covers every token and never emits a tail chunk fully
+    contained in its predecessor). Zero-token docs yield no chunks.
+    Output: (doc_id, chunk_id, content, n_tokens) — content is the chunk's
+    tokens joined with single spaces (defined over the analyzer's token
+    stream, like dup_span_edit).
+
+    Shape: a pure 1->N ``map_batches`` expansion, no shuffle; at 100 TB
+    this is the cheapest kind of operator there is.
+    """
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(f"need 0 <= overlap < max_tokens: {overlap}, {max_tokens}")
+    stride = max_tokens - overlap
+
+    def f(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        o_id, o_ci, o_text, o_nt = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
+        ):
+            toks = tk.tokens(text)
+            nt = len(toks)
+            if nt == 0:
+                continue
+            n_chunks = 1 if nt <= max_tokens else -(-(nt - overlap) // stride)
+            for i in range(n_chunks):
+                s = i * stride
+                e = min(s + max_tokens, nt)
+                o_id.append(doc_id)
+                o_ci.append(i)
+                o_text.append(" ".join(toks[s:e]))
+                o_nt.append(e - s)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, type=pa.int64()),
+                "chunk_id": pa.array(o_ci, type=pa.int64()),
+                "content": pa.array(o_text, type=pa.string()),
+                "n_tokens": pa.array(o_nt, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

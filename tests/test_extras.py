@@ -1274,3 +1274,45 @@ def test_token_budget_sample_properties():
     en_total = sum(n for _, n in by_lang["en"])
     en_max = max(n for _, n in by_lang["en"])
     assert en_total >= 100 and en_total - en_max < 100  # met, minimally
+
+
+def test_chunk_documents_coverage_and_overlap():
+    """Every token appears in some chunk, consecutive chunks overlap by
+    exactly `overlap` (except a shorter tail), no chunk is contained in its
+    predecessor, and short/zero-token docs behave."""
+    from distributed_text_search_ray.pipelines.textstats import chunk_documents
+
+    docs = {
+        0: " ".join(f"t{k}" for k in range(130)),  # multi-chunk
+        1: " ".join(f"s{k}" for k in range(10)),   # single chunk
+        2: "   ",                                   # zero tokens -> none
+        3: " ".join(f"u{k}" for k in range(65)),   # nt just over max
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), type=pa.int64()),
+                "content": pa.array(list(docs.values()), type=pa.string()),
+            }
+        )
+    ).repartition(2)
+    out = {}
+    for r in chunk_documents(ds, max_tokens=64, overlap=16).take_all():
+        out.setdefault(r["doc_id"], []).append((r["chunk_id"], r["content"], r["n_tokens"]))
+    assert 2 not in out
+    assert len(out[1]) == 1 and out[1][0][1] == docs[1] and out[1][0][2] == 10
+    for d in (0, 3):
+        chunks = sorted(out[d])
+        toks = docs[d].split()
+        nt = len(toks)
+        stride = 48
+        covered = set()
+        for i, text, n in chunks:
+            ctoks = text.split()
+            assert ctoks == toks[i * stride : i * stride + len(ctoks)]
+            assert n == len(ctoks) <= 64
+            covered.update(range(i * stride, i * stride + len(ctoks)))
+        assert covered == set(range(nt))  # full coverage
+        # chunk count formula
+        want_n = 1 if nt <= 64 else -(-(nt - 16) // 48)
+        assert len(chunks) == want_n
