@@ -608,6 +608,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.append((qid, t.column("embedding")[idx].as_py()))
         return out
 
+    def embedding_deduped(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return ann.embedding_dedup_filter(ds, threshold=0.45).select_columns(
+            ["vec_id"]
+        )
+
     def ann_cosine_topk(sf_dir):
         import ray.data
 
@@ -702,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": revenue_by_nation,
         "sessionize_30m": sessionize_30m,
         "embedding_dup_pairs": embedding_dup_pairs,
+        "embedding_deduped": embedding_deduped,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
@@ -1591,6 +1600,18 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45
 """
 
+    # embedding dedup filter: survivors = vectors never the larger id of a
+    # >= threshold cosine pair (min-anchoring keeps each cluster's min id)
+    embedding_deduped_sql = """
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (
+  SELECT b.vec_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.45
+)
+"""
+
     asof = """
 WITH l AS (SELECT event_id, user_id, epoch_us(ts) tus, value FROM events
            WHERE event_type = 'purchase'),
@@ -1628,6 +1649,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "revenue_by_nation": revenue_nation,
         "sessionize_30m": sessions,
         "embedding_dup_pairs": emb_dups,
+        "embedding_deduped": embedding_deduped_sql,
         "apm_counts": apm,
         "apm_counts_concat": apm_concat,
         "fuzzy_term_stats": fuzzy,

@@ -319,3 +319,51 @@ def ann_lsh_topk(
     return ann_brute_topk(
         cand, queries, k=k, column=column, exclude_self=exclude_self, concurrency=concurrency
     )
+
+
+def embedding_dedup_filter(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.9,
+    column: str = "embedding",
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Embedding-cosine-DEDUPED vector set: drop every vector that is the
+    LARGER id of a >= threshold cosine pair (single-pass min-anchoring —
+    each duplicate cluster keeps its minimum vec_id, the same
+    representative rule as ``dedup.near_dedup_filter``; a vector similar
+    only to an already-dropped one survives, documented rather than
+    hidden). Output: the surviving (vec_id, embedding) rows.
+
+    Shape: ``cosine_dup_pairs`` (exact, object-store block-pair tiles)
+    produces the dup edges; the dropped-id set is collected and
+    broadcast-filtered with searchsorted. No ``anti_join`` variant here:
+    acero rejects ``list<double>`` as a join NON-KEY field ("Data type
+    list<...> is not supported in join non-key field"), so a hash
+    left-anti join cannot carry the vector column — at dropped-set sizes
+    beyond driver memory, anti-join the id column alone and re-attach
+    vectors from storage. At billion-vector scale replace the exact pair
+    stage with the LSH/IVF bucketed candidates, as ``cosine_dup_pairs``
+    documents.
+    """
+    import pyarrow.compute as pc
+
+    pairs = cosine_dup_pairs(
+        embeddings, threshold=threshold, column=column, concurrency=concurrency
+    )
+
+    def dropped_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": pc.unique(batch.column("vec_id_b")).cast(pa.int64())})
+
+    dropped_ds = pairs.map_batches(dropped_ids, batch_format="pyarrow")
+    keep_cols = embeddings.select_columns(["vec_id", column])
+
+    drop = np.sort(np.asarray(sorted(dropped_ds.unique("vec_id")), dtype=np.int64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if not len(drop):
+            return batch
+        ids = batch.column("vec_id").to_numpy()
+        pos = np.minimum(np.searchsorted(drop, ids), len(drop) - 1)
+        return batch.filter(pa.array(drop[pos] != ids))
+
+    return keep_cols.map_batches(keep, batch_format="pyarrow")

@@ -1316,3 +1316,36 @@ def test_chunk_documents_coverage_and_overlap():
         # chunk count formula
         want_n = 1 if nt <= 64 else -(-(nt - 16) // 48)
         assert len(chunks) == want_n
+
+
+def test_embedding_dedup_filter_keeps_cluster_min():
+    """Planted cosine-dup clusters: each keeps exactly its min vec_id;
+    dissimilar singletons all survive; anti_join path identical."""
+    from distributed_text_search_ray.pipelines.ann import embedding_dedup_filter
+
+    rng = np.random.default_rng(6)
+    ids, vecs = [], []
+    for g in range(5):
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        for v in range(3):
+            e = base + rng.standard_normal(16) * 0.01
+            ids.append(g * 10 + v)
+            vecs.append((e / np.linalg.norm(e)).tolist())
+    for s in range(6):  # orthogonal-ish singletons
+        e = rng.standard_normal(16)
+        ids.append(1000 + s)
+        vecs.append((e / np.linalg.norm(e)).tolist())
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    kept = sorted(
+        r["vec_id"] for r in embedding_dedup_filter(ds, threshold=0.95).take_all()
+    )
+    want = sorted([g * 10 for g in range(5)] + [1000 + s for s in range(6)])
+    assert kept == want
