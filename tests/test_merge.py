@@ -120,3 +120,29 @@ def test_extend_index_equals_full_build(split_corpora, tmp_path):
     # re-adding the SAME documents aborts loudly (doc-id disjointness)
     with pytest.raises(Exception, match="disjoint|more than"):
         extend_index(idx_ext, half_b, os.path.join(str(tmp_path), "idx_dup"))
+
+
+def test_extend_index_chains(split_corpora, tmp_path):
+    """extend can be applied repeatedly: base(quarter) -> +quarter ->
+    +half equals the full build (each extend only tokenizes its delta)."""
+    from distributed_text_search_ray.pipelines.merge import extend_index
+    from distributed_text_search_ray.sources.corpus import corpus_files
+
+    full_corpus, half_a, half_b, root = split_corpora
+    # split half_a into two quarters
+    qa, qb = str(tmp_path / "qa"), str(tmp_path / "qb")
+    os.makedirs(qa), os.makedirs(qb)
+    files = corpus_files(half_a)
+    for i, f in enumerate(files):
+        shutil.copyfile(f, os.path.join(qa if i % 2 == 0 else qb, os.path.basename(f)))
+    idx1 = os.path.join(str(tmp_path), "i1")
+    idx2 = os.path.join(str(tmp_path), "i2")
+    idx3 = os.path.join(str(tmp_path), "i3")
+    idx_full = os.path.join(root, "idx_full")
+    build_index(qa, idx1, CFG)
+    if not os.path.exists(os.path.join(idx_full, "index_meta.json")):
+        build_index(full_corpus, idx_full, CFG)
+    extend_index(idx1, qb, idx2)
+    rep = extend_index(idx2, half_b, idx3)
+    assert rep["complete"]
+    assert _results(idx3) == _results(idx_full)
