@@ -648,6 +648,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def tpch_q1(sf_dir):
         return relational.tpch_q1(sf_dir)
 
+    def tpch_q3(sf_dir):
+        return relational.tpch_q3(sf_dir)
+
+    def tpch_q6(sf_dir):
+        return relational.tpch_q6(sf_dir)
+
+    def user_event_gaps(sf_dir):
+        return relational.user_event_gaps(sf_dir)
+
+    def grouped_quantiles(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"]
+        ).map_batches(
+            lambda t: pa.table({"content": t.column("text"), "lang": t.column("lang")}),
+            batch_format="pyarrow",
+        )
+        return textstats.grouped_token_length_quantiles(ds)
+
+    def kmeans_clusters(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return ann.kmeans_clusters(ds, n_clusters=8, iters=3)
+
     def events_hopping(sf_dir):
         return relational.events_hopping_window(sf_dir, width_minutes=60, hop_minutes=15)
 
@@ -715,6 +741,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
         "tpch_q1": tpch_q1,
+        "tpch_q3": tpch_q3,
+        "tpch_q6": tpch_q6,
+        "user_event_gaps": user_event_gaps,
+        "grouped_quantiles": grouped_quantiles,
         "events_window_1h": events_window_1h,
         "events_hopping": events_hopping,
         "asof_purchase_click": asof_purchase_click,
@@ -770,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup": near_dedup,
         "media_features": media_features,
         "pack_sequences": pack_sequences,
+        "kmeans_clusters": kmeans_clusters,
     }
 
 
@@ -1504,6 +1535,44 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY 1, 2
 """
 
+    q3 = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey LIMIT 10
+"""
+
+    q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+    event_gaps = """
+WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events)
+SELECT user_id, count(gap_us)::BIGINT AS n_gaps,
+       round(avg(gap_us / 1e6), 4) AS avg_gap_s,
+       round(max(gap_us / 1e6), 4) AS max_gap_s
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+"""
+
+    grouped_quantiles_sql = f"""
+WITH {_TOK_CTE},
+agg AS (SELECT doc_id, count(*) n FROM tok GROUP BY 1),
+lens AS (SELECT d.lang, coalesce(a.n, 0)::BIGINT n
+         FROM documents d LEFT JOIN agg a USING (doc_id)),
+qd AS (SELECT lang, quantile_disc(n, [0.25, 0.5, 0.75, 0.95]) vals
+       FROM lens GROUP BY lang)
+SELECT lang, unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
+       unnest(vals)::BIGINT AS n_tokens
+FROM qd
+"""
+
     events = """
 SELECT event_type,
        ((epoch_us(ts) // 3600000000) * 3600)::BIGINT AS window_start,
@@ -1701,8 +1770,13 @@ FROM l JOIN r ON l.user_id = r.user_id
         "ann_ivf_topk": ann,
         "fingerprints": fingerprints_sql,
         "tpch_q1": q1,
+        "tpch_q3": q3,
+        "tpch_q6": q6,
+        "user_event_gaps": event_gaps,
+        "grouped_quantiles": grouped_quantiles_sql,
         "events_window_1h": events,
         "events_hopping": hopping,
-        # media_features, near_dedup, pack_sequences: not SQL-expressible
-        # (media codec stubs, LSH banding, stateful packing) -> rows-only
+        # media_features, near_dedup, pack_sequences, kmeans_clusters: not
+        # SQL-expressible (media codec stubs, LSH banding, stateful packing,
+        # iterative Lloyd refinement) -> rows-only
     }

@@ -42,12 +42,15 @@ SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 def _init_ray(num_cpus: int):
     import ray
 
+    # log_to_driver=False: worker stdout/stderr must never interleave with the
+    # single JSON result line this script prints (the bench harness parses it).
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,
     )
     from ray.data import DataContext
 

@@ -367,3 +367,100 @@ def embedding_dedup_filter(
         return batch.filter(pa.array(drop[pos] != ids))
 
     return keep_cols.map_batches(keep, batch_format="pyarrow")
+
+
+def kmeans_clusters(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+    column: str = "embedding",
+    fit_sample: int = 10_000,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over the FULL embedding table (spherical:
+    vectors L2-normalized, assignment by max cosine) — unlike ``kmeans_fit``,
+    which fits on a driver-side sample, every refinement pass here streams
+    the whole Dataset.
+
+    Shape per iteration: ONE ``map_batches`` pass emitting k partial rows
+    per batch (cluster, per-coordinate vector sum, count) — the partial+
+    final aggregate of SURVEY.md A1, the same MPI_Reduce-of-partial-counts
+    idiom as the reference (src/flexible_mpi.c:533-544) with a k x dim
+    payload instead of one int per pattern. The driver reduction is bounded
+    at k x n_batches tiny rows regardless of corpus size, and coordinate
+    sums are combined with ``math.fsum`` (exactly-rounded, order-independent)
+    so centroid trajectories do not depend on block arrival order. Batch
+    BOUNDARIES still influence the last ulp of per-batch partial sums; with
+    any separated cluster structure the argmax assignment is invariant to
+    that (differential-tested against a single-matrix numpy oracle).
+
+    Init: kmeans++ on a bounded seeded uniform sample (exactly
+    ``kmeans_fit`` with iters=0), so init cost does not scale with the
+    corpus. Empty clusters keep their previous centroid.
+
+    Output: (vec_id, cluster, cosine) — cosine to the final centroid,
+    rounded to 6 dp.
+    """
+    import math
+
+    n_total = embeddings.count()
+    if n_total > fit_sample:
+        frac = min(1.0, fit_sample / n_total)
+        sample = embeddings.random_sample(frac, seed=seed).limit(fit_sample).take_all()
+    else:
+        sample = embeddings.take_all()
+    Xs = np.array([r[column] for r in sample], dtype=np.float64)
+    C = kmeans_fit(Xs, n_clusters, seed=seed, iters=0)
+    k = len(C)
+    dim = C.shape[1]
+
+    for _ in range(iters):
+        C_cur = C  # rebind for closure capture (one object-store copy per pass)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            X = _batch_matrix(batch, column)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+            assign = np.argmax(Xn @ C_cur.T, axis=1)
+            out_c, out_s, out_n = [], [], []
+            for j in np.unique(assign):
+                m = assign == j
+                out_c.append(int(j))
+                out_s.append(Xn[m].sum(axis=0))
+                out_n.append(int(m.sum()))
+            return pa.table(
+                {
+                    "cluster": pa.array(out_c, type=pa.int64()),
+                    "vec_sum": pa.array(
+                        [s.tolist() for s in out_s], type=pa.list_(pa.float64())
+                    ),
+                    "cnt": pa.array(out_n, type=pa.int64()),
+                }
+            )
+
+        rows = embeddings.map_batches(partials, batch_format="pyarrow").take_all()
+        C = C.copy()
+        for j in range(k):
+            sums = [r["vec_sum"] for r in rows if r["cluster"] == j]
+            cnt = sum(r["cnt"] for r in rows if r["cluster"] == j)
+            if cnt:
+                c = np.array([math.fsum(s[d] for s in sums) for d in range(dim)]) / cnt
+                C[j] = c / max(np.linalg.norm(c), 1e-30)
+
+    C_final = C
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        X = _batch_matrix(batch, column)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        sims = Xn @ C_final.T
+        assign = np.argmax(sims, axis=1)
+        best = round_half_away(sims[np.arange(len(assign)), assign], 6)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(assign, type=pa.int64()),
+                "cosine": pa.array(best, type=pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(assign_batch, batch_format="pyarrow")

@@ -406,3 +406,177 @@ def range_join_window(
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+def tpch_q3(sf_dir: str, cutoff: str = "1998-06-01", segment: str = "BUILDING", k: int = 10) -> ray.data.Dataset:
+    """Shipping-priority top-k (TPC-H Q3 shape, adapted to the driver's
+    column set — ``o_orderpriority`` stands in for ``o_shippriority``).
+
+    Strategy mix (same rationale as ``joins.revenue_by_nation``):
+
+    - customer is the small side — its BUILDING custkey set is collected
+      once and applied as a broadcast ``np.searchsorted`` semi-filter on
+      orders (at 10^9-customer scale swap this for ``joins.hash_join``;
+      the filter itself stays map-side either way);
+    - lineitem revenue is PRE-AGGREGATED per l_orderkey inside each batch
+      before the one hash join, so the all-to-all moves one row per
+      (batch, order) instead of one per lineitem;
+    - final top-k is a distributed sort on the already-aggregated rows
+      (bounded by the number of qualifying orders) + ``limit``.
+    """
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = np.sort(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), segment))
+        .column("c_custkey")
+        .to_numpy()
+    )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch.column("o_orderdate"), cut))
+        ck = batch.column("o_custkey").to_numpy()
+        pos = np.searchsorted(keys, ck)
+        pos[pos == len(keys)] = 0
+        hit = keys[pos] == ck if len(keys) else np.zeros(len(ck), dtype=bool)
+        return batch.filter(pa.array(hit)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial_revenue(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_shipdate"), cut))
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        g = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev": rev}
+        ).group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_part"])
+
+    revenue = (
+        lineitem.map_batches(partial_revenue, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_part", alias_name="revenue"))
+    )
+
+    joined = revenue.join(
+        orders.map_batches(filter_orders, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    top = joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue": sql_round(batch.column("revenue"), 4),
+                "o_orderdate": batch.column("o_orderdate"),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def tpch_q6(sf_dir: str, year: str = "1997") -> ray.data.Dataset:
+    """Forecast-revenue single-scalar aggregate (TPC-H Q6 shape): pruned
+    4-column read, vectorized filter, per-batch partial sum, one global
+    reduce — the minimal filter->aggregate pipeline; no shuffle at all."""
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"))
+    hi = pa.scalar(np.datetime64(f"{int(year) + 1}-01-01", "us"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"), lo),
+                pc.less(batch.column("l_shipdate"), hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch.column("l_discount"), pa.scalar(0.05)),
+                    pc.less_equal(batch.column("l_discount"), pa.scalar(0.07)),
+                ),
+                pc.less(batch.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        batch = batch.filter(keep)
+        rev = pc.multiply(batch.column("l_extendedprice"), batch.column("l_discount"))
+        s = pc.sum(rev).as_py()
+        return pa.table({"rev_part": pa.array([0.0 if s is None else s], type=pa.float64())})
+
+    total = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("rev_part", alias_name="revenue"))["revenue"]
+    )
+    p = 10.0**4
+    rounded = float(np.sign(total) * np.floor(np.abs(total) * p + 0.5) / p)
+    return ray.data.from_arrow(
+        pa.table({"revenue": pa.array([rounded], type=pa.float64())})
+    )
+
+
+def user_event_gaps(sf_dir: str) -> ray.data.Dataset:
+    """Per-user inter-event gap statistics — the LAG()-window-function shape.
+
+    Ray Data has no ordered window functions; the scale-correct expression
+    is ``groupby(user_id).map_groups`` with an in-group ``np.lexsort``
+    (groups are bounded by one user's events, so the sort never sees more
+    than one user's history). Ties on ts break by event_id, matching the
+    oracle's ``ORDER BY ts, event_id``. Users with < 2 events produce no
+    row (their only LAG gap is NULL).
+
+    Output: (user_id, n_gaps, avg_gap_s 4dp, max_gap_s 4dp).
+    """
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        if len(ts) < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_gaps": pa.array([], type=pa.int64()),
+                    "avg_gap_s": pa.array([], type=pa.float64()),
+                    "max_gap_s": pa.array([], type=pa.float64()),
+                }
+            )
+        order = np.lexsort((eid, ts))
+        gaps = np.diff(ts[order]) / 1e6
+        return pa.table(
+            {
+                "user_id": pa.array([int(g.column("user_id")[0].as_py())], type=pa.int64()),
+                "n_gaps": pa.array([len(gaps)], type=pa.int64()),
+                "avg_gap_s": sql_round(np.array([float(np.mean(gaps))]), 4),
+                "max_gap_s": sql_round(np.array([float(np.max(gaps))]), 4),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")

@@ -786,3 +786,78 @@ def chunk_documents(
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def grouped_token_length_quantiles(
+    docs_with_group: ray.data.Dataset,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    group_col: str = "lang",
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """EXACT per-group token-count quantiles (same ``quantile_disc``
+    semantics as ``token_length_quantiles``, keyed by ``group_col``).
+
+    Scale shape: one distributed histogram PER GROUP — each batch emits
+    its (group, n_tokens) bincount, a groupby sums partials, and the
+    driver reads quantiles off n_groups bounded cumulative histograms
+    (n_groups x max_doc_len rows total, corpus-size-independent). This is
+    the per-key generalization of the global histogram; a global sort per
+    group would be an all-to-all on every row instead.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def hist(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        counts = np.fromiter(
+            (tk.token_count(t) for t in batch.column("content").to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        groups = batch.column(group_col).to_pylist()
+        uniq = sorted(set(groups))
+        gidx = np.fromiter((uniq.index(g) for g in groups), dtype=np.int64, count=len(groups))
+        # composite int key -> bincount does the (group, len) partial combine
+        width = int(counts.max()) + 1 if len(counts) else 1
+        key = gidx * width + counts
+        h = np.bincount(key)
+        nz = np.flatnonzero(h)
+        return pa.table(
+            {
+                group_col: pa.array([uniq[i] for i in nz // width]),
+                "n_tokens": pa.array(nz % width, type=pa.int64()),
+                "cnt": pa.array(h[nz], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        docs_with_group.map_batches(hist, batch_format="pyarrow")
+        .groupby([group_col, "n_tokens"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    by_group: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_group.setdefault(r[group_col], []).append((r["n_tokens"], r["cnt"]))
+    out_g, out_q, out_v = [], [], []
+    for g in sorted(by_group):
+        pairs = sorted(by_group[g])
+        lengths = np.array([p[0] for p in pairs], dtype=np.int64)
+        cum = np.cumsum([p[1] for p in pairs])
+        n_total = int(cum[-1])
+        for q in qs:
+            rank = min(max(1, math.ceil(q * n_total)), n_total)
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out_g.append(g)
+            out_q.append(float(q))
+            out_v.append(int(lengths[idx]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out_g),
+                "q": pa.array(out_q, type=pa.float64()),
+                "n_tokens": pa.array(out_v, type=pa.int64()),
+            }
+        )
+    )

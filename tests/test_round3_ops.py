@@ -1,0 +1,145 @@
+"""Round-3 additions: TPC-H Q3/Q6 shapes, LAG-style event gaps, grouped
+quantiles, distributed k-means."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from distributed_text_search_ray.pipelines import relational as R
+from distributed_text_search_ray.pipelines.ann import kmeans_clusters, kmeans_fit
+from distributed_text_search_ray.pipelines.textstats import (
+    grouped_token_length_quantiles,
+    token_length_quantiles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con(*tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_tpch_q3_matches_duckdb():
+    got = R.tpch_q3(SF).take_all()
+    want = _con("customer", "orders", "lineitem").execute(
+        """
+        SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey=o_custkey
+             JOIN lineitem ON l_orderkey=o_orderkey
+        WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY sum(l_extendedprice*(1-l_discount)) DESC, l_orderkey LIMIT 10
+        """
+    ).fetchall()
+    got_rows = sorted(
+        (r["l_orderkey"], r["revenue"], r["o_orderdate"], r["o_orderpriority"]) for r in got
+    )
+    assert got_rows == sorted(tuple(w) for w in want)
+
+
+def test_tpch_q6_matches_duckdb():
+    got = R.tpch_q6(SF).take_all()
+    (want,) = _con("lineitem").execute(
+        """
+        SELECT round(sum(l_extendedprice*l_discount),4) FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    ).fetchone()
+    assert len(got) == 1
+    assert got[0]["revenue"] == want
+
+
+def test_user_event_gaps_matches_duckdb():
+    got = R.user_event_gaps(SF).take_all()
+    want = _con("events").execute(
+        """
+        WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events)
+        SELECT user_id, count(gap_us)::BIGINT, round(avg(gap_us/1e6),4),
+               round(max(gap_us/1e6),4)
+        FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        """
+    ).fetchall()
+    got_rows = sorted((r["user_id"], r["n_gaps"], r["avg_gap_s"], r["max_gap_s"]) for r in got)
+    assert got_rows == sorted(tuple(w) for w in want)
+
+
+def test_user_event_gaps_single_event_user_emits_no_row():
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], type=pa.int64()),
+            "ts": pa.array([0, 5_000_000, 9], type=pa.timestamp("us")),
+            "event_id": pa.array([10, 11, 12], type=pa.int64()),
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        rows = R.user_event_gaps(d).take_all()
+    assert [(r["user_id"], r["n_gaps"], r["avg_gap_s"]) for r in rows] == [(1, 1, 5.0)]
+
+
+def test_grouped_quantiles_consistent_with_global():
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "content": t.column("text"),
+                "lang": t.column("lang"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    rows = grouped_token_length_quantiles(docs).take_all()
+    langs = {r["lang"] for r in rows}
+    # every lang present in the table gets all four quantiles
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["lang"])
+    assert langs == set(tbl.column("lang").to_pylist())
+    assert len(rows) == 4 * len(langs)
+    # a single-group corpus reduces to the global operator
+    one = docs.filter(lambda r: r["lang"] == sorted(langs)[0])
+    grouped = {
+        (r["q"], r["n_tokens"]) for r in grouped_token_length_quantiles(one).take_all()
+    }
+    global_ = {(r["q"], r["n_tokens"]) for r in token_length_quantiles(one).take_all()}
+    assert grouped == global_
+
+
+def test_kmeans_clusters_matches_numpy_oracle():
+    """Distributed Lloyd refinement == single-matrix numpy k-means with the
+    same seeded init (embeddings are planted clusters, so assignments are
+    ulp-robust)."""
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    got = kmeans_clusters(emb, n_clusters=6, iters=3).take_all()
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    ids = tbl.column("vec_id").to_numpy()
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    C = kmeans_fit(X, 6, seed=42, iters=0)
+    for _ in range(3):
+        a = np.argmax(Xn @ C.T, axis=1)
+        C = C.copy()
+        for j in range(len(C)):
+            m = a == j
+            if m.any():
+                c = Xn[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-30)
+    a = np.argmax(Xn @ C.T, axis=1)
+    want = dict(zip(ids.tolist(), a.tolist()))
+    mine = {r["vec_id"]: r["cluster"] for r in got}
+    assert mine == want
+    # cosine column is the similarity to the assigned centroid, in [-1, 1]
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in got)
