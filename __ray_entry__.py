@@ -53,6 +53,14 @@ FUZZY_PATTERNS = [
     (4, "zzzzz", 2),
 ]
 
+PREFIX_PATTERNS = [
+    (0, "s"),        # fans out: small/sort/spark/stream/slow/scan/...
+    (1, "cust"),     # single term (customer)
+    (2, "ta"),       # table
+    (3, "qzx"),      # matches nothing
+    (4, "s"),        # duplicate of 0 — counted independently
+]
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_TOPK = 10
 
@@ -330,6 +338,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def fuzzy_term_stats(sf_dir):
         return search.fuzzy_term_search(_index_for(sf_dir), FUZZY_PATTERNS)
+
+    def prefix_stats(sf_dir):
+        return search.prefix_term_search(_index_for(sf_dir), PREFIX_PATTERNS)
+
+    def prefix_topk(sf_dir):
+        rows = search.prefix_search_topk(
+            _index_for(sf_dir), PREFIX_PATTERNS, topk=BM25_TOPK + 10
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
 
     def fuzzy_topk(sf_dir):
         rows = search.fuzzy_search_topk(
@@ -755,6 +772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apm_counts": apm_counts,
         "apm_counts_concat": apm_counts_concat,
         "fuzzy_term_stats": fuzzy_term_stats,
+        "prefix_stats": prefix_stats,
+        "prefix_topk": prefix_topk,
         "fuzzy_topk": fuzzy_topk,
         "term_dictionary": term_dictionary,
         "token_counts": token_counts,
@@ -912,6 +931,58 @@ SELECT p.query_id,
        coalesce(docs.nd, 0)::BIGINT AS n_docs,
        coalesce(agg.occ, 0)::BIGINT AS n_occurrences
 FROM pats p LEFT JOIN agg USING (query_id) LEFT JOIN docs USING (query_id)
+"""
+
+    prefix_stats_sql = f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT term, count(DISTINCT doc_id) df, count(*) cf FROM tok GROUP BY 1),
+pats(query_id, p) AS (VALUES {_values(PREFIX_PATTERNS)}),
+matched AS (
+  SELECT pats.query_id, v.term, v.cf FROM pats, vocab v
+  WHERE starts_with(v.term, pats.p)
+),
+agg AS (SELECT query_id, count(*) nt, sum(cf) occ FROM matched GROUP BY 1),
+docs AS (
+  SELECT m.query_id, count(DISTINCT t.doc_id) nd
+  FROM matched m JOIN tok t ON t.term = m.term GROUP BY 1
+)
+SELECT p.query_id,
+       coalesce(agg.nt, 0)::BIGINT AS n_matching_terms,
+       coalesce(docs.nd, 0)::BIGINT AS n_docs,
+       coalesce(agg.occ, 0)::BIGINT AS n_occurrences
+FROM pats p LEFT JOIN agg USING (query_id) LEFT JOIN docs USING (query_id)
+"""
+
+    prefix_topk_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+pats(query_id, p) AS (VALUES {_values(PREFIX_PATTERNS)}),
+qterms AS (
+  SELECT DISTINCT pats.query_id, df.term
+  FROM pats, df WHERE starts_with(df.term, pats.p)
+),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
 
     fuzzy_topk_sql = f"""
@@ -1723,6 +1794,8 @@ FROM l JOIN r ON l.user_id = r.user_id
         "apm_counts_concat": apm_concat,
         "fuzzy_term_stats": fuzzy,
         "fuzzy_topk": fuzzy_topk_sql,
+        "prefix_stats": prefix_stats_sql,
+        "prefix_topk": prefix_topk_sql,
         "term_dictionary": term_dict,
         "token_counts": token_counts,
         "quality_scores": quality,

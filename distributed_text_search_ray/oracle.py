@@ -180,3 +180,49 @@ def oracle_token_stats(docs: list[tuple[int, str]], analyzer=None) -> dict:
     lens = {d: tk.token_count(t) for d, t in docs}
     total = sum(lens.values())
     return {"N": len(docs), "total_tokens": total, "avgdl": total / len(docs) if docs else 0.0, "doc_len": lens}
+
+
+def oracle_prefix_terms(
+    docs: list[tuple[int, str]],
+    prefixes: list[tuple[int, str]],
+    analyzer: AnalyzerConfig | None = None,
+) -> list[tuple[int, int, int, int]]:
+    """Wildcard ``prefix*`` term stats: (query_id, n_matching_terms, n_docs,
+    n_occurrences). Mirrors PrefixCountExecutor."""
+    idx = build_oracle_index(docs, analyzer)
+    tk = Tokenizer(analyzer)
+    out = []
+    for qid, prefix in prefixes:
+        toks = tk.tokens(prefix)
+        p = toks[0] if toks else ""
+        matched = [t for t in idx.postings if t.startswith(p)]
+        docs_hit = set()
+        occ = 0
+        for t in matched:
+            for doc_id, tf in idx.postings[t]:
+                docs_hit.add(doc_id)
+                occ += tf
+        out.append((qid, len(matched), len(docs_hit), occ))
+    return out
+
+
+def oracle_prefix_topk(
+    docs: list[tuple[int, str]],
+    prefixes: list[tuple[int, str]],
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+) -> list[tuple[int, int, int, float]]:
+    """BM25 top-k over the OR of the prefix-expanded term set. Mirrors
+    PrefixTopkExecutor."""
+    cfg = cfg or IndexConfig()
+    idx = build_oracle_index(docs, cfg.analyzer)
+    tk = Tokenizer(cfg.analyzer)
+    out = []
+    for qid, prefix in prefixes:
+        toks = tk.tokens(prefix)
+        p = toks[0] if toks else ""
+        matched = sorted(t for t in idx.postings if t.startswith(p))
+        scores = bm25_scores(idx, matched, cfg.bm25_k1, cfg.bm25_b)
+        for rank, doc_id, s in topk(scores, k):
+            out.append((qid, rank, doc_id, s))
+    return out

@@ -612,3 +612,127 @@ def fuzzy_search_topk(
         batch_size=64,
         concurrency=resolve_concurrency(concurrency),
     )
+
+
+class PrefixCountExecutor:
+    """Actor-pool stage: (query_id, prefix) -> wildcard ``prefix*`` term
+    stats — the classic fulltext prefix/wildcard query, answered purely from
+    the dictionary + postings (no content scan).
+
+    Output per query mirrors ``FuzzyCountExecutor``: ``n_matching_terms``,
+    ``n_docs`` (distinct docs containing any matched term),
+    ``n_occurrences`` (sum of matched terms' collection frequency).
+
+    Expansion is one vectorized ``pc.starts_with`` over the dictionary's
+    Arrow string array (loaded once per actor). The per-partition
+    dictionaries concatenate unsorted, so a searchsorted range scan would
+    need a one-time global sort; at any vocabulary that fits an actor the
+    zero-copy vectorized scan is simpler and just as bounded — both are
+    O(V) resident either way.
+    """
+
+    def __init__(self, index_dir: str):
+        self.view = IndexView(index_dir)
+        self.expander = DictionaryExpander(index_dir)
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+        self.tokenizer = Tokenizer(self.view.cfg.analyzer)
+
+    def _expand(self, prefix: str) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        mask = pc.starts_with(self.expander.terms, prefix)
+        return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"query_id": [], "n_matching_terms": [], "n_docs": [], "n_occurrences": []}
+        for row in batch.to_pylist():
+            toks = self.tokenizer.tokens(row["prefix"])
+            p = toks[0] if toks else ""
+            idxs = self._expand(p)
+            occ = int(self.expander.cf[idxs].sum()) if idxs.size else 0
+            chunks = [
+                self.view.term_postings(self.expander.term_at(i))[0] for i in idxs
+            ]
+            n_docs = int(np.unique(np.concatenate(chunks)).size) if chunks else 0
+            out["query_id"].append(int(row["query_id"]))
+            out["n_matching_terms"].append(int(idxs.size))
+            out["n_docs"].append(n_docs)
+            out["n_occurrences"].append(occ)
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "n_matching_terms": pa.array(out["n_matching_terms"], type=pa.int64()),
+                "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+                "n_occurrences": pa.array(out["n_occurrences"], type=pa.int64()),
+            }
+        )
+
+
+def prefix_term_search(
+    index_dir: str,
+    prefixes: Iterable[tuple[int, str]],
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Wildcard ``prefix*`` term stats for (query_id, prefix) pairs."""
+    items = [{"query_id": int(q), "prefix": str(p)} for q, p in prefixes]
+    return ray.data.from_items(items).map_batches(
+        PrefixCountExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+class PrefixTopkExecutor(QueryExecutor):
+    """BM25 over the OR of the prefix-expanded term set (wildcard retrieval:
+    every doc containing any ``prefix*`` term, ranked). Same exhaustive
+    TAAT scorer as ``FuzzyTopkExecutor`` — expansion differs, scoring is
+    shared, so the two stay bit-comparable under one oracle formula."""
+
+    def __init__(self, index_dir: str, topk: int = 10):
+        super().__init__(index_dir, topk=topk)
+        self.expander = DictionaryExpander(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for row in batch.to_pylist():
+            toks = self.tokenizer.tokens(row["prefix"])
+            p = toks[0] if toks else ""
+            mask = pc.starts_with(self.expander.terms, p)
+            idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            terms = sorted(self.expander.term_at(i) for i in idxs)
+            docs, scores = self._score_taat(terms, self.topk)
+            for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), start=1):
+                out_q.append(int(row["query_id"]))
+                out_r.append(r)
+                out_d.append(d)
+                out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def prefix_search_topk(
+    index_dir: str,
+    prefixes: Iterable[tuple[int, str]],
+    topk: int = 10,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Ranked wildcard retrieval: top-k BM25 over each prefix's term set."""
+    items = [{"query_id": int(q), "prefix": str(p)} for q, p in prefixes]
+    return ray.data.from_items(items).map_batches(
+        PrefixTopkExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "topk": topk},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )

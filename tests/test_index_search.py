@@ -224,3 +224,44 @@ def test_driver_documents_table(tmp_path):
     got = search_topk(index_dir, queries, topk=5).take_all()
     got_rows = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in got)
     assert got_rows == sorted(expected)
+
+
+PREFIXES = [
+    (0, "de"),       # def, delete, ... (salted hot term included)
+    (1, "toke"),
+    (2, "zzz"),      # matches nothing
+    (3, "i"),        # wide fan-out
+    (4, "de"),       # duplicate of 0 — independent
+]
+
+
+def test_prefix_stats_match_oracle(built_index):
+    from distributed_text_search_ray.oracle import oracle_prefix_terms
+    from distributed_text_search_ray.pipelines.search import prefix_term_search
+
+    corpus_dir, index_dir, _ = built_index
+    docs = corpus_docs(corpus_dir)
+    expected = {
+        q: (nt, nd, occ) for q, nt, nd, occ in oracle_prefix_terms(docs, PREFIXES, CFG.analyzer)
+    }
+    got = {
+        r["query_id"]: (r["n_matching_terms"], r["n_docs"], r["n_occurrences"])
+        for r in prefix_term_search(index_dir, PREFIXES).take_all()
+    }
+    assert got == expected
+    assert got[0] == got[4]  # duplicates independent and equal
+    assert got[2] == (0, 0, 0)
+
+
+def test_prefix_topk_matches_oracle(built_index):
+    """Rank- and score-identical (bit-exact float64) wildcard retrieval,
+    including over salted hot terms."""
+    from distributed_text_search_ray.oracle import oracle_prefix_topk
+    from distributed_text_search_ray.pipelines.search import prefix_search_topk
+
+    corpus_dir, index_dir, _ = built_index
+    docs = corpus_docs(corpus_dir)
+    expected = oracle_prefix_topk(docs, PREFIXES, k=5, cfg=CFG)
+    rows = prefix_search_topk(index_dir, PREFIXES, topk=5).take_all()
+    got = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+    assert got == sorted(expected)
