@@ -736,3 +736,62 @@ def prefix_search_topk(
         batch_size=8,
         concurrency=resolve_concurrency(concurrency),
     )
+
+
+class SynonymTopkExecutor(QueryExecutor):
+    """BM25 over the query's terms UNION their configured synonyms — the
+    classic query-time synonym expansion. The synonym map is part of the
+    actor constructor args (Ray ships it to the object store once; every
+    actor in the pool reads the same copy — broadcast, never per-batch).
+    Expansion happens at QUERY time only, so the index needs no rebuild
+    when the map changes (the index-time alternative would bake synonyms
+    into postings). Unknown synonym terms contribute nothing, exactly like
+    unknown query terms."""
+
+    def __init__(self, index_dir: str, synonyms: dict[str, list[str]], topk: int = 10):
+        super().__init__(index_dir, topk=topk)
+        self.synonyms = {k: list(v) for k, v in synonyms.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for row in batch.to_pylist():
+            toks = self.tokenizer.tokens(row["query"])
+            expanded = set(toks)
+            for t in toks:
+                expanded.update(self.synonyms.get(t, ()))
+            docs, scores = self._score_taat(sorted(expanded), self.topk)
+            for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), start=1):
+                out_q.append(int(row["query_id"]))
+                out_r.append(r)
+                out_d.append(d)
+                out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def search_topk_synonyms(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    synonyms: dict[str, list[str]],
+    topk: int = 10,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k BM25 with query-time synonym expansion."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        SynonymTopkExecutor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "synonyms": synonyms,
+            "topk": topk,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )

@@ -265,3 +265,35 @@ def test_prefix_topk_matches_oracle(built_index):
     rows = prefix_search_topk(index_dir, PREFIXES, topk=5).take_all()
     got = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
     assert got == sorted(expected)
+
+
+def test_synonym_topk_matches_oracle(built_index):
+    """Query-time synonym expansion == oracle BM25 over the expanded term
+    union; a query whose synonym exists in the corpus must differ from the
+    unexpanded ranking."""
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.oracle import bm25_scores, build_oracle_index, topk
+    from distributed_text_search_ray.pipelines.search import search_topk_synonyms
+
+    corpus_dir, index_dir, _ = built_index
+    docs = corpus_docs(corpus_dir)
+    synonyms = {"def": ["return"], "tokenize": ["token"], "ghost": ["import"]}
+    queries = [(0, "def tokenize"), (1, "merge index"), (2, "ghost")]
+
+    idx = build_oracle_index(docs, CFG.analyzer)
+    tk = Tokenizer(CFG.analyzer)
+    expected = []
+    for qid, qtext in queries:
+        toks = tk.tokens(qtext)
+        expanded = set(toks)
+        for t in toks:
+            expanded.update(synonyms.get(t, ()))
+        scores = bm25_scores(idx, sorted(expanded), CFG.bm25_k1, CFG.bm25_b)
+        for rank, doc_id, s in topk(scores, 5):
+            expected.append((qid, rank, doc_id, s))
+
+    rows = search_topk_synonyms(index_dir, queries, synonyms, topk=5).take_all()
+    got = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+    assert got == sorted(expected)
+    # "ghost" alone matches nothing; its synonym "import" must produce hits
+    assert any(q == 2 for q, *_ in got)
