@@ -74,6 +74,11 @@ def main(argv: list[str] | None = None) -> int:
     bq.add_argument("index_dir")
     bq.add_argument("queries", nargs="+")
 
+    pr = sub.add_parser("prefix", help="wildcard prefix* term stats or ranked retrieval")
+    pr.add_argument("index_dir")
+    pr.add_argument("prefixes", nargs="+")
+    pr.add_argument("--topk", type=int, default=0, help="if > 0, rank docs over the expansion")
+
     mg = sub.add_parser("merge")
     mg.add_argument("out_dir")
     mg.add_argument("sources", nargs="+")
@@ -132,6 +137,21 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"{r['query_id']}\t{r['n_matching_terms']}\t{r['n_docs']}\t{r['n_occurrences']}"
             )
+    elif args.cmd == "prefix":
+        from distributed_text_search_ray.pipelines.search import (
+            prefix_search_topk,
+            prefix_term_search,
+        )
+
+        pats = list(enumerate(args.prefixes))
+        if args.topk > 0:
+            for r in prefix_search_topk(args.index_dir, pats, topk=args.topk).take_all():
+                print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+        else:
+            for r in prefix_term_search(args.index_dir, pats).take_all():
+                print(
+                    f"{r['query_id']}\t{r['n_matching_terms']}\t{r['n_docs']}\t{r['n_occurrences']}"
+                )
     elif args.cmd == "apm":
         from distributed_text_search_ray.pipelines.apm import windowed_match_counts
 
