@@ -703,6 +703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return ann.kmeans_clusters(ds, n_clusters=8, iters=3)
 
+    def doc_clusters(sf_dir):
+        return textstats.doc_clusters(_docs_ds(sf_dir), n_clusters=6, iters=3)
+
     def events_hopping(sf_dir):
         return relational.events_hopping_window(sf_dir, width_minutes=60, hop_minutes=15)
 
@@ -833,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "pack_sequences": pack_sequences,
         "kmeans_clusters": kmeans_clusters,
+        "doc_clusters": doc_clusters,
     }
 
 
@@ -1902,7 +1906,8 @@ FROM l JOIN r ON l.user_id = r.user_id
         "grouped_quantiles": grouped_quantiles_sql,
         "events_window_1h": events,
         "events_hopping": hopping,
-        # media_features, near_dedup, pack_sequences, kmeans_clusters: not
+        # media_features, near_dedup, pack_sequences, kmeans_clusters,
+        # doc_clusters: not
         # SQL-expressible (media codec stubs, LSH banding, stateful packing,
         # iterative Lloyd refinement) -> rows-only
     }

@@ -861,3 +861,80 @@ def grouped_token_length_quantiles(
             }
         )
     )
+
+
+def hashed_doc_vectors(
+    docs: ray.data.Dataset,
+    dim: int = 64,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """Feature-hashed TF document vectors: (vec_id=doc_id, embedding).
+
+    Classic hashing-trick bag-of-words — term t adds sign(t) at bucket
+    hash(t) % dim (sign from one hash bit decorrelates collisions), row
+    L2-normalized. Deterministic (md5-based, no fitted vocabulary), so the
+    map needs NO training pass, no broadcast state, and is stable across
+    cluster sizes — the properties that let a 10^12-doc corpus be
+    vectorized in a single streaming pass. Output schema matches the
+    embeddings table, so every ANN/dedup/k-means operator composes on it
+    unchanged."""
+    from distributed_text_search_ray.functions.hashing import md5_u64
+
+    def f(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        ids = batch.column("doc_id").to_pylist()
+        out = np.zeros((len(ids), dim), dtype=np.float64)
+        memo: dict[str, tuple[int, float]] = {}
+        for i, text in enumerate(batch.column("content").to_pylist()):
+            for t in tk.tokens(text):
+                slot = memo.get(t)
+                if slot is None:
+                    h = md5_u64(t)
+                    slot = (h % dim, 1.0 if (h >> 63) & 1 else -1.0)
+                    memo[t] = slot
+                out[i, slot[0]] += slot[1]
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        out = out / np.maximum(norms, 1e-30)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(out.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def doc_clusters(
+    docs: ray.data.Dataset,
+    n_clusters: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """Topic-bucket the corpus: feature-hashed TF vectors -> distributed
+    spherical k-means. Output (doc_id, cluster, cosine).
+
+    The text->vector->cluster composition a training-data pipeline uses for
+    mixture balancing; both stages stream (the vector stage is stateless,
+    each k-means pass is one map_batches with a k x dim driver reduce).
+    The vector dataset is materialized once so the k-means passes re-read
+    object-store blocks instead of re-tokenizing the corpus per iteration
+    (iters + 2 passes otherwise; at RAM-exceeding scale write it to
+    partitioned parquet instead — same one-tokenize property)."""
+    from distributed_text_search_ray.pipelines.ann import kmeans_clusters
+
+    vecs = hashed_doc_vectors(docs, dim=dim, analyzer=analyzer).materialize()
+    out = kmeans_clusters(vecs, n_clusters=n_clusters, iters=iters, seed=seed)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("vec_id"),
+                "cluster": batch.column("cluster"),
+                "cosine": batch.column("cosine"),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")

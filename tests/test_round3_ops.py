@@ -143,3 +143,39 @@ def test_kmeans_clusters_matches_numpy_oracle():
     assert mine == want
     # cosine column is the similarity to the assigned centroid, in [-1, 1]
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in got)
+
+
+def test_hashed_doc_vectors_match_numpy_oracle():
+    from distributed_text_search_ray.functions.hashing import md5_u64
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.pipelines.textstats import hashed_doc_vectors
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"), "content": t.column("text")}),
+        batch_format="pyarrow",
+    )
+    got = {r["vec_id"]: np.array(r["embedding"]) for r in hashed_doc_vectors(docs, dim=16).take_all()}
+
+    tk = Tokenizer(None)
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        v = np.zeros(16)
+        for t in tk.tokens(text):
+            h = md5_u64(t)
+            v[h % 16] += 1.0 if (h >> 63) & 1 else -1.0
+        v = v / max(np.linalg.norm(v), 1e-30)
+        assert np.allclose(got[doc_id], v, atol=1e-12)
+
+
+def test_doc_clusters_deterministic_and_complete():
+    from distributed_text_search_ray.pipelines.textstats import doc_clusters
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"), "content": t.column("text")}),
+        batch_format="pyarrow",
+    )
+    a = {r["doc_id"]: r["cluster"] for r in doc_clusters(docs, n_clusters=4, iters=2).take_all()}
+    b = {r["doc_id"]: r["cluster"] for r in doc_clusters(docs, n_clusters=4, iters=2).take_all()}
+    n_docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).num_rows
+    assert len(a) == n_docs
+    assert a == b  # deterministic under identical layout
