@@ -387,10 +387,12 @@ def kmeans_clusters(
     per batch (cluster, per-coordinate vector sum, count) — the partial+
     final aggregate of SURVEY.md A1, the same MPI_Reduce-of-partial-counts
     idiom as the reference (src/flexible_mpi.c:533-544) with a k x dim
-    payload instead of one int per pattern. The driver reduction is bounded
-    at k x n_batches tiny rows regardless of corpus size, and coordinate
-    sums are combined with ``math.fsum`` (exactly-rounded, order-independent)
-    so centroid trajectories do not depend on block arrival order. Batch
+    payload instead of one int per pattern. Partials reduce in a k-group
+    ``groupby("cluster").map_groups`` (shuffle volume = k rows per batch),
+    so the driver pulls exactly k rows per pass regardless of corpus size;
+    coordinate sums combine with ``math.fsum`` (exactly-rounded,
+    order-independent) so centroid trajectories do not depend on block or
+    shuffle arrival order. Batch
     BOUNDARIES still influence the last ulp of per-batch partial sums; with
     any separated cluster structure the argmax assignment is invariant to
     that (differential-tested against a single-matrix numpy oracle).
@@ -404,6 +406,8 @@ def kmeans_clusters(
     """
     import math
 
+    import pyarrow.compute as pc
+
     n_total = embeddings.count()
     if n_total > fit_sample:
         frac = min(1.0, fit_sample / n_total)
@@ -413,7 +417,6 @@ def kmeans_clusters(
     Xs = np.array([r[column] for r in sample], dtype=np.float64)
     C = kmeans_fit(Xs, n_clusters, seed=seed, iters=0)
     k = len(C)
-    dim = C.shape[1]
 
     for _ in range(iters):
         C_cur = C  # rebind for closure capture (one object-store copy per pass)
@@ -438,14 +441,35 @@ def kmeans_clusters(
                 }
             )
 
-        rows = embeddings.map_batches(partials, batch_format="pyarrow").take_all()
+        # distributed final reduce: one tiny k-group shuffle per pass, so the
+        # driver sees exactly k rows — NOT k x n_batches (which grows with the
+        # corpus: ~10^6 blocks at 100 TB would make the driver pull GBs).
+        # fsum per coordinate inside the group keeps the reduce exactly
+        # rounded regardless of row arrival order.
+        def reduce_cluster(group: pa.Table) -> pa.Table:
+            sums = np.asarray(group.column("vec_sum").to_pylist(), dtype=np.float64)
+            total = [math.fsum(sums[:, d]) for d in range(sums.shape[1])]
+            return pa.table(
+                {
+                    "cluster": group.column("cluster").slice(0, 1),
+                    "vec_sum": pa.array([total], type=pa.list_(pa.float64())),
+                    "cnt": pa.array(
+                        [int(pc.sum(group.column("cnt")).as_py())], type=pa.int64()
+                    ),
+                }
+            )
+
+        rows = (
+            embeddings.map_batches(partials, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(reduce_cluster, batch_format="pyarrow")
+            .take_all()
+        )
         C = C.copy()
-        for j in range(k):
-            sums = [r["vec_sum"] for r in rows if r["cluster"] == j]
-            cnt = sum(r["cnt"] for r in rows if r["cluster"] == j)
-            if cnt:
-                c = np.array([math.fsum(s[d] for s in sums) for d in range(dim)]) / cnt
-                C[j] = c / max(np.linalg.norm(c), 1e-30)
+        for r in rows:
+            if r["cnt"]:
+                c = np.asarray(r["vec_sum"], dtype=np.float64) / r["cnt"]
+                C[int(r["cluster"])] = c / max(np.linalg.norm(c), 1e-30)
 
     C_final = C
 
