@@ -686,6 +686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def user_event_gaps(sf_dir):
         return relational.user_event_gaps(sf_dir)
 
+    def value_quantiles(sf_dir):
+        return relational.events_value_quantiles(sf_dir)
+
     def grouped_quantiles(sf_dir):
         import ray.data
 
@@ -777,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
         "grouped_quantiles": grouped_quantiles,
+        "value_quantiles": value_quantiles,
         "events_window_1h": events_window_1h,
         "events_hopping": events_hopping,
         "asof_purchase_click": asof_purchase_click,
@@ -1700,6 +1704,13 @@ SELECT lang, unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
 FROM qd
 """
 
+    value_quantiles_sql = """
+WITH qd AS (SELECT quantile_disc("value", [0.25, 0.5, 0.75, 0.95]) vals FROM events)
+SELECT unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
+       unnest(vals)::DOUBLE AS "value"
+FROM qd
+"""
+
     events = """
 SELECT event_type,
        ((epoch_us(ts) // 3600000000) * 3600)::BIGINT AS window_start,
@@ -1904,6 +1915,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "tpch_q6": q6,
         "user_event_gaps": event_gaps,
         "grouped_quantiles": grouped_quantiles_sql,
+        "value_quantiles": value_quantiles_sql,
         "events_window_1h": events,
         "events_hopping": hopping,
         # media_features, near_dedup, pack_sequences, kmeans_clusters,

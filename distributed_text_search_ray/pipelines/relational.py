@@ -580,3 +580,97 @@ def user_event_gaps(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def float_quantiles(
+    ds: ray.data.Dataset,
+    column: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    bins: int = 4096,
+    max_candidate_rows: int = 2_000_000,
+) -> ray.data.Dataset:
+    """EXACT quantiles of an unbounded float column (DuckDB
+    ``quantile_disc`` semantics: the element at rank ceil(q*N) of the
+    sorted column) by DISTRIBUTED SELECTION — no global sort.
+
+    Integer columns get exact order statistics from a value-indexed
+    histogram (``textstats.token_length_quantiles``); floats need
+    selection instead:
+
+    - pass 1: (min, max, count) aggregate;
+    - pass 2: fixed ``bins``-bucket histogram over [min, max] — each batch
+      emits one bounded partial row, the driver sums (bins doubles, not
+      rows);
+    - pass 3: ONE filter pass collects only the rows falling in the few
+      buckets that contain a requested rank; exact ranks are selected from
+      that small candidate set.
+
+    Cost: 3 streaming passes, driver state O(bins + candidates). The
+    candidate set is ~N/bins per quantile for non-degenerate
+    distributions; ``max_candidate_rows`` guards pathological skew (a
+    single repeated value can put N rows in one bucket — but then that
+    value IS the quantile, which the guard detects from the histogram
+    before collecting).
+
+    Output: (q, value) — one row per requested quantile.
+    """
+    import math
+
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = ds.aggregate(Min(column), Max(column), Count())
+    lo, hi, n = agg[f"min({column})"], agg[f"max({column})"], agg["count()"]
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"q": pa.array([], type=pa.float64()), "value": pa.array([], type=pa.float64())})
+        )
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy()
+        b = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
+        h = np.bincount(b, minlength=bins)
+        return pa.table({"h": pa.array([h.tolist()], type=pa.list_(pa.int64()))})
+
+    partials = ds.map_batches(hist_partial, batch_format="pyarrow").take_all()
+    hist = np.zeros(bins, dtype=np.int64)
+    for r in partials:
+        hist += np.asarray(r["h"], dtype=np.int64)
+    cum = np.cumsum(hist)
+
+    ranks = sorted({min(max(1, math.ceil(q * n)), n) for q in qs})
+    need_bins = sorted({int(np.searchsorted(cum, r, side="left")) for r in ranks})
+    if sum(int(hist[b]) for b in need_bins) > max_candidate_rows:
+        raise ValueError(
+            "degenerate value skew: candidate buckets exceed "
+            f"max_candidate_rows={max_candidate_rows}; raise bins or the cap"
+        )
+    need_set = pa.array(need_bins, type=pa.int64())
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy()
+        b = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
+        mask = pc.is_in(pa.array(b, type=pa.int64()), value_set=need_set)
+        return pa.table({column: batch.column(column).filter(mask), "bin": pa.array(b[mask.to_numpy(zero_copy_only=False)], type=pa.int64())})
+
+    cand = ds.map_batches(keep_candidates, batch_format="pyarrow").take_all()
+    by_bin: dict[int, list[float]] = {}
+    for r in cand:
+        by_bin.setdefault(int(r["bin"]), []).append(float(r[column]))
+    out_q, out_v = [], []
+    for q in qs:
+        r = min(max(1, math.ceil(q * n)), n)
+        b = int(np.searchsorted(cum, r, side="left"))
+        before = int(cum[b - 1]) if b else 0
+        vals = np.sort(np.asarray(by_bin[b]))
+        out_q.append(float(q))
+        out_v.append(float(vals[r - before - 1]))
+    return ray.data.from_arrow(
+        pa.table({"q": pa.array(out_q, type=pa.float64()), "value": pa.array(out_v, type=pa.float64())})
+    )
+
+
+def events_value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact float quantiles of events.value via distributed selection."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    return float_quantiles(ds, "value")

@@ -179,3 +179,39 @@ def test_doc_clusters_deterministic_and_complete():
     n_docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).num_rows
     assert len(a) == n_docs
     assert a == b  # deterministic under identical layout
+
+
+def test_float_quantiles_match_duckdb():
+    from distributed_text_search_ray.pipelines.relational import events_value_quantiles
+
+    got = sorted((r["q"], r["value"]) for r in events_value_quantiles(SF).take_all())
+    want = sorted(
+        tuple(w)
+        for w in _con("events")
+        .execute(
+            """
+        WITH qd AS (SELECT quantile_disc("value", [0.25,0.5,0.75,0.95]) vals FROM events)
+        SELECT unnest([0.25,0.5,0.75,0.95])::DOUBLE, unnest(vals)::DOUBLE FROM qd
+        """
+        )
+        .fetchall()
+    )
+    assert got == want
+
+
+def test_float_quantiles_duplicate_heavy_and_constant():
+    """A column dominated by one repeated value still selects exactly, and a
+    constant column degenerates gracefully (every quantile = the value)."""
+    from distributed_text_search_ray.pipelines.relational import float_quantiles
+
+    vals = [7.5] * 90 + [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 8.0, 9.0, 10.0, 11.0]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, type=pa.float64())}))
+    got = {r["q"]: r["value"] for r in float_quantiles(ds, "v", qs=(0.5, 0.95, 1.0)).take_all()}
+    s = sorted(vals)
+    import math
+
+    assert got == {q: s[math.ceil(q * len(vals)) - 1] for q in (0.5, 0.95, 1.0)}
+
+    const = ray.data.from_arrow(pa.table({"v": pa.array([3.25] * 50, type=pa.float64())}))
+    got = {r["q"]: r["value"] for r in float_quantiles(const, "v", qs=(0.25, 0.9)).take_all()}
+    assert got == {0.25: 3.25, 0.9: 3.25}
