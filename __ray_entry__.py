@@ -689,6 +689,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def value_quantiles(sf_dir):
         return relational.events_value_quantiles(sf_dir)
 
+    def corpus_rollup(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang", "source"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "content": t.column("text"),
+                    "lang": t.column("lang"),
+                    "source": t.column("source"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return textstats.corpus_rollup(ds)
+
     def grouped_quantiles(sf_dir):
         import ray.data
 
@@ -781,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": user_event_gaps,
         "grouped_quantiles": grouped_quantiles,
         "value_quantiles": value_quantiles,
+        "corpus_rollup": corpus_rollup,
         "events_window_1h": events_window_1h,
         "events_hopping": events_hopping,
         "asof_purchase_click": asof_purchase_click,
@@ -1704,6 +1722,15 @@ SELECT lang, unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
 FROM qd
 """
 
+    corpus_rollup_sql = f"""
+WITH {_TOK_CTE},
+agg AS (SELECT doc_id, count(*) n FROM tok GROUP BY 1),
+d AS (SELECT d.lang, d.source, coalesce(a.n, 0)::BIGINT n
+      FROM documents d LEFT JOIN agg a USING (doc_id))
+SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens
+FROM d GROUP BY ROLLUP (lang, source)
+"""
+
     value_quantiles_sql = """
 WITH qd AS (SELECT quantile_disc("value", [0.25, 0.5, 0.75, 0.95]) vals FROM events)
 SELECT unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
@@ -1916,6 +1943,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "user_event_gaps": event_gaps,
         "grouped_quantiles": grouped_quantiles_sql,
         "value_quantiles": value_quantiles_sql,
+        "corpus_rollup": corpus_rollup_sql,
         "events_window_1h": events,
         "events_hopping": hopping,
         # media_features, near_dedup, pack_sequences, kmeans_clusters,

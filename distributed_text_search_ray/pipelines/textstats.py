@@ -938,3 +938,71 @@ def doc_clusters(
         )
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def corpus_rollup(
+    docs_with_keys: ray.data.Dataset,
+    keys: tuple[str, str] = ("lang", "source"),
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """ROLLUP(k1, k2) corpus aggregate: (k1, k2, n_docs, total_tokens) at
+    three levels — per (k1, k2), per k1 (k2 NULL), grand total (both NULL).
+
+    Scale shape: ONE streaming pass computes the finest level (per-batch
+    partials, tiny groupby); the coarser levels derive from the finest on
+    the driver, which is bounded by |k1| x |k2| distinct pairs — rolling up
+    never re-reads the corpus (the naive alternative is one groupby per
+    level = 3 corpus passes)."""
+    from ray.data.aggregate import Sum
+
+    k1, k2 = keys
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        n_tok = np.fromiter(
+            (tk.token_count(t) for t in batch.column("content").to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        g = pa.table(
+            {
+                k1: batch.column(k1),
+                k2: batch.column(k2),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+            }
+        ).group_by([k1, k2]).aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
+        return g.rename_columns([k1, k2, "tok_part", "doc_part"])
+
+    fine = (
+        docs_with_keys.map_batches(partial, batch_format="pyarrow")
+        .groupby([k1, k2])
+        .aggregate(
+            Sum("doc_part", alias_name="n_docs"),
+            Sum("tok_part", alias_name="total_tokens"),
+        )
+        .take_all()
+    )
+    out_1, out_2, out_d, out_t = [], [], [], []
+    for r in fine:
+        out_1.append(r[k1]); out_2.append(r[k2])
+        out_d.append(int(r["n_docs"])); out_t.append(int(r["total_tokens"]))
+    lvl1: dict[str, tuple[int, int]] = {}
+    for r in fine:
+        d, t = lvl1.get(r[k1], (0, 0))
+        lvl1[r[k1]] = (d + int(r["n_docs"]), t + int(r["total_tokens"]))
+    for g in sorted(lvl1):
+        out_1.append(g); out_2.append(None)
+        out_d.append(lvl1[g][0]); out_t.append(lvl1[g][1])
+    out_1.append(None); out_2.append(None)
+    out_d.append(sum(d for d, _ in lvl1.values()))
+    out_t.append(sum(t for _, t in lvl1.values()))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                k1: pa.array(out_1, type=pa.string()),
+                k2: pa.array(out_2, type=pa.string()),
+                "n_docs": pa.array(out_d, type=pa.int64()),
+                "total_tokens": pa.array(out_t, type=pa.int64()),
+            }
+        )
+    )

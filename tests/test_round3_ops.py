@@ -215,3 +215,38 @@ def test_float_quantiles_duplicate_heavy_and_constant():
     const = ray.data.from_arrow(pa.table({"v": pa.array([3.25] * 50, type=pa.float64())}))
     got = {r["q"]: r["value"] for r in float_quantiles(const, "v", qs=(0.25, 0.9)).take_all()}
     assert got == {0.25: 3.25, 0.9: 3.25}
+
+
+def test_corpus_rollup_matches_duckdb():
+    from distributed_text_search_ray.pipelines.textstats import corpus_rollup
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["text", "lang", "source"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"content": t.column("text"), "lang": t.column("lang"), "source": t.column("source")}
+        ),
+        batch_format="pyarrow",
+    )
+    got = sorted(
+        [
+            (r["lang"], r["source"], r["n_docs"], r["total_tokens"])
+            for r in corpus_rollup(docs).take_all()
+        ],
+        key=repr,
+    )
+    import __ray_entry__ as E
+
+    tok_sql = E.TOK_SQL.format(col="text")
+    want = sorted(
+        (tuple(w) for w in _con("documents").execute(
+            f"""
+            WITH tok AS (SELECT doc_id, t.term FROM documents, unnest({tok_sql}) AS t(term)),
+            agg AS (SELECT doc_id, count(*) n FROM tok GROUP BY 1),
+            d AS (SELECT d.lang, d.source, coalesce(a.n,0)::BIGINT n
+                  FROM documents d LEFT JOIN agg a USING (doc_id))
+            SELECT lang, source, count(*)::BIGINT, sum(n)::BIGINT
+            FROM d GROUP BY ROLLUP (lang, source)
+            """
+        ).fetchall()), key=repr)
+    assert got == want
