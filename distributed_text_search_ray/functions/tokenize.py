@@ -41,6 +41,15 @@ def tokenizer_for(cfg: "AnalyzerConfig | None" = None) -> "Tokenizer":
     return tk
 
 
+# Python str.lower() applies the Unicode FULL lowercase mapping; SQL engines
+# (DuckDB lower(), the oracle twin of this analyzer) apply the SIMPLE one.
+# The only code point where the two produce different token streams is
+# U+0130 (Turkish İ): full maps it to "i"+U+0307, splitting an ASCII token
+# the simple mapping keeps whole. Pre-mapping İ -> i makes engine and SQL
+# tokenize non-ASCII corpora identically (pinned by the unicode parity test).
+_SIMPLE_LOWER_FIXUP = {0x0130: "i"}
+
+
 class Tokenizer:
     """Compiled analyzer; construct once per actor/task, reuse per batch."""
 
@@ -48,9 +57,12 @@ class Tokenizer:
         self.cfg = cfg or AnalyzerConfig()
         self._rx = re.compile(self.cfg.token_pattern)
 
+    def _lower(self, text: str) -> str:
+        return text.translate(_SIMPLE_LOWER_FIXUP).lower()
+
     def tokens(self, text: str) -> list[str]:
         if self.cfg.lowercase:
-            text = text.lower()
+            text = self._lower(text)
         return self._rx.findall(text)
 
     def has_token(self, text: str) -> bool:
@@ -58,7 +70,7 @@ class Tokenizer:
         regex probe, not a full tokenize (used by filters that must drop
         zero-token docs without paying a re-tokenization pass)."""
         if self.cfg.lowercase:
-            text = text.lower()
+            text = self._lower(text)
         return self._rx.search(text) is not None
 
     def term_freqs(self, text: str) -> Counter:

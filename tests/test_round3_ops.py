@@ -250,3 +250,49 @@ def test_corpus_rollup_matches_duckdb():
             """
         ).fetchall()), key=repr)
     assert got == want
+
+
+def test_unicode_corpus_token_parity_with_duckdb():
+    """The analyzer ([a-z0-9_]+ over lower()) and its SQL twin must agree on
+    non-ASCII content: accents/CJK/emoji act as separators, ASCII islands
+    tokenize normally, and Python str.lower() quirks (e.g. dotted capital I)
+    cannot diverge because non-ASCII never enters a token."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from distributed_text_search_ray.pipelines.textstats import token_counts
+
+    texts = [
+        "naïve café code_x1",          # accented latin splits the token
+        "日本語テキスト abc123 мир",        # CJK + cyrillic separators
+        "emoji 🎉 party_2 🎉🎉 end",
+        "İstanbul STRASSE straße",     # upper/lowercase edge cases
+        "",                            # empty doc
+        "____",                        # underscore-only token
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "documents.parquet")
+        pq.write_table(tbl, p)
+        docs = ray.data.read_parquet(p).map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"), "content": t.column("text")}),
+            batch_format="pyarrow",
+        )
+        got = {r["doc_id"]: r["n_tokens"] for r in token_counts(docs).take_all()}
+        import __ray_entry__ as E
+
+        con = duckdb.connect()
+        want = dict(
+            con.execute(
+                f"SELECT doc_id, len({E.TOK_SQL.format(col='text')})::BIGINT "
+                f"FROM read_parquet('{p}')"
+            ).fetchall()
+        )
+    assert got == want
