@@ -686,6 +686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def user_event_gaps(sf_dir):
         return relational.user_event_gaps(sf_dir)
 
+    def user_moving_avg(sf_dir):
+        return relational.user_value_moving_avg(sf_dir)
+
     def value_quantiles(sf_dir):
         return relational.events_value_quantiles(sf_dir)
 
@@ -796,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": tpch_q3,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
+        "user_moving_avg": user_moving_avg,
         "grouped_quantiles": grouped_quantiles,
         "value_quantiles": value_quantiles,
         "corpus_rollup": corpus_rollup,
@@ -1710,6 +1714,13 @@ SELECT user_id, count(gap_us)::BIGINT AS n_gaps,
 FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
 """
 
+    moving_avg_sql = """
+SELECT event_id, user_id,
+       round(avg("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+FROM events
+"""
+
     grouped_quantiles_sql = f"""
 WITH {_TOK_CTE},
 agg AS (SELECT doc_id, count(*) n FROM tok GROUP BY 1),
@@ -1941,6 +1952,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "tpch_q3": q3,
         "tpch_q6": q6,
         "user_event_gaps": event_gaps,
+        "user_moving_avg": moving_avg_sql,
         "grouped_quantiles": grouped_quantiles_sql,
         "value_quantiles": value_quantiles_sql,
         "corpus_rollup": corpus_rollup_sql,

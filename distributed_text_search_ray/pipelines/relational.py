@@ -674,3 +674,41 @@ def events_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact float quantiles of events.value via distributed selection."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
     return float_quantiles(ds, "value")
+
+
+def user_value_moving_avg(sf_dir: str, window: int = 3) -> ray.data.Dataset:
+    """Per-user trailing moving average of ``value`` — the
+    ``AVG() OVER (... ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)`` frame
+    shape. Same bounded ``groupby(user_id).map_groups`` ordered-window
+    pattern as ``user_event_gaps``; partial frames at the head average
+    whatever exists. Sums accumulate oldest-first (matching the SQL
+    window's frame order) so results are bit-identical pre-rounding.
+
+    Output: (event_id, user_id, mov_avg 4dp).
+    """
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        val = g.column("value").to_numpy()
+        order = np.lexsort((eid, ts))
+        v = val[order]
+        n = len(v)
+        acc = np.zeros(n, dtype=np.float64)
+        cnt = np.minimum(np.arange(n) + 1, window).astype(np.float64)
+        # oldest-first accumulation per frame, vectorized across rows
+        for off in range(window - 1, -1, -1):
+            acc[off:] += v[: n - off] if off else v
+        ma = acc / cnt
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "user_id": g.column("user_id").take(pa.array(order)),
+                "mov_avg": sql_round(ma, 4),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")

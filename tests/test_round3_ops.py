@@ -296,3 +296,24 @@ def test_unicode_corpus_token_parity_with_duckdb():
             ).fetchall()
         )
     assert got == want
+
+
+def test_user_moving_avg_matches_duckdb():
+    got = sorted(
+        (r["event_id"], r["user_id"], r["mov_avg"])
+        for r in R.user_value_moving_avg(SF).take_all()
+    )
+    want = sorted(
+        tuple(w)
+        for w in _con("events")
+        .execute(
+            """
+        SELECT event_id, user_id,
+               round(avg("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        FROM events
+        """
+        )
+        .fetchall()
+    )
+    assert got == want
