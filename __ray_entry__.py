@@ -570,6 +570,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def regex_counts(sf_dir):
         return textstats.regex_match_counts(_docs_ds(sf_dir), REGEX_QUERIES)
 
+    def regex_counts_indexed(sf_dir):
+        return textstats.regex_match_counts_indexed(
+            _index_for(sf_dir), _docs_ds(sf_dir), REGEX_QUERIES
+        )
+
     def facet_lang(sf_dir):
         from distributed_text_search_ray.pipelines.boolquery import facet_counts
 
@@ -850,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": spell_suggest,
         "doc_keywords": doc_keywords,
         "regex_counts": regex_counts,
+        "regex_counts_indexed": regex_counts_indexed,
         "facet_lang": facet_lang,
         "sample_10pct": sample_10pct,
         "token_budget_mix": token_budget_mix,
@@ -1932,6 +1938,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "spell_suggest": suggest_sql,
         "doc_keywords": keywords_sql,
         "regex_counts": regex_sql,
+        "regex_counts_indexed": regex_sql,
         "facet_lang": facet_sql,
         "sample_10pct": sample_sql,
         "token_budget_mix": token_budget_sql,

@@ -1006,3 +1006,160 @@ def corpus_rollup(
             }
         )
     )
+
+
+def _required_regex_literal(pattern: str) -> str | None:
+    """Longest REQUIRED token-charset literal of a regex, or None.
+
+    Conservative single-pass scan of the pattern string (no regex-AST
+    dependency): a literal run is a maximal stretch of [a-z0-9_] characters
+    that (a) sits at top level (outside [...] classes and outside any
+    group, since groups can carry alternation/quantifiers), (b) is not
+    itself quantified — a trailing char followed by ? * + { drops that
+    char, and (c) appears in a pattern with NO top-level alternation.
+    Anything this scanner is unsure about returns None, which routes the
+    pattern to the exhaustive scan — soundness over coverage.
+    """
+    import re as _re
+
+    if "|" in pattern:
+        return None  # alternation anywhere -> any branch may skip the literal
+    best, cur = "", ""
+    depth = 0
+    in_class = False
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            best, cur = (cur, "") if len(cur) > len(best) else (best, "")
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            best, cur = (cur, "") if len(cur) > len(best) else (best, "")
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            best, cur = (cur, "") if len(cur) > len(best) else (best, "")
+            i += 1
+            continue
+        if ch == ")":
+            depth = max(0, depth - 1)
+            best, cur = (cur, "") if len(cur) > len(best) else (best, "")
+            i += 1
+            continue
+        if ch == "{":
+            # skip the {m,n} counter entirely — its digits are NOT literals
+            end = pattern.find("}", i)
+            if end < 0:
+                return None  # malformed; refuse rather than misparse
+            best, cur = (cur, "") if len(cur) > len(best) else (best, "")
+            i = end + 1
+            continue
+        if depth == 0 and _re.fullmatch(r"[a-z0-9_]", ch, flags=_re.IGNORECASE):
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if nxt and nxt in "?*+{":
+                # this char is optional/repeated; the run up to it is required
+                if len(cur) > len(best):
+                    best = cur
+                cur = ""
+                if nxt == "{":
+                    end = pattern.find("}", i + 1)
+                    if end < 0:
+                        return None
+                    i = end + 1
+                else:
+                    i += 2
+                continue
+            cur += ch
+        else:
+            if len(cur) > len(best):
+                best = cur
+            cur = ""
+            i += 1
+            continue
+        i += 1
+    if len(cur) > len(best):
+        best = cur
+    return best.lower() or None
+
+
+def regex_match_counts_indexed(
+    index_dir: str,
+    docs: ray.data.Dataset,
+    patterns: list[tuple[int, str]],
+) -> ray.data.Dataset:
+    """Index-assisted regex search (the trigram-index idea applied to the
+    token dictionary, cf. Google Code Search): result-identical to
+    ``regex_match_counts``, but patterns with a required literal verify
+    only CANDIDATE documents.
+
+    Plan per pattern: extract a required [a-z0-9_]+ literal; any raw-text
+    match must contain it, and the literal sits inside one maximal
+    token-char run, so lowercase(literal) is a SUBSTRING of some dictionary
+    term of every matching doc. Candidates = union of postings of the
+    dictionary terms containing the literal (one vectorized
+    ``match_substring`` over the dictionary per pattern). One broadcast
+    filter pass fetches candidate contents; the regex verifies only those.
+    Patterns with no safe literal fall back to the full scan — outputs are
+    identical either way (differential-tested).
+
+    At 10^12 docs the scan path touches every byte; the indexed path
+    touches |candidates| docs + the dictionary — the selectivity win for
+    every literal-bearing pattern.
+    """
+    from distributed_text_search_ray.pipelines.search import DictionaryExpander
+    from distributed_text_search_ray.stages.executor import IndexView
+
+    import pyarrow.compute as pc
+
+    indexed: list[tuple[int, str]] = []
+    fallback: list[tuple[int, str]] = []
+    literals: dict[int, str] = {}
+    for qid, pat in patterns:
+        lit = _required_regex_literal(pat)
+        if lit:
+            indexed.append((qid, pat))
+            literals[qid] = lit
+        else:
+            fallback.append((qid, pat))
+
+    outs = []
+    if indexed:
+        exp = DictionaryExpander(index_dir)
+        view = IndexView(index_dir)
+        cand_ids: set[int] = set()
+        for qid, _ in indexed:
+            mask = pc.match_substring(exp.terms, literals[qid])
+            idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            for i in idxs:
+                cand_ids.update(view.term_postings(exp.term_at(int(i)))[0].tolist())
+        if cand_ids:
+            id_set = pa.array(sorted(cand_ids), type=pa.int64())
+            cand_docs = docs.map_batches(
+                lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_set)),
+                batch_format="pyarrow",
+            )
+            outs.append(regex_match_counts(cand_docs, indexed))
+    if fallback:
+        outs.append(regex_match_counts(docs, fallback))
+    if not outs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_matches": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds

@@ -48,3 +48,15 @@ def corpus_docs(corpus_dir: str):
             doc_id = row["doc_id"] if "doc_id" in names else doc_fingerprint(row["repo"], row["path"])
             docs.append((doc_id, row["content"]))
     return docs
+
+
+@pytest.fixture(scope="session")
+def built_index_r3(code_corpus, tmp_path_factory):
+    """Session-scoped small index for round-3 index-assisted operators."""
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path_factory.mktemp("idx_r3") / "idx")
+    build_index(corpus_dir, index_dir, IndexConfig(num_partitions=4))
+    return corpus_dir, index_dir

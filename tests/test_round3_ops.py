@@ -317,3 +317,59 @@ def test_user_moving_avg_matches_duckdb():
         .fetchall()
     )
     assert got == want
+
+
+def test_required_regex_literal_soundness():
+    """Every literal the extractor claims REQUIRED must appear (lowercased)
+    in every match of the pattern — fuzz over random haystacks; and the
+    quantifier-digit trap must not leak ({2} is not a literal)."""
+    import random
+    import re
+    import string
+
+    from distributed_text_search_ray.pipelines.textstats import _required_regex_literal
+
+    assert _required_regex_literal("a{2}b") == "b"
+    assert _required_regex_literal("[0-9]{2}x") == "x"
+    assert _required_regex_literal("cust[a-z]*") == "cust"
+    assert _required_regex_literal("(?:spark|vector) ") is None
+    assert _required_regex_literal("[0-9]+") is None
+    assert _required_regex_literal("a{2") is None  # malformed -> refuse
+
+    pats = ["a{2}b", "x{2,3}yz", "cust[a-z]*", "foo?bar", "ab\\d+cd", "a[bc]d", "val_\\d+"]
+    rng = random.Random(0)
+    alphabet = string.ascii_lowercase + "0123456789_ {}"
+    for pat in pats:
+        lit = _required_regex_literal(pat)
+        assert lit is not None
+        rx = re.compile(pat)
+        for _ in range(1500):
+            s = "".join(rng.choices(alphabet, k=30))
+            for m in rx.finditer(s):
+                assert lit in m.group(0).lower()
+
+
+def test_regex_indexed_equals_scan(built_index_r3):
+    corpus_dir, index_dir = built_index_r3
+    from distributed_text_search_ray.pipelines.textstats import (
+        regex_match_counts,
+        regex_match_counts_indexed,
+    )
+    from distributed_text_search_ray.sources.corpus import read_corpus
+
+    pats = [
+        (0, "def [a-z_]+"),       # literal "def" -> indexed path
+        (1, "[0-9]+"),            # no literal -> scan fallback
+        (2, "token"),             # pure literal
+        (3, "zzz_none[0-9]?"),    # literal matching nothing
+    ]
+    docs = read_corpus(corpus_dir, columns=["doc_id", "content"])
+    a = sorted(
+        (r["query_id"], r["doc_id"], r["n_matches"])
+        for r in regex_match_counts(docs, pats).take_all()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], r["n_matches"])
+        for r in regex_match_counts_indexed(index_dir, docs, pats).take_all()
+    )
+    assert a == b and len(a) > 0
