@@ -1134,13 +1134,24 @@ def regex_match_counts_indexed(
     if indexed:
         exp = DictionaryExpander(index_dir)
         view = IndexView(index_dir)
+        n_corpus = view.N
         cand_ids: set[int] = set()
-        for qid, _ in indexed:
+        still_indexed: list[tuple[int, str]] = []
+        for qid, pat in indexed:
             mask = pc.match_substring(exp.terms, literals[qid])
             idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            # selectivity planning: sum(df) bounds the candidate count; a
+            # non-selective literal (stopword-ish) would pull an O(N) id set
+            # onto the driver AND verify ~everything — the scan is strictly
+            # better there, so route it back (the cost-based-planner move)
+            if idxs.size and float(exp.df[idxs].sum()) > 0.5 * n_corpus:
+                fallback.append((qid, pat))
+                continue
+            still_indexed.append((qid, pat))
             for i in idxs:
                 cand_ids.update(view.term_postings(exp.term_at(int(i)))[0].tolist())
-        if cand_ids:
+        indexed = still_indexed
+        if cand_ids and indexed:
             id_set = pa.array(sorted(cand_ids), type=pa.int64())
             cand_docs = docs.map_batches(
                 lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_set)),

@@ -373,3 +373,27 @@ def test_regex_indexed_equals_scan(built_index_r3):
         for r in regex_match_counts_indexed(index_dir, docs, pats).take_all()
     )
     assert a == b and len(a) > 0
+
+
+def test_regex_indexed_hot_literal_routes_to_scan(built_index_r3):
+    """A stopword-ish literal (df bound > half the corpus) must route to the
+    scan plan rather than pulling an O(N) candidate set — and still produce
+    scan-identical results."""
+    corpus_dir, index_dir = built_index_r3
+    from distributed_text_search_ray.pipelines.textstats import (
+        regex_match_counts,
+        regex_match_counts_indexed,
+    )
+    from distributed_text_search_ray.sources.corpus import read_corpus
+
+    pats = [(0, "def?")]  # literal "de": hot prefix present in ~all docs
+    docs = read_corpus(corpus_dir, columns=["doc_id", "content"])
+    a = sorted(
+        (r["query_id"], r["doc_id"], r["n_matches"])
+        for r in regex_match_counts(docs, pats).take_all()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], r["n_matches"])
+        for r in regex_match_counts_indexed(index_dir, docs, pats).take_all()
+    )
+    assert a == b and len(a) > 0
