@@ -397,3 +397,40 @@ def test_regex_indexed_hot_literal_routes_to_scan(built_index_r3):
         for r in regex_match_counts_indexed(index_dir, docs, pats).take_all()
     )
     assert a == b and len(a) > 0
+
+
+def test_required_regex_literal_soundness_hypothesis():
+    """Property: for ANY pattern built from a realistic grammar, if the
+    extractor claims a required literal, every match on any haystack
+    contains it (lowercased)."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    atom = st.one_of(
+        st.text(alphabet="abc01_", min_size=1, max_size=4),  # literal run
+        st.sampled_from(["[a-z]", "[0-9]", "\\d", "\\w", ".", "[bc]"]),
+    )
+    quant = st.sampled_from(["", "?", "*", "+", "{2}", "{1,3}"])
+    piece = st.tuples(atom, quant).map(lambda t: t[0] + t[1])
+    pattern = st.lists(piece, min_size=1, max_size=5).map("".join)
+    haystack = st.text(alphabet="abc01_ xy.", min_size=0, max_size=40)
+
+    from distributed_text_search_ray.pipelines.textstats import _required_regex_literal
+
+    @settings(max_examples=300, deadline=None)
+    @given(pattern, haystack)
+    def check(pat, s):
+        # quantifiers can attach to a multi-char literal's LAST char only —
+        # that is exactly what the extractor models; skip invalid patterns
+        try:
+            rx = re.compile(pat)
+        except re.error:
+            return
+        lit = _required_regex_literal(pat)
+        if lit is None:
+            return
+        for m in rx.finditer(s):
+            assert lit in m.group(0).lower(), (pat, lit, m.group(0))
+
+    check()
