@@ -1110,9 +1110,14 @@ def regex_match_counts_indexed(
     Patterns with no safe literal fall back to the full scan — outputs are
     identical either way (differential-tested).
 
-    At 10^12 docs the scan path touches every byte; the indexed path
-    touches |candidates| docs + the dictionary — the selectivity win for
-    every literal-bearing pattern.
+    What the index saves: the REGEX VERIFY runs on |candidates| docs
+    instead of every doc (the expensive per-byte work, and the whole cost
+    for heavy patterns). The candidate filter itself is still one
+    column-pruned streaming read — skipping the read too requires a
+    doc_id-partitioned corpus layout so the broadcast id set can prune
+    files/row-groups (the corpus sink's per-shard manifests provide the
+    hook). Measured at 1.15M docs: 1.7x end-to-end on a cheap pattern at
+    1.5% selectivity (verify-dominated patterns scale the win).
     """
     from distributed_text_search_ray.pipelines.search import DictionaryExpander
     from distributed_text_search_ray.stages.executor import IndexView
