@@ -697,6 +697,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def value_quantiles(sf_dir):
         return relational.events_value_quantiles(sf_dir)
 
+    def value_quantiles_by_type(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+        )
+        return relational.grouped_float_quantiles(ds, "event_type", "value")
+
     def corpus_rollup(sf_dir):
         import ray.data
 
@@ -807,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_moving_avg": user_moving_avg,
         "grouped_quantiles": grouped_quantiles,
         "value_quantiles": value_quantiles,
+        "value_quantiles_by_type": value_quantiles_by_type,
         "corpus_rollup": corpus_rollup,
         "events_window_1h": events_window_1h,
         "events_hopping": events_hopping,
@@ -1739,6 +1748,14 @@ SELECT lang, unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
 FROM qd
 """
 
+    value_quantiles_by_type_sql = """
+WITH qd AS (SELECT event_type, quantile_disc("value", [0.25, 0.5, 0.75, 0.95]) vals
+            FROM events GROUP BY 1)
+SELECT event_type, unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS q,
+       unnest(vals)::DOUBLE AS "value"
+FROM qd
+"""
+
     corpus_rollup_sql = f"""
 WITH {_TOK_CTE},
 agg AS (SELECT doc_id, count(*) n FROM tok GROUP BY 1),
@@ -1962,6 +1979,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "user_moving_avg": moving_avg_sql,
         "grouped_quantiles": grouped_quantiles_sql,
         "value_quantiles": value_quantiles_sql,
+        "value_quantiles_by_type": value_quantiles_by_type_sql,
         "corpus_rollup": corpus_rollup_sql,
         "events_window_1h": events,
         "events_hopping": hopping,

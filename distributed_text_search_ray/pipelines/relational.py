@@ -712,3 +712,136 @@ def user_value_moving_avg(sf_dir: str, window: int = 3) -> ray.data.Dataset:
         )
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def grouped_float_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    column: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    bins: int = 4096,
+    max_candidate_rows: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Per-group EXACT float quantiles — ``float_quantiles`` generalized to
+    a partition key, same 3 streaming passes:
+
+    1. per-group (min, max, count) via one grouped aggregate;
+    2. per-group fixed-bin histograms — each batch emits one bounded
+       partial row PER GROUP it sees, the driver sums (|groups| x bins);
+    3. one filter pass collects only rows in rank-holding buckets of their
+       own group.
+
+    Driver state O(|groups| x bins + candidates) — independent of row
+    count. Output: (group_col, q, value).
+    """
+    import math
+
+    from ray.data.aggregate import Count, Max, Min
+
+    stats_rows = (
+        ds.groupby(group_col)
+        .aggregate(Min(column), Max(column), Count())
+        .take_all()
+    )
+    gstats = {
+        r[group_col]: (r[f"min({column})"], r[f"max({column})"], r["count()"])
+        for r in stats_rows
+    }
+    if not gstats:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "q": pa.array([], type=pa.float64()),
+                    "value": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    groups = sorted(gstats)
+    gidx = {g: i for i, g in enumerate(groups)}
+    lo = np.array([gstats[g][0] for g in groups])
+    width = np.array([
+        (gstats[g][1] - gstats[g][0]) / bins if gstats[g][1] > gstats[g][0] else 1.0
+        for g in groups
+    ])
+
+    def bin_of(gvals: np.ndarray, v: np.ndarray) -> np.ndarray:
+        return np.minimum(((v - lo[gvals]) / width[gvals]).astype(np.int64), bins - 1)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        gs = batch.column(group_col).to_pylist()
+        gv = np.fromiter((gidx[g] for g in gs), dtype=np.int64, count=len(gs))
+        v = batch.column(column).to_numpy()
+        b = bin_of(gv, v)
+        out_g, out_h = [], []
+        for gi in np.unique(gv):
+            m = gv == gi
+            out_g.append(groups[gi])
+            out_h.append(np.bincount(b[m], minlength=bins).tolist())
+        return pa.table(
+            {
+                group_col: pa.array(out_g),
+                "h": pa.array(out_h, type=pa.list_(pa.int64())),
+            }
+        )
+
+    hists = {g: np.zeros(bins, dtype=np.int64) for g in groups}
+    for r in ds.map_batches(hist_partial, batch_format="pyarrow").take_all():
+        hists[r[group_col]] += np.asarray(r["h"], dtype=np.int64)
+    cums = {g: np.cumsum(hists[g]) for g in groups}
+
+    need: dict[str, set[int]] = {}
+    total_cand = 0
+    for g in groups:
+        n = gstats[g][2]
+        ranks = {min(max(1, math.ceil(q * n)), n) for q in qs}
+        bs = {int(np.searchsorted(cums[g], r, side="left")) for r in ranks}
+        need[g] = bs
+        total_cand += sum(int(hists[g][b]) for b in bs)
+    if total_cand > max_candidate_rows:
+        raise ValueError(
+            "degenerate value skew: candidate buckets exceed "
+            f"max_candidate_rows={max_candidate_rows}; raise bins or the cap"
+        )
+    need_keys = pa.array(
+        sorted(gidx[g] * bins + b for g in groups for b in need[g]), type=pa.int64()
+    )
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        gs = batch.column(group_col).to_pylist()
+        gv = np.fromiter((gidx[g] for g in gs), dtype=np.int64, count=len(gs))
+        v = batch.column(column).to_numpy()
+        key = gv * bins + bin_of(gv, v)
+        mask = pc.is_in(pa.array(key, type=pa.int64()), value_set=need_keys)
+        mk = mask.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: batch.column(group_col).filter(mask),
+                column: batch.column(column).filter(mask),
+                "bin": pa.array(key[mk] % bins, type=pa.int64()),
+            }
+        )
+
+    by_bin: dict[tuple[str, int], list[float]] = {}
+    for r in ds.map_batches(keep_candidates, batch_format="pyarrow").take_all():
+        by_bin.setdefault((r[group_col], int(r["bin"])), []).append(float(r[column]))
+    out_g, out_q, out_v = [], [], []
+    for g in groups:
+        n = gstats[g][2]
+        for q in qs:
+            r = min(max(1, math.ceil(q * n)), n)
+            b = int(np.searchsorted(cums[g], r, side="left"))
+            before = int(cums[g][b - 1]) if b else 0
+            vals = np.sort(np.asarray(by_bin[(g, b)]))
+            out_g.append(g)
+            out_q.append(float(q))
+            out_v.append(float(vals[r - before - 1]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out_g, type=pa.string()),
+                "q": pa.array(out_q, type=pa.float64()),
+                "value": pa.array(out_v, type=pa.float64()),
+            }
+        )
+    )

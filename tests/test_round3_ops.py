@@ -434,3 +434,26 @@ def test_required_regex_literal_soundness_hypothesis():
             assert lit in m.group(0).lower(), (pat, lit, m.group(0))
 
     check()
+
+
+def test_grouped_float_quantiles_match_duckdb():
+    from distributed_text_search_ray.pipelines.relational import grouped_float_quantiles
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    got = sorted(
+        (r["event_type"], r["q"], r["value"])
+        for r in grouped_float_quantiles(ds, "event_type", "value").take_all()
+    )
+    want = sorted(
+        tuple(w)
+        for w in _con("events")
+        .execute(
+            """
+        WITH qd AS (SELECT event_type, quantile_disc("value", [0.25,0.5,0.75,0.95]) vals
+                    FROM events GROUP BY 1)
+        SELECT event_type, unnest([0.25,0.5,0.75,0.95])::DOUBLE, unnest(vals)::DOUBLE FROM qd
+        """
+        )
+        .fetchall()
+    )
+    assert got == want
