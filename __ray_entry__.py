@@ -631,6 +631,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return textstats.top_docs_per_key(ds, key_column="lang", k=3)
 
+    def _ann_label_queries(sf_dir):
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "label", "embedding"],
+        )
+        ids = t.column("vec_id").to_numpy()
+        out = []
+        for qid in ANN_QUERY_IDS:
+            idx = int(np.flatnonzero(ids == qid)[0])
+            out.append(
+                (qid, t.column("label")[idx].as_py(), t.column("embedding")[idx].as_py())
+            )
+        return out
+
     def _ann_queries(sf_dir):
         t = pq.read_table(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -655,6 +669,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return ann.ann_brute_topk(ds, _ann_queries(sf_dir), k=ANN_TOPK)
+
+    def ann_hard_negatives(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return ann.ann_hard_negatives(ds, _ann_label_queries(sf_dir), k=ANN_TOPK)
 
     def ann_lsh(sf_dir):
         # probe_all: the exactness-forcing configuration (VERDICT r2 item 5)
@@ -806,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": embedding_dup_pairs,
         "embedding_deduped": embedding_deduped,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_hard_negatives": ann_hard_negatives,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
         "tpch_q1": tpch_q1,
@@ -1673,6 +1694,25 @@ SELECT lang, rank, doc_id, n AS n_tokens FROM r WHERE rank <= 3
         for qid, pat in REGEX_QUERIES
     )
 
+    hard_neg = f"""
+WITH q AS (
+  SELECT vec_id qid, label qlabel, CAST(embedding AS DOUBLE[]) qv FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+),
+sims AS (
+  SELECT q.qid query_vec_id, e.vec_id,
+         round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) cosine
+  FROM q, embeddings e WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+),
+ranked AS (
+  SELECT query_vec_id,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id) rank,
+         vec_id, cosine
+  FROM sims
+)
+SELECT query_vec_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_TOPK}
+"""
+
     ann = f"""
 WITH q AS (
   SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings
@@ -1966,6 +2006,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "simhash_fp": simhash_fp_sql,
         "simhash_near_dup": simhash_pairs_sql,
         "ann_cosine_topk": ann,
+        "ann_hard_negatives": hard_neg,
         # probe-all configurations are exact by construction, so the LSH and
         # IVF operators share the brute-force oracle (the way the three BM25
         # variants share one oracle); approximate configs are recall-tested

@@ -488,3 +488,74 @@ def kmeans_clusters(
         )
 
     return embeddings.map_batches(assign_batch, batch_format="pyarrow")
+
+
+class _HardNegativeScorer:
+    """Actor-pool stage: per query, cosine partial top-k over vectors whose
+    label DIFFERS from the query's — contrastive-training hard-negative
+    mining. Query matrix + labels broadcast once per actor."""
+
+    def __init__(self, queries, k: int, column: str):
+        # queries: [(vec_id, label, vector)]
+        self.qids = np.array([q[0] for q in queries], dtype=np.int64)
+        self.qlabels = [q[1] for q in queries]
+        Q = np.array([q[2] for q in queries], dtype=np.float64)
+        self.Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+        self.k = k
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _batch_matrix(batch, self.column)
+        ids = batch.column("vec_id").to_numpy()
+        labels = batch.column("label").to_pylist()
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        sims = Xn @ self.Qn.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            keep = np.fromiter(
+                (lb != self.qlabels[qi] for lb in labels), dtype=bool, count=len(labels)
+            )
+            idx = np.flatnonzero(keep)
+            if not idx.size:
+                continue
+            s = sims[idx, qi]
+            kk = min(self.k, idx.size)
+            if idx.size > kk:
+                cut = np.partition(s, len(s) - kk)[len(s) - kk]
+                part = np.flatnonzero(s >= cut - 1e-6)  # rounding-tie margin
+            else:
+                part = np.arange(idx.size)
+            out_q.extend([self.qids[qi]] * len(part))
+            out_v.extend(ids[idx[part]].tolist())
+            out_s.extend(s[part].tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def ann_hard_negatives(
+    embeddings: ray.data.Dataset,
+    queries: list[tuple[int, str, list[float]]],
+    k: int = 10,
+    column: str = "embedding",
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Exact hard-negative mining: for each (query_vec_id, label, vector),
+    the k most-cosine-similar vectors with a DIFFERENT label — the
+    contrastive-learning batch-construction primitive. Same broadcast-
+    queries / per-batch-matmul / partial-top-k / tiny-merge shape as
+    ``ann_brute_topk`` (exact; route billion-vector corpora through the
+    LSH/IVF candidate generators first, then this as the re-rank)."""
+    partials = embeddings.map_batches(
+        _HardNegativeScorer,
+        fn_constructor_kwargs={"queries": queries, "k": k, "column": column},
+        batch_format="pyarrow",
+        concurrency=resolve_concurrency(concurrency),
+    )
+    return partials.groupby("query_vec_id").map_groups(
+        _merge_topk_factory(k, exclude_self=True), batch_format="pyarrow"
+    )

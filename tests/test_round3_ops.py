@@ -457,3 +457,30 @@ def test_grouped_float_quantiles_match_duckdb():
         .fetchall()
     )
     assert got == want
+
+
+def test_ann_hard_negatives_excludes_same_label():
+    from distributed_text_search_ray.pipelines.ann import ann_hard_negatives
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_numpy()
+    labels = dict(zip(ids.tolist(), tbl.column("label").to_pylist()))
+    q = [(int(ids[0]), labels[int(ids[0])], tbl.column("embedding")[0].as_py())]
+    rows = ann_hard_negatives(emb, q, k=5).take_all()
+    assert len(rows) == 5
+    # no result shares the query's label, none is the query itself
+    for r in rows:
+        assert labels[r["vec_id"]] != q[0][1]
+        assert r["vec_id"] != q[0][0]
+    # numpy oracle: exact top-5 among different-label vectors
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    qv = np.array(q[0][2], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    sims = np.round(Xn @ qv, 6)
+    mask = np.array([labels[int(i)] != q[0][1] and int(i) != q[0][0] for i in ids])
+    order = np.lexsort((ids[mask], -sims[mask]))[:5]
+    want = [(int(ids[mask][i]), float(sims[mask][i])) for i in order]
+    got = [(r["vec_id"], r["cosine"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == want
