@@ -1,0 +1,57 @@
+"""CLI smoke tests: every subcommand drives the real pipelines end-to-end
+on the session corpus/index and prints the documented output shape."""
+
+import pytest
+
+from distributed_text_search_ray.cli import main
+
+
+@pytest.fixture(scope="module")
+def cli_env(built_index_r3):
+    corpus_dir, index_dir = built_index_r3
+    return corpus_dir, index_dir
+
+
+def _lines(capsys):
+    return [ln for ln in capsys.readouterr().out.strip().splitlines() if ln]
+
+
+def test_cli_search(cli_env, capsys):
+    _, index_dir = cli_env
+    assert main(["search", index_dir, "def tokenize", "--topk", "3"]) in (0, None)
+    lines = _lines(capsys)
+    assert lines and all(len(ln.split("\t")) == 4 for ln in lines)
+
+
+def test_cli_fuzzy(cli_env, capsys):
+    _, index_dir = cli_env
+    assert main(["fuzzy", index_dir, "tokenzie", "--k", "1"]) in (0, None)
+    lines = _lines(capsys)
+    assert len(lines) == 1 and len(lines[0].split("\t")) == 4
+
+
+def test_cli_apm_reference_output_shape(cli_env, capsys):
+    corpus_dir, _ = cli_env
+    assert main(["apm", corpus_dir, "1", "data", "qq"]) in (0, None)
+    lines = _lines(capsys)
+    # reference output: one count per pattern in argv order (src/apm1.c:294-299)
+    assert len(lines) == 2
+    assert lines[0].startswith("Number of matches for pattern <data>:")
+    assert lines[1].startswith("Number of matches for pattern <qq>:")
+
+
+def test_cli_prefix_stats_and_topk(cli_env, capsys):
+    _, index_dir = cli_env
+    assert main(["prefix", index_dir, "de", "zzzq"]) in (0, None)
+    lines = _lines(capsys)
+    assert len(lines) == 2
+    assert lines[1].split("\t")[1:] == ["0", "0", "0"]  # zzzq matches nothing
+    assert main(["prefix", index_dir, "de", "--topk", "2"]) in (0, None)
+    lines = _lines(capsys)
+    assert lines and all(len(ln.split("\t")) == 4 for ln in lines)
+
+
+def test_cli_bool(cli_env, capsys):
+    _, index_dir = cli_env
+    assert main(["bool", index_dir, "def AND NOT zzznever"]) in (0, None)
+    assert _lines(capsys)
