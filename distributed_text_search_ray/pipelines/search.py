@@ -453,7 +453,10 @@ def attach_snippets(
         for doc, text in zip(
             sub.column("doc_id").to_pylist(), sub.column("content").to_pylist()
         ):
-            low = text.lower()
+            # same simple-lowercase fixup as the analyzer (U+0130): Python's
+            # full mapping would lengthen the string and shift every offset
+            # after a dotted capital I relative to SQL lower()/strpos
+            low = text.translate({0x0130: "i"}).lower()
             for qid, rank in by_doc[doc]:
                 start = 0
                 for t in qterms[qid]:
