@@ -348,6 +348,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def prefix_stats(sf_dir):
         return search.prefix_term_search(_index_for(sf_dir), PREFIX_PATTERNS)
 
+    def bm25_topk_boolfiltered(sf_dir):
+        rows = search.search_topk_boolean_filtered(
+            _index_for(sf_dir), BM25_QUERIES, "customer AND NOT join",
+            topk=BM25_TOPK + 10,
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
     def synonym_topk(sf_dir):
         rows = search.search_topk_synonyms(
             _index_for(sf_dir), BM25_QUERIES, SYNONYMS, topk=BM25_TOPK + 10
@@ -850,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_term_stats": fuzzy_term_stats,
         "prefix_stats": prefix_stats,
         "prefix_topk": prefix_topk,
+        "bm25_topk_boolfiltered": bm25_topk_boolfiltered,
         "synonym_topk": synonym_topk,
         "fuzzy_topk": fuzzy_topk,
         "term_dictionary": term_dictionary,
@@ -1010,6 +1018,44 @@ SELECT p.query_id,
        coalesce(docs.nd, 0)::BIGINT AS n_docs,
        coalesce(agg.occ, 0)::BIGINT AS n_occurrences
 FROM pats p LEFT JOIN agg USING (query_id) LEFT JOIN docs USING (query_id)
+"""
+
+    boolfiltered_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+flt AS (
+  SELECT doc_id FROM documents WHERE
+    doc_id IN (SELECT doc_id FROM tok WHERE term = 'customer')
+    AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'join')
+),
+q(query_id, qtext) AS (VALUES {_values(BM25_QUERIES)}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)
+),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN flt ON flt.doc_id = tf.doc_id
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
 
     _syn_pairs = [(k, v) for k, vs in SYNONYMS.items() for v in vs]
@@ -1964,6 +2010,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "fuzzy_topk": fuzzy_topk_sql,
         "prefix_stats": prefix_stats_sql,
         "prefix_topk": prefix_topk_sql,
+        "bm25_topk_boolfiltered": boolfiltered_sql,
         "synonym_topk": synonym_topk_sql,
         "term_dictionary": term_dict,
         "token_counts": token_counts,

@@ -798,3 +798,56 @@ def search_topk_synonyms(
         batch_size=8,
         concurrency=resolve_concurrency(concurrency),
     )
+
+
+class BooleanFilteredQueryExecutor(QueryExecutor):
+    """Actor-pool stage: top-k BM25 restricted to docs matching a BOOLEAN
+    filter query — Lucene's filter-query semantics (the filter gates, the
+    ranked query scores; filter terms contribute nothing to the score).
+    The filter evaluates ONCE per actor in ``__init__`` (posting-list set
+    algebra, rarest-first) and becomes a ``_FilteredView`` allowed set, so
+    per-batch work is identical to attribute-filtered search."""
+
+    def __init__(self, index_dir: str, filter_query: str, topk: int = 10, mode: str = "maxscore"):
+        if mode == "wand":
+            raise ValueError("filtered search supports taat/maxscore modes")
+        super().__init__(index_dir, topk=topk, mode=mode)
+        from distributed_text_search_ray.pipelines.boolquery import (
+            _BooleanExecutor,
+            parse_boolean_query,
+        )
+
+        be = _BooleanExecutor.__new__(_BooleanExecutor)
+        be.view = self.view
+        be.tokenizer = self.tokenizer
+        groups = parse_boolean_query(filter_query)
+        acc = be._eval_conj(groups[0])
+        for g in groups[1:]:
+            acc = np.union1d(acc, be._eval_conj(g))
+        self._base_view = self.view
+        self.view = _FilteredView(self._base_view, np.sort(acc))
+
+
+def search_topk_boolean_filtered(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    filter_query: str,
+    topk: int = 10,
+    mode: str = "maxscore",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k BM25 over only the docs matching ``filter_query`` (AND/OR/
+    AND-NOT grammar). Scores equal the unfiltered scores of the same docs."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        BooleanFilteredQueryExecutor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "filter_query": filter_query,
+            "topk": topk,
+            "mode": mode,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )

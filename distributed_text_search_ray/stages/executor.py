@@ -250,7 +250,8 @@ class QueryExecutor:
         all_docs, all_contrib = [], []
         for term in terms:  # ascending order fixed by caller
             docs, tfs, dls, df = v.term_postings(term)
-            if df == 0:
+            if df == 0 or not len(docs):
+                # df is GLOBAL: a filtered view can return empty postings
                 continue
             w = bm25.idf(v.N, df)
             contrib = w * bm25.tf_part(tfs, dls, v.avgdl, cfg.bm25_k1, cfg.bm25_b)
@@ -335,7 +336,9 @@ class QueryExecutor:
         posts = []
         for term in terms:  # ascending order (determinism contract)
             docs, tfs, dls, df = v.term_postings(term)
-            if df == 0:
+            if df == 0 or not len(docs):
+                # df is GLOBAL: a filtered view can return empty postings
+                # for a term that exists corpus-wide
                 continue
             w = bm25.idf(v.N, df)
             contrib = w * bm25.tf_part(tfs, dls, v.avgdl, cfg.bm25_k1, cfg.bm25_b)

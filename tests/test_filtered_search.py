@@ -132,3 +132,43 @@ def test_sidecar_survives_resume(attr_index):
     )
     assert rep2.get("skipped")
     assert len(load_attribute_ids(idx, "lang", "py")) > 0
+
+
+def test_boolean_filtered_topk_matches_oracle(built_index_r3):
+    """Lucene-style filter query: BM25 ranking restricted to boolean-matching
+    docs; filter terms gate but do not score. Also a regression for the
+    empty-filtered-postings crash: the ranked query contains a term the
+    filter excludes ENTIRELY (global df > 0, filtered postings empty)."""
+    import numpy as np
+
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.oracle import bm25_scores, build_oracle_index, topk
+    from distributed_text_search_ray.pipelines.search import search_topk_boolean_filtered
+    from tests.conftest import corpus_docs
+
+    corpus_dir, index_dir = built_index_r3
+    docs = corpus_docs(corpus_dir)
+    filter_query = "def AND NOT import"
+    queries = [(0, "import data"), (1, "merge index"), (2, "zzz_nothing")]
+
+    from distributed_text_search_ray.config import IndexConfig
+
+    cfg = IndexConfig()
+    idx = build_oracle_index(docs, cfg.analyzer)
+    tk = Tokenizer(cfg.analyzer)
+    have_def = {d for d, _ in idx.postings.get("def", [])}
+    have_imp = {d for d, _ in idx.postings.get("import", [])}
+    allowed = have_def - have_imp
+    expected = []
+    for qid, qtext in queries:
+        scores = bm25_scores(idx, tk.tokens(qtext), cfg.bm25_k1, cfg.bm25_b)
+        scores = {d: s for d, s in scores.items() if d in allowed}
+        for rank, doc_id, s in topk(scores, 5):
+            expected.append((qid, rank, doc_id, s))
+
+    rows = search_topk_boolean_filtered(index_dir, queries, filter_query, topk=5).take_all()
+    got = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+    assert got == sorted(expected)
+    # query 0's "import" term is globally present but filter-excluded — the
+    # ranking must come from "data" alone, not crash
+    assert any(q == 0 for q, *_ in got)
