@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("queries", nargs="+")
     s.add_argument("--topk", type=int, default=10)
     s.add_argument("--wand", action="store_true")
+    s.add_argument(
+        "--filter",
+        default=None,
+        help="boolean filter query (AND/OR/AND NOT); gates docs, never scores",
+    )
 
     f = sub.add_parser("fuzzy")
     f.add_argument("index_dir")
@@ -117,14 +122,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(report, default=str))
     elif args.cmd == "search":
-        from distributed_text_search_ray.pipelines.search import search_topk
+        from distributed_text_search_ray.pipelines.search import (
+            search_topk,
+            search_topk_boolean_filtered,
+        )
 
-        rows = search_topk(
-            args.index_dir,
-            list(enumerate(args.queries)),
-            topk=args.topk,
-            mode="wand" if args.wand else "taat",
-        ).take_all()
+        if args.filter:
+            rows = search_topk_boolean_filtered(
+                args.index_dir,
+                list(enumerate(args.queries)),
+                args.filter,
+                topk=args.topk,
+            ).take_all()
+        else:
+            rows = search_topk(
+                args.index_dir,
+                list(enumerate(args.queries)),
+                topk=args.topk,
+                mode="wand" if args.wand else "taat",
+            ).take_all()
         for r in rows:
             print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
     elif args.cmd == "fuzzy":

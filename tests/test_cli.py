@@ -55,3 +55,11 @@ def test_cli_bool(cli_env, capsys):
     _, index_dir = cli_env
     assert main(["bool", index_dir, "def AND NOT zzznever"]) in (0, None)
     assert _lines(capsys)
+
+
+def test_cli_search_with_boolean_filter(cli_env, capsys):
+    _, index_dir = cli_env
+    assert main(["search", index_dir, "data index", "--topk", "3",
+                 "--filter", "def AND NOT zzznever"]) in (0, None)
+    lines = _lines(capsys)
+    assert lines and all(len(ln.split("\t")) == 4 for ln in lines)
