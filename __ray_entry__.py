@@ -373,6 +373,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def term_dictionary_stemmed(sf_dir):
+        from distributed_text_search_ray.config import AnalyzerConfig
+        from ray.data.aggregate import Sum
+
+        analyzer = AnalyzerConfig(stem="s")
+
+        def partial(batch: pa.Table) -> pa.Table:
+            from distributed_text_search_ray.functions.tokenize import tokenizer_for
+
+            tk = tokenizer_for(analyzer)
+            terms, dfs, cfs = [], [], []
+            agg = {}
+            for text in batch.column("content").to_pylist():
+                tf = tk.term_freqs(text)
+                for t, c in tf.items():
+                    d, cc = agg.get(t, (0, 0))
+                    agg[t] = (d + 1, cc + c)
+            for t, (d, c) in agg.items():
+                terms.append(t); dfs.append(d); cfs.append(c)
+            return pa.table(
+                {
+                    "term": pa.array(terms, type=pa.string()),
+                    "df_part": pa.array(dfs, type=pa.int64()),
+                    "cf_part": pa.array(cfs, type=pa.int64()),
+                }
+            )
+
+        return (
+            _docs_ds(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf"))
+        )
+
     def term_dictionary(sf_dir):
         import ray.data
 
@@ -861,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_topk": synonym_topk,
         "fuzzy_topk": fuzzy_topk,
         "term_dictionary": term_dictionary,
+        "term_dictionary_stemmed": term_dictionary_stemmed,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "langid": langid,
@@ -1179,6 +1214,26 @@ ranked AS (
   FROM sc
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+    # Harman S-stemmer, rule-for-rule identical to Tokenizer.s_stem
+    _STEM_CASE = (
+        # ordered AND exclusive like Tokenizer.s_stem: a protected ending
+        # (-eies/-aies/-aes/-ees/-oes/-us/-ss) stops processing entirely
+        "CASE WHEN t LIKE '%eies' OR t LIKE '%aies' THEN t "
+        "WHEN t LIKE '%ies' THEN substr(t, 1, len(t) - 3) || 'y' "
+        "WHEN t LIKE '%aes' OR t LIKE '%ees' OR t LIKE '%oes' THEN t "
+        "WHEN t LIKE '%es' THEN substr(t, 1, len(t) - 1) "
+        "WHEN t LIKE '%us' OR t LIKE '%ss' THEN t "
+        "WHEN t LIKE '%s' THEN substr(t, 1, len(t) - 1) ELSE t END"
+    )
+    term_dict_stemmed = f"""
+WITH stok AS (
+  SELECT doc_id, {_STEM_CASE} AS term
+  FROM documents, unnest({TOK_SQL.format(col="text")}) AS u(t)
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT df, count(*)::BIGINT cf
+FROM stok GROUP BY 1
 """
 
     term_dict = f"""
@@ -2013,6 +2068,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "bm25_topk_boolfiltered": boolfiltered_sql,
         "synonym_topk": synonym_topk_sql,
         "term_dictionary": term_dict,
+        "term_dictionary_stemmed": term_dict_stemmed,
         "token_counts": token_counts,
         "quality_scores": quality,
         "langid": langid,

@@ -26,6 +26,10 @@ class AnalyzerConfig:
 
     lowercase: bool = True
     token_pattern: str = "[a-z0-9_]+"
+    # "none" or "s": Harman's S-stemmer (-ies/-es/-s plural stripping) —
+    # chosen over heavier stemmers because its three rules are exactly
+    # expressible in SQL CASE/LIKE, keeping stemmed pipelines oracle-checkable
+    stem: str = "none"
 
     def fingerprint(self) -> str:
         return hashlib.sha256(

@@ -60,10 +60,29 @@ class Tokenizer:
     def _lower(self, text: str) -> str:
         return text.translate(_SIMPLE_LOWER_FIXUP).lower()
 
+    @staticmethod
+    def s_stem(w: str) -> str:
+        """Harman's S-stemmer — three ordered plural-stripping rules, exactly
+        replicable in SQL CASE/LIKE (the property that keeps stemmed
+        pipelines oracle-checkable)."""
+        # ordered AND exclusive: the first suffix class that matches decides
+        # (a protected ending like -oes stops processing, it does not fall
+        # through to the bare -s rule)
+        if w.endswith("ies"):
+            return w if w.endswith(("eies", "aies")) else w[:-3] + "y"
+        if w.endswith("es"):
+            return w if w.endswith(("aes", "ees", "oes")) else w[:-1]
+        if w.endswith("s"):
+            return w if w.endswith(("us", "ss")) else w[:-1]
+        return w
+
     def tokens(self, text: str) -> list[str]:
         if self.cfg.lowercase:
             text = self._lower(text)
-        return self._rx.findall(text)
+        toks = self._rx.findall(text)
+        if getattr(self.cfg, "stem", "none") == "s":
+            toks = [self.s_stem(t) for t in toks]
+        return toks
 
     def has_token(self, text: str) -> bool:
         """True iff ``tokens(text)`` would be non-empty — a first-match

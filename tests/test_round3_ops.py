@@ -484,3 +484,58 @@ def test_ann_hard_negatives_excludes_same_label():
     want = [(int(ids[mask][i]), float(sims[mask][i])) for i in order]
     got = [(r["vec_id"], r["cosine"]) for r in sorted(rows, key=lambda r: r["rank"])]
     assert got == want
+
+
+def test_s_stemmer_rules():
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+    st = Tokenizer.s_stem
+    assert st("queries") == "query"
+    assert st("churches") == "churche"  # S-stemmer is rule-based, not perfect
+    assert st("tables") == "table"
+    assert st("files") == "file"
+    assert st("class") == "class"      # -ss protected
+    assert st("corpus") == "corpus"    # -us protected
+    assert st("goes") == "goes"        # -oes protected
+    assert st("y") == "y"
+
+
+def test_stemmed_analyzer_end_to_end(tmp_path):
+    """An index built with the stem='s' analyzer conflates plural and
+    singular: searching 'query' finds docs containing only 'queries', and
+    the analyzer rides the manifest so the query side stems identically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.config import AnalyzerConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import search_topk
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * 3,
+                "path": ["a.py", "b.py", "c.py"],
+                "commit": ["c"] * 3,
+                "lang": ["py"] * 3,
+                "content": [
+                    "queries run against tables",
+                    "one query one table",
+                    "nothing relevant here",
+                ],
+            }
+        ),
+        str(corpus / "shard_00000.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(num_partitions=2, analyzer=AnalyzerConfig(stem="s"))
+    build_index(str(corpus), idx, cfg)
+    rows = search_topk(idx, [(0, "query"), (1, "tables")], topk=5).take_all()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # both plural and singular docs match either query form
+    assert len(by_q[0]) == 2 and by_q[0] == by_q[1]
