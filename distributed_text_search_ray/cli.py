@@ -88,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("out_dir")
     mg.add_argument("sources", nargs="+")
 
+    dl = sub.add_parser(
+        "delete", help="tombstone doc ids (no rebuild; stats stay build-time)"
+    )
+    dl.add_argument("index_dir")
+    dl.add_argument("doc_ids", nargs="+", type=int)
+
     ex = sub.add_parser(
         "extend",
         help="add new corpus shards to an existing index (delta build + "
@@ -209,6 +215,10 @@ def main(argv: list[str] | None = None) -> int:
 
         report = merge_indexes(args.sources, args.out_dir)
         print(json.dumps({k: report[k] for k in ("fingerprint", "N", "complete")}))
+    elif args.cmd == "delete":
+        from distributed_text_search_ray.pipelines.build import delete_docs
+
+        print(json.dumps(delete_docs(args.index_dir, args.doc_ids)))
     elif args.cmd == "extend":
         from distributed_text_search_ray.pipelines.merge import extend_index
 

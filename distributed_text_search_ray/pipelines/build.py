@@ -294,3 +294,29 @@ def build_index(
     os.replace(meta_path + ".tmp", meta_path)
     report.update(meta)
     return report
+
+
+def delete_docs(index_dir: str, doc_ids) -> dict:
+    """Mark documents deleted WITHOUT rebuilding (Lucene-style tombstones).
+
+    Appends to ``deleted.parquet`` atomically (temp file + rename); every
+    ``IndexView`` constructed afterwards excludes the ids from all posting
+    and position fetches across every query path (BM25/fuzzy/boolean/
+    phrase/facets). Corpus stats stay at build-time values until a rebuild
+    — the standard stale-stats contract. ``merge_indexes`` unions sources'
+    tombstones into the output, so deletions survive merges; a full
+    rebuild over the surviving corpus is the compaction path.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    path = os.path.join(index_dir, "deleted.parquet")
+    if os.path.exists(path):
+        old = pq.read_table(path, columns=["doc_id"]).column("doc_id").to_numpy()
+        ids = np.unique(np.concatenate([old, ids]))
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), tmp)
+    os.replace(tmp, path)
+    return {"n_deleted": int(len(ids)), "path": path}

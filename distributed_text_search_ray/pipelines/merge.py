@@ -301,6 +301,21 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
         "part_stats": part_stats,
         "complete": True,
     }
+    # deletions survive merges: union the sources' tombstone files (doc sets
+    # are disjoint, so a plain concat-unique is exact)
+    import numpy as np
+
+    tombs = [
+        pq.read_table(p, columns=["doc_id"]).column("doc_id").to_numpy()
+        for p in (os.path.join(s, "deleted.parquet") for s in sources)
+        if os.path.exists(p)
+    ]
+    if tombs:
+        ids = np.unique(np.concatenate(tombs))
+        dp = os.path.join(out_dir, "deleted.parquet")
+        pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), dp + ".tmp")
+        os.replace(dp + ".tmp", dp)
+        report["n_deleted"] = int(len(ids))
     with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
     os.replace(meta_path + ".tmp", meta_path)

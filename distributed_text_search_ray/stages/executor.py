@@ -83,6 +83,19 @@ class IndexView:
             )
             for t in self.hot_df
         }
+        # document-level tombstones (Lucene-style): deleted ids are excluded
+        # from every posting fetch; corpus stats (N, avgdl, df) stay at their
+        # build-time values until a rebuild/compaction — the standard
+        # stale-stats contract, recorded here so scores stay reproducible
+        dp = os.path.join(index_dir, "deleted.parquet")
+        if os.path.exists(dp):
+            import pyarrow.parquet as _pq
+
+            self.deleted = np.sort(
+                np.unique(_pq.read_table(dp, columns=["doc_id"]).column("doc_id").to_numpy())
+            )
+        else:
+            self.deleted = np.empty(0, dtype=np.int64)
         self._readers: OrderedDict[int, SegmentReader] = OrderedDict()
         self._max_cached = max_cached_parts
         # decoded-postings LRU (hot query terms recur): bounded by total
@@ -131,6 +144,12 @@ class IndexView:
             o = np.argsort(docs, kind="stable")
             docs, tfs, dls = docs[o], tfs[o], dls[o]
         df = self.hot_df.get(term, len(docs))
+        if len(self.deleted) and len(docs):
+            # df computed BEFORE the drop: build-time stats, Lucene contract
+            pos = np.searchsorted(self.deleted, docs)
+            pos_c = np.minimum(pos, len(self.deleted) - 1)
+            live = self.deleted[pos_c] != docs
+            docs, tfs, dls = docs[live], tfs[live], dls[live]
         out = (docs, tfs, dls, df)
         self._postings_cache[term] = out
         self._cached_postings += len(docs)
@@ -167,6 +186,14 @@ class IndexView:
             bounds = np.concatenate(([0], np.cumsum(tfs)))
             pos = np.concatenate([pos[bounds[i] : bounds[i + 1]] for i in order])
             docs, tfs = docs[order], tfs[order]
+        if len(self.deleted) and len(docs):
+            p = np.searchsorted(self.deleted, docs)
+            p_c = np.minimum(p, len(self.deleted) - 1)
+            live = self.deleted[p_c] != docs
+            if not live.all():
+                keep_pos = np.repeat(live, tfs)
+                pos = pos[keep_pos]
+                docs, tfs = docs[live], tfs[live]
         return docs, tfs, pos
 
     def term_df(self, term: str) -> int:

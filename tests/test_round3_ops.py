@@ -539,3 +539,80 @@ def test_stemmed_analyzer_end_to_end(tmp_path):
         by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
     # both plural and singular docs match either query form
     assert len(by_q[0]) == 2 and by_q[0] == by_q[1]
+
+
+def test_delete_docs_tombstones_all_query_paths(tmp_path, code_corpus):
+    """Lucene-style tombstones: after delete_docs, the deleted doc vanishes
+    from BM25, boolean, and fuzzy results without a rebuild; stats stay at
+    build-time values (scores of surviving docs unchanged)."""
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.boolquery import boolean_search
+    from distributed_text_search_ray.pipelines.build import build_index, delete_docs
+    from distributed_text_search_ray.pipelines.search import fuzzy_term_search, search_topk
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx_del")
+    build_index(corpus_dir, idx, IndexConfig(num_partitions=4))
+
+    before = search_topk(idx, [(0, "def tokenize")], topk=5).take_all()
+    assert before
+    victim = before[0]["doc_id"]
+    fz_before = fuzzy_term_search(idx, [(0, "def", 0)]).take_all()[0]
+
+    delete_docs(idx, [victim])
+
+    after = search_topk(idx, [(0, "def tokenize")], topk=5).take_all()
+    assert victim not in {r["doc_id"] for r in after}
+    # surviving docs keep their exact build-time scores (stale-stats contract)
+    before_scores = {r["doc_id"]: r["score"] for r in before}
+    for r in after:
+        if r["doc_id"] in before_scores:
+            assert r["score"] == before_scores[r["doc_id"]]
+    bool_after = boolean_search(idx, [(0, "def")]).take_all()
+    assert victim not in {r["doc_id"] for r in bool_after}
+    fz_after = fuzzy_term_search(idx, [(0, "def", 0)]).take_all()[0]
+    assert fz_after["n_docs"] == fz_before["n_docs"] - 1
+
+    # idempotent + cumulative
+    rep = delete_docs(idx, [victim])
+    assert rep["n_deleted"] == 1
+
+
+def test_merge_carries_tombstones(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index, delete_docs
+    from distributed_text_search_ray.pipelines.merge import merge_indexes
+    from distributed_text_search_ray.pipelines.search import search_topk
+
+    def corpus(d, texts, tag):
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": [tag] * len(texts),
+                    "path": [f"{i}.py" for i in range(len(texts))],
+                    "commit": ["c"] * len(texts),
+                    "lang": ["py"] * len(texts),
+                    "content": texts,
+                }
+            ),
+            str(d / "shard_00000.parquet"),
+        )
+        return str(d)
+
+    cfg = IndexConfig(num_partitions=2)
+    ca = corpus(tmp_path / "ca", ["alpha beta", "alpha gamma"], "a")
+    cb = corpus(tmp_path / "cb", ["alpha delta", "epsilon"], "b")
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index(ca, ia, cfg)
+    build_index(cb, ib, cfg)
+    hit = search_topk(ia, [(0, "beta")], topk=1).take_all()
+    delete_docs(ia, [hit[0]["doc_id"]])
+    out = str(tmp_path / "merged")
+    merge_indexes([ia, ib], out)
+    merged_hits = {r["doc_id"] for r in search_topk(out, [(0, "alpha")], topk=10).take_all()}
+    assert hit[0]["doc_id"] not in merged_hits
+    assert len(merged_hits) == 2  # the two surviving alpha docs
