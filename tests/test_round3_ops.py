@@ -616,3 +616,37 @@ def test_merge_carries_tombstones(tmp_path):
     merged_hits = {r["doc_id"] for r in search_topk(out, [(0, "alpha")], topk=10).take_all()}
     assert hit[0]["doc_id"] not in merged_hits
     assert len(merged_hits) == 2  # the two surviving alpha docs
+
+
+def test_delete_docs_positional_phrase_path(tmp_path):
+    """term_positions (the v4 positional stream) must honor tombstones too —
+    it filters postings AND their per-posting position groups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index, delete_docs
+    from distributed_text_search_ray.pipelines.phrase import phrase_search_positional
+
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * 3,
+                "path": ["a.py", "b.py", "c.py"],
+                "commit": ["c"] * 3,
+                "lang": ["py"] * 3,
+                "content": ["alpha beta gamma", "alpha beta delta", "beta alpha"],
+            }
+        ),
+        str(d / "shard_00000.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(str(d), idx, IndexConfig(num_partitions=2, store_positions=True))
+    before = phrase_search_positional(idx, [(0, "alpha beta")]).take_all()
+    assert len(before) == 2
+    victim = sorted(r["doc_id"] for r in before)[0]
+    delete_docs(idx, [victim])
+    after = phrase_search_positional(idx, [(0, "alpha beta")]).take_all()
+    assert {r["doc_id"] for r in after} == {r["doc_id"] for r in before} - {victim}
