@@ -1852,7 +1852,7 @@ FROM customer JOIN orders ON c_custkey = o_custkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01'
   AND l_shipdate > TIMESTAMP '1998-06-01'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey LIMIT 10
+ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 4) DESC, l_orderkey LIMIT 10
 """
 
     q6 = """

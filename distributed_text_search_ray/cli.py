@@ -133,6 +133,8 @@ def main(argv: list[str] | None = None) -> int:
             search_topk_boolean_filtered,
         )
 
+        if args.filter and args.wand:
+            p.error("--filter supports taat/maxscore only (not --wand)")
         if args.filter:
             rows = search_topk_boolean_filtered(
                 args.index_dir,

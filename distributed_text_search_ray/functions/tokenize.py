@@ -34,7 +34,9 @@ def tokenizer_for(cfg: "AnalyzerConfig | None" = None) -> "Tokenizer":
     one actor; at interactive scales the spawn cost dominated the stage).
     """
     cfg = cfg or AnalyzerConfig()
-    key = (cfg.lowercase, cfg.token_pattern)
+    # key on the full config fingerprint (NOT a hand-picked field tuple —
+    # that silently aliased stem='s' and default configs when stem landed)
+    key = cfg.fingerprint()
     tk = _PROCESS_CACHE.get(key)
     if tk is None:
         tk = _PROCESS_CACHE[key] = Tokenizer(cfg)

@@ -482,9 +482,12 @@ def tpch_q3(sf_dir: str, cutoff: str = "1998-06-01", segment: str = "BUILDING", 
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
-    top = joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
 
-    def finish(batch: pa.Table) -> pa.Table:
+    # round BEFORE ranking: distributed partial sums and the oracle's sum
+    # differ in the last ulp, so ranking raw floats would break LIMIT-boundary
+    # ties by fp noise instead of the l_orderkey tiebreak (the same contract
+    # every top-k scorer here uses via round-then-rank)
+    def round_rev(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "l_orderkey": batch.column("l_orderkey"),
@@ -494,7 +497,11 @@ def tpch_q3(sf_dir: str, cutoff: str = "1998-06-01", segment: str = "BUILDING", 
             }
         )
 
-    return top.map_batches(finish, batch_format="pyarrow")
+    return (
+        joined.map_batches(round_rev, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
 
 
 def tpch_q6(sf_dir: str, year: str = "1997") -> ray.data.Dataset:
@@ -607,10 +614,11 @@ def float_quantiles(
 
     Cost: 3 streaming passes, driver state O(bins + candidates). The
     candidate set is ~N/bins per quantile for non-degenerate
-    distributions; ``max_candidate_rows`` guards pathological skew (a
-    single repeated value can put N rows in one bucket — but then that
-    value IS the quantile, which the guard detects from the histogram
-    before collecting).
+    distributions. Pathological skew (one repeated value holding more than
+    ``max_candidate_rows`` rows in a rank bucket) triggers ONE extra
+    (min, max) refinement pass over the over-cap buckets: a single-valued
+    bucket IS the quantile and resolves without collecting anything; only
+    a bucket that is both over-cap AND multi-valued raises.
 
     Output: (q, value) — one row per requested quantile.
     """
@@ -640,11 +648,52 @@ def float_quantiles(
 
     ranks = sorted({min(max(1, math.ceil(q * n)), n) for q in qs})
     need_bins = sorted({int(np.searchsorted(cum, r, side="left")) for r in ranks})
+    resolved: dict[int, float] = {}
     if sum(int(hist[b]) for b in need_bins) > max_candidate_rows:
-        raise ValueError(
-            "degenerate value skew: candidate buckets exceed "
-            f"max_candidate_rows={max_candidate_rows}; raise bins or the cap"
-        )
+        # skew refinement: per over-cap bucket (min, max) in one pass; a
+        # single-valued bucket resolves directly (the common degenerate case:
+        # a default like 0.0 repeated for most of the column)
+        big = sorted(b for b in need_bins if int(hist[b]) > max_candidate_rows)
+        big_set = pa.array(big, type=pa.int64())
+
+        def minmax_partial(batch: pa.Table) -> pa.Table:
+            v = batch.column(column).to_numpy()
+            b = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
+            mask = pc.is_in(pa.array(b, type=pa.int64()), value_set=big_set).to_numpy(
+                zero_copy_only=False
+            )
+            vv, bb = v[mask], b[mask]
+            out_b, out_lo, out_hi = [], [], []
+            for ub in np.unique(bb):
+                m = bb == ub
+                out_b.append(int(ub))
+                out_lo.append(float(vv[m].min()))
+                out_hi.append(float(vv[m].max()))
+            return pa.table(
+                {
+                    "b": pa.array(out_b, type=pa.int64()),
+                    "vmin": pa.array(out_lo, type=pa.float64()),
+                    "vmax": pa.array(out_hi, type=pa.float64()),
+                }
+            )
+
+        mm: dict[int, tuple[float, float]] = {}
+        for r in ds.map_batches(minmax_partial, batch_format="pyarrow").take_all():
+            b = int(r["b"])
+            cur = mm.get(b)
+            mm[b] = (
+                min(r["vmin"], cur[0]) if cur else r["vmin"],
+                max(r["vmax"], cur[1]) if cur else r["vmax"],
+            )
+        for b, (vmin, vmax) in mm.items():
+            if vmin == vmax:
+                resolved[b] = vmin
+        need_bins = [b for b in need_bins if b not in resolved]
+        if sum(int(hist[b]) for b in need_bins) > max_candidate_rows:
+            raise ValueError(
+                "degenerate value skew: an over-cap rank bucket is "
+                "multi-valued; raise bins or max_candidate_rows"
+            )
     need_set = pa.array(need_bins, type=pa.int64())
 
     def keep_candidates(batch: pa.Table) -> pa.Table:
@@ -661,9 +710,12 @@ def float_quantiles(
     for q in qs:
         r = min(max(1, math.ceil(q * n)), n)
         b = int(np.searchsorted(cum, r, side="left"))
+        out_q.append(float(q))
+        if b in resolved:
+            out_v.append(resolved[b])
+            continue
         before = int(cum[b - 1]) if b else 0
         vals = np.sort(np.asarray(by_bin[b]))
-        out_q.append(float(q))
         out_v.append(float(vals[r - before - 1]))
     return ray.data.from_arrow(
         pa.table({"q": pa.array(out_q, type=pa.float64()), "value": pa.array(out_v, type=pa.float64())})
@@ -798,11 +850,61 @@ def grouped_float_quantiles(
         bs = {int(np.searchsorted(cums[g], r, side="left")) for r in ranks}
         need[g] = bs
         total_cand += sum(int(hists[g][b]) for b in bs)
+    resolved: dict[tuple[str, int], float] = {}
     if total_cand > max_candidate_rows:
-        raise ValueError(
-            "degenerate value skew: candidate buckets exceed "
-            f"max_candidate_rows={max_candidate_rows}; raise bins or the cap"
+        # same skew refinement as float_quantiles, keyed by (group, bucket):
+        # a single-valued over-cap bucket IS its ranks' answer
+        big = sorted(
+            gidx[g] * bins + b
+            for g in groups
+            for b in need[g]
+            if int(hists[g][b]) > max_candidate_rows
         )
+        big_set = pa.array(big, type=pa.int64())
+
+        def minmax_partial(batch: pa.Table) -> pa.Table:
+            gs = batch.column(group_col).to_pylist()
+            gv = np.fromiter((gidx[g] for g in gs), dtype=np.int64, count=len(gs))
+            v = batch.column(column).to_numpy()
+            key = gv * bins + bin_of(gv, v)
+            mask = pc.is_in(pa.array(key, type=pa.int64()), value_set=big_set).to_numpy(
+                zero_copy_only=False
+            )
+            vv, kk = v[mask], key[mask]
+            out_k, out_lo, out_hi = [], [], []
+            for uk in np.unique(kk):
+                m = kk == uk
+                out_k.append(int(uk))
+                out_lo.append(float(vv[m].min()))
+                out_hi.append(float(vv[m].max()))
+            return pa.table(
+                {
+                    "k": pa.array(out_k, type=pa.int64()),
+                    "vmin": pa.array(out_lo, type=pa.float64()),
+                    "vmax": pa.array(out_hi, type=pa.float64()),
+                }
+            )
+
+        mm: dict[int, tuple[float, float]] = {}
+        for r in ds.map_batches(minmax_partial, batch_format="pyarrow").take_all():
+            k = int(r["k"])
+            cur = mm.get(k)
+            mm[k] = (
+                min(r["vmin"], cur[0]) if cur else r["vmin"],
+                max(r["vmax"], cur[1]) if cur else r["vmax"],
+            )
+        for k, (vmin, vmax) in mm.items():
+            if vmin == vmax:
+                resolved[(groups[k // bins], k % bins)] = vmin
+        total_cand = 0
+        for g in groups:
+            need[g] = {b for b in need[g] if (g, b) not in resolved}
+            total_cand += sum(int(hists[g][b]) for b in need[g])
+        if total_cand > max_candidate_rows:
+            raise ValueError(
+                "degenerate value skew: an over-cap rank bucket is "
+                "multi-valued; raise bins or max_candidate_rows"
+            )
     need_keys = pa.array(
         sorted(gidx[g] * bins + b for g in groups for b in need[g]), type=pa.int64()
     )
@@ -831,10 +933,13 @@ def grouped_float_quantiles(
         for q in qs:
             r = min(max(1, math.ceil(q * n)), n)
             b = int(np.searchsorted(cums[g], r, side="left"))
-            before = int(cums[g][b - 1]) if b else 0
-            vals = np.sort(np.asarray(by_bin[(g, b)]))
             out_g.append(g)
             out_q.append(float(q))
+            if (g, b) in resolved:
+                out_v.append(resolved[(g, b)])
+                continue
+            before = int(cums[g][b - 1]) if b else 0
+            vals = np.sort(np.asarray(by_bin[(g, b)]))
             out_v.append(float(vals[r - before - 1]))
     return ray.data.from_arrow(
         pa.table(

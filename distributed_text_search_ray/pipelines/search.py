@@ -121,13 +121,14 @@ class FuzzyCountExecutor:
             toks = self.tokenizer.tokens(row["pattern"])
             p = toks[0] if toks else ""
             idxs = self.expander.expand(p, int(row["k"]))
-            occ = int(self.expander.cf[idxs].sum()) if idxs.size else 0
+            # occurrences from LIVE postings (tf sums), not dictionary cf:
+            # cf is a build-time stat that would still count tombstoned docs.
             # distinct-doc count stays in numpy (concatenate + unique): a
             # pattern matching a Zipf-head term would make a Python set of
             # ~N ints (hundreds of bytes per int) the actor's peak memory
-            chunks = [
-                self.view.term_postings(self.expander.term_at(i))[0] for i in idxs
-            ]
+            posts = [self.view.term_postings(self.expander.term_at(i)) for i in idxs]
+            occ = int(sum(int(pl[1].sum()) for pl in posts))
+            chunks = [pl[0] for pl in posts]
             n_docs = int(np.unique(np.concatenate(chunks)).size) if chunks else 0
             out["query_id"].append(int(row["query_id"]))
             out["n_matching_terms"].append(int(idxs.size))
@@ -653,10 +654,11 @@ class PrefixCountExecutor:
             toks = self.tokenizer.tokens(row["prefix"])
             p = toks[0] if toks else ""
             idxs = self._expand(p)
-            occ = int(self.expander.cf[idxs].sum()) if idxs.size else 0
-            chunks = [
-                self.view.term_postings(self.expander.term_at(i))[0] for i in idxs
-            ]
+            # occurrences from LIVE postings (tf sums), not dictionary cf:
+            # cf is a build-time stat that would still count tombstoned docs
+            posts = [self.view.term_postings(self.expander.term_at(i)) for i in idxs]
+            occ = int(sum(int(pl[1].sum()) for pl in posts))
+            chunks = [pl[0] for pl in posts]
             n_docs = int(np.unique(np.concatenate(chunks)).size) if chunks else 0
             out["query_id"].append(int(row["query_id"]))
             out["n_matching_terms"].append(int(idxs.size))

@@ -1031,6 +1031,12 @@ def _required_regex_literal(pattern: str) -> str | None:
     while i < n:
         ch = pattern[i]
         if ch == "\\":
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if nxt in "xuUN01234567":
+                # multi-char escape (\\xHH, \\uXXXX, octal, \\N{...}): its
+                # tail would otherwise be mis-collected as a literal —
+                # refuse the whole pattern (scan fallback) rather than parse
+                return None
             best, cur = (cur, "") if len(cur) > len(best) else (best, "")
             i += 2
             continue
@@ -1137,8 +1143,21 @@ def regex_match_counts_indexed(
 
     outs = []
     if indexed:
-        exp = DictionaryExpander(index_dir)
         view = IndexView(index_dir)
+        az = view.cfg.analyzer
+        if (
+            getattr(az, "stem", "none") != "none"
+            or not az.lowercase
+            or az.token_pattern != "[a-z0-9_]+"
+        ):
+            # the literal-in-some-term argument assumes dictionary terms are
+            # verbatim lowercased text runs; a stemming / case-preserving /
+            # custom-pattern analyzer breaks that, so route everything to
+            # the scan (still result-identical, just not pruned)
+            fallback.extend(indexed)
+            indexed = []
+    if indexed:
+        exp = DictionaryExpander(index_dir)
         n_corpus = view.N
         cand_ids: set[int] = set()
         still_indexed: list[tuple[int, str]] = []
@@ -1156,6 +1175,12 @@ def regex_match_counts_indexed(
             for i in idxs:
                 cand_ids.update(view.term_postings(exp.term_at(int(i)))[0].tolist())
         indexed = still_indexed
+        if indexed and len(view.deleted):
+            # regex ops are CORPUS-level: tombstoned docs still exist in the
+            # docs dataset and the scan fallback would report them, but their
+            # postings are tombstone-filtered — add them back as candidates
+            # so both plans answer over the same doc universe
+            cand_ids.update(view.deleted.tolist())
         if cand_ids and indexed:
             id_set = pa.array(sorted(cand_ids), type=pa.int64())
             cand_docs = docs.map_batches(

@@ -35,7 +35,7 @@ def test_tpch_q3_matches_duckdb():
         WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01'
           AND l_shipdate > TIMESTAMP '1998-06-01'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        ORDER BY sum(l_extendedprice*(1-l_discount)) DESC, l_orderkey LIMIT 10
+        ORDER BY round(sum(l_extendedprice*(1-l_discount)), 4) DESC, l_orderkey LIMIT 10
         """
     ).fetchall()
     got_rows = sorted(
@@ -335,6 +335,11 @@ def test_required_regex_literal_soundness():
     assert _required_regex_literal("(?:spark|vector) ") is None
     assert _required_regex_literal("[0-9]+") is None
     assert _required_regex_literal("a{2") is None  # malformed -> refuse
+    # multi-char escapes: their tails are NOT literals (\x61bc matches 'abc')
+    assert _required_regex_literal(r"\x61bc") is None
+    assert _required_regex_literal(r"\101bc") is None
+    assert _required_regex_literal(r"\N{LATIN SMALL LETTER A}x") is None
+    assert _required_regex_literal(r"\d+abc") == "abc"
 
     pats = ["a{2}b", "x{2,3}yz", "cust[a-z]*", "foo?bar", "ab\\d+cd", "a[bc]d", "val_\\d+"]
     rng = random.Random(0)
@@ -650,3 +655,33 @@ def test_delete_docs_positional_phrase_path(tmp_path):
     delete_docs(idx, [victim])
     after = phrase_search_positional(idx, [(0, "alpha beta")]).take_all()
     assert {r["doc_id"] for r in after} == {r["doc_id"] for r in before} - {victim}
+
+
+def test_float_quantiles_skew_refinement_resolves_repeated_value():
+    """An over-cap bucket made of ONE repeated value resolves via the
+    (min,max) refinement pass instead of raising (and without collecting
+    the bucket)."""
+    from distributed_text_search_ray.pipelines.relational import (
+        float_quantiles,
+        grouped_float_quantiles,
+    )
+
+    vals = [0.0] * 500 + [float(i) for i in range(1, 101)]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, type=pa.float64())}))
+    got = {r["q"]: r["value"] for r in
+           float_quantiles(ds, "v", qs=(0.5, 0.99), max_candidate_rows=50).take_all()}
+    import math
+
+    s = sorted(vals)
+    assert got == {q: s[math.ceil(q * len(vals)) - 1] for q in (0.5, 0.99)}
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 600 + ["b"] * 10, type=pa.string()),
+            "v": pa.array(vals + [float(i) for i in range(10)], type=pa.float64()),
+        }
+    )
+    gds = ray.data.from_arrow(tbl)
+    rows = grouped_float_quantiles(gds, "g", "v", qs=(0.5,), max_candidate_rows=50).take_all()
+    by_g = {r["g"]: r["value"] for r in rows}
+    assert by_g["a"] == 0.0 and by_g["b"] == sorted(range(10))[math.ceil(0.5 * 10) - 1]
