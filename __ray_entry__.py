@@ -373,6 +373,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def top_terms_nostop(sf_dir):
+        from ray.data.aggregate import Sum
+
+        from distributed_text_search_ray.config import AnalyzerConfig
+        from distributed_text_search_ray.pipelines.textstats import STOPWORDS
+
+        analyzer = AnalyzerConfig(stopwords=tuple(STOPWORDS))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            from distributed_text_search_ray.functions.tokenize import tokenizer_for
+
+            tk = tokenizer_for(analyzer)
+            agg = {}
+            for text in batch.column("content").to_pylist():
+                for t, c in tk.term_freqs(text).items():
+                    d, cc = agg.get(t, (0, 0))
+                    agg[t] = (d + 1, cc + c)
+            return pa.table(
+                {
+                    "term": pa.array(list(agg), type=pa.string()),
+                    "df_part": pa.array([v[0] for v in agg.values()], type=pa.int64()),
+                    "cf_part": pa.array([v[1] for v in agg.values()], type=pa.int64()),
+                }
+            )
+
+        return (
+            _docs_ds(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf"))
+            .sort(["df", "term"], descending=[True, False])
+            .limit(20)
+        )
+
     def term_dictionary_stemmed(sf_dir):
         from distributed_text_search_ray.config import AnalyzerConfig
         from ray.data.aggregate import Sum
@@ -896,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": fuzzy_topk,
         "term_dictionary": term_dictionary,
         "term_dictionary_stemmed": term_dictionary_stemmed,
+        "top_terms_nostop": top_terms_nostop,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "langid": langid,
@@ -1234,6 +1269,14 @@ WITH stok AS (
 )
 SELECT term, count(DISTINCT doc_id)::BIGINT df, count(*)::BIGINT cf
 FROM stok GROUP BY 1
+"""
+
+    top_terms_nostop_sql = f"""
+WITH {_TOK_CTE},
+flt AS (SELECT doc_id, term FROM tok WHERE term NOT IN ('a', 'and', 'in', 'is', 'it', 'of', 'the', 'to'))
+SELECT term, count(DISTINCT doc_id)::BIGINT df, count(*)::BIGINT cf
+FROM flt GROUP BY 1
+ORDER BY df DESC, term LIMIT 20
 """
 
     term_dict = f"""
@@ -2069,6 +2112,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "synonym_topk": synonym_topk_sql,
         "term_dictionary": term_dict,
         "term_dictionary_stemmed": term_dict_stemmed,
+        "top_terms_nostop": top_terms_nostop_sql,
         "token_counts": token_counts,
         "quality_scores": quality,
         "langid": langid,

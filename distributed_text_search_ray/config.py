@@ -30,6 +30,9 @@ class AnalyzerConfig:
     # chosen over heavier stemmers because its three rules are exactly
     # expressible in SQL CASE/LIKE, keeping stemmed pipelines oracle-checkable
     stem: str = "none"
+    # dropped AFTER stemming; () disables. SQL twin: list_filter(.., t -> t
+    # NOT IN (...)). Tuple (not list) so the config stays hashable/frozen
+    stopwords: tuple = ()
 
     def fingerprint(self) -> str:
         return hashlib.sha256(

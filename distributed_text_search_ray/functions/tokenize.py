@@ -58,6 +58,7 @@ class Tokenizer:
     def __init__(self, cfg: AnalyzerConfig | None = None):
         self.cfg = cfg or AnalyzerConfig()
         self._rx = re.compile(self.cfg.token_pattern)
+        self._stop = frozenset(getattr(self.cfg, "stopwords", ()) or ())
 
     def _lower(self, text: str) -> str:
         return text.translate(_SIMPLE_LOWER_FIXUP).lower()
@@ -84,6 +85,8 @@ class Tokenizer:
         toks = self._rx.findall(text)
         if getattr(self.cfg, "stem", "none") == "s":
             toks = [self.s_stem(t) for t in toks]
+        if self._stop:
+            toks = [t for t in toks if t not in self._stop]
         return toks
 
     def has_token(self, text: str) -> bool:

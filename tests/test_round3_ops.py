@@ -685,3 +685,38 @@ def test_float_quantiles_skew_refinement_resolves_repeated_value():
     rows = grouped_float_quantiles(gds, "g", "v", qs=(0.5,), max_candidate_rows=50).take_all()
     by_g = {r["g"]: r["value"] for r in rows}
     assert by_g["a"] == 0.0 and by_g["b"] == sorted(range(10))[math.ceil(0.5 * 10) - 1]
+
+
+def test_stopword_analyzer_end_to_end(tmp_path):
+    """An index built with stopwords drops them from postings, doc lengths,
+    and queries alike (a pure-stopword query matches nothing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.config import AnalyzerConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import search_topk
+
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * 2,
+                "path": ["a.py", "b.py"],
+                "commit": ["c"] * 2,
+                "lang": ["py"] * 2,
+                "content": ["the quick value of the table", "the the the other"],
+            }
+        ),
+        str(d / "shard_00000.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(num_partitions=2, analyzer=AnalyzerConfig(stopwords=("the", "of")))
+    rep = build_index(str(d), idx, cfg)
+    # doc lengths exclude stopwords: (quick value table) + (other) = 3 + 1
+    assert rep["total_tokens"] == 4
+    assert search_topk(idx, [(0, "the of")], topk=5).take_all() == []
+    hits = search_topk(idx, [(0, "the value")], topk=5).take_all()
+    assert len(hits) == 1  # only the doc with 'value'; 'the' contributes nothing
