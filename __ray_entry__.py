@@ -355,6 +355,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def hybrid_topk(sf_dir):
+        return search.hybrid_search_topk(
+            _index_for(sf_dir), _docs_ds(sf_dir), BM25_QUERIES, k=BM25_TOPK
+        )
+
     def synonym_topk(sf_dir):
         rows = search.search_topk_synonyms(
             _index_for(sf_dir), BM25_QUERIES, SYNONYMS, topk=BM25_TOPK + 10
@@ -976,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "pack_sequences": pack_sequences,
         "kmeans_clusters": kmeans_clusters,
+        "hybrid_topk": hybrid_topk,
         "doc_clusters": doc_clusters,
     }
 
@@ -2172,7 +2178,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "events_window_1h": events,
         "events_hopping": hopping,
         # media_features, near_dedup, pack_sequences, kmeans_clusters,
-        # doc_clusters: not
+        # doc_clusters, hybrid_topk: not
         # SQL-expressible (media codec stubs, LSH banding, stateful packing,
         # iterative Lloyd refinement) -> rows-only
     }

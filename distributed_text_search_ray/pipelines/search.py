@@ -853,3 +853,84 @@ def search_topk_boolean_filtered(
         batch_size=8,
         concurrency=resolve_concurrency(concurrency),
     )
+
+
+def hybrid_search_topk(
+    index_dir: str,
+    docs: ray.data.Dataset,
+    queries: Iterable[tuple[int, str]],
+    k: int = 10,
+    fetch_k: int | None = None,
+    dim: int = 16,
+    rrf_k: int = 60,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Hybrid sparse+dense retrieval with Reciprocal Rank Fusion:
+    ``rrf(d) = 1/(rrf_k + rank_bm25(d)) + 1/(rrf_k + rank_cosine(d))``
+    over each side's top ``fetch_k`` (default 4k) candidates, missing side
+    contributing nothing — the standard RRF formulation (Cormack et al.).
+
+    The dense side needs no model: documents AND queries embed through the
+    deterministic feature-hashing vectorizer
+    (``textstats.hashed_doc_vectors``), so the operator is self-contained
+    and reproducible. Both sides are the engine's existing distributed
+    primitives (BM25 executor pool; broadcast-query cosine top-k); only the
+    q x fetch_k fused candidate lists reach the driver.
+
+    Output: (query_id, rank, doc_id, rrf) with rrf rounded to 6 dp,
+    ties by doc_id ascending.
+    """
+    from distributed_text_search_ray.functions.hashing import md5_u64
+    from distributed_text_search_ray.functions.tokenize import tokenizer_for
+    from distributed_text_search_ray.pipelines.ann import ann_brute_topk
+    from distributed_text_search_ray.pipelines.textstats import hashed_doc_vectors
+
+    qlist = [(int(q), str(t)) for q, t in queries]
+    m = fetch_k or 4 * k
+
+    sparse = search_topk(index_dir, qlist, topk=m, concurrency=concurrency).take_all()
+
+    tk = tokenizer_for(None)
+    qvecs = []
+    for qid, text in qlist:
+        v = np.zeros(dim, dtype=np.float64)
+        for t in tk.tokens(text):
+            h = md5_u64(t)
+            v[h % dim] += 1.0 if (h >> 63) & 1 else -1.0
+        nrm = np.linalg.norm(v)
+        if nrm > 0:
+            qvecs.append((qid, (v / nrm).tolist()))
+    vecs = hashed_doc_vectors(docs, dim=dim)
+    dense = (
+        ann_brute_topk(vecs, qvecs, k=m, exclude_self=False).take_all() if qvecs else []
+    )
+
+    scores: dict[tuple[int, int], float] = {}
+    for r in sparse:
+        key = (int(r["query_id"]), int(r["doc_id"]))
+        scores[key] = scores.get(key, 0.0) + 1.0 / (rrf_k + int(r["rank"]))
+    for r in dense:
+        key = (int(r["query_vec_id"]), int(r["vec_id"]))
+        scores[key] = scores.get(key, 0.0) + 1.0 / (rrf_k + int(r["rank"]))
+
+    out_q, out_r, out_d, out_s = [], [], [], []
+    by_q: dict[int, list[tuple[int, float]]] = {}
+    for (qid, doc), s in scores.items():
+        by_q.setdefault(qid, []).append((doc, round_half_away(np.float64(s), 6)))
+    for qid in sorted(by_q):
+        ranked = sorted(by_q[qid], key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (doc, s) in enumerate(ranked, start=1):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_d.append(doc)
+            out_s.append(float(s))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "rrf": pa.array(out_s, type=pa.float64()),
+            }
+        )
+    )

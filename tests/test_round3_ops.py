@@ -720,3 +720,65 @@ def test_stopword_analyzer_end_to_end(tmp_path):
     assert search_topk(idx, [(0, "the of")], topk=5).take_all() == []
     hits = search_topk(idx, [(0, "the value")], topk=5).take_all()
     assert len(hits) == 1  # only the doc with 'value'; 'the' contributes nothing
+
+
+def test_hybrid_search_matches_composed_oracle(built_index_r3):
+    """RRF fusion == pure-Python composition of the oracle BM25 ranking and
+    a numpy cosine ranking over the same hashed vectors."""
+    import math
+
+    from distributed_text_search_ray.functions.hashing import md5_u64
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.oracle import bm25_scores, build_oracle_index, topk
+    from distributed_text_search_ray.pipelines.search import hybrid_search_topk
+    from distributed_text_search_ray.sources.corpus import read_corpus
+    from distributed_text_search_ray.util import round_half_away
+    from tests.conftest import corpus_docs
+
+    corpus_dir, index_dir = built_index_r3
+    docs = corpus_docs(corpus_dir)
+    queries = [(0, "def tokenize"), (1, "merge import data")]
+    K, M, DIM, RRF = 5, 20, 16, 60
+
+    got = hybrid_search_topk(
+        index_dir,
+        read_corpus(corpus_dir, columns=["doc_id", "content"]),
+        queries,
+        k=K,
+        fetch_k=M,
+        dim=DIM,
+        rrf_k=RRF,
+    ).take_all()
+
+    idx = build_oracle_index(docs)
+    tk = Tokenizer(None)
+
+    def hvec(text):
+        v = np.zeros(DIM)
+        for t in tk.tokens(text):
+            h = md5_u64(t)
+            v[h % DIM] += 1.0 if (h >> 63) & 1 else -1.0
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    dvecs = {d: hvec(t) for d, t in docs}
+    expected = []
+    for qid, qtext in queries:
+        rrf: dict[int, float] = {}
+        for rank, doc, _s in topk(bm25_scores(idx, tk.tokens(qtext)), M):
+            rrf[doc] = rrf.get(doc, 0.0) + 1.0 / (RRF + rank)
+        qv = hvec(qtext)
+        # mirror ann_brute_topk exactly: round_half_away(raw cosine, 6)
+        sims = {d: float(round_half_away(np.float64(v @ qv), 6)) for d, v in dvecs.items()}
+        ranked = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:M]
+        for rank, (doc, _c) in enumerate(ranked, start=1):
+            rrf[doc] = rrf.get(doc, 0.0) + 1.0 / (RRF + rank)
+        fused = sorted(
+            ((d, float(round_half_away(np.float64(s), 6))) for d, s in rrf.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:K]
+        for rank, (doc, s) in enumerate(fused, start=1):
+            expected.append((qid, rank, doc, s))
+
+    got_rows = sorted((r["query_id"], r["rank"], r["doc_id"], r["rrf"]) for r in got)
+    assert got_rows == sorted(expected)
