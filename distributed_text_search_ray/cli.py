@@ -79,6 +79,17 @@ def main(argv: list[str] | None = None) -> int:
     bq.add_argument("index_dir")
     bq.add_argument("queries", nargs="+")
 
+    hy = sub.add_parser("hybrid", help="RRF sparse+dense retrieval (BM25 + hashed-vector cosine)")
+    hy.add_argument("index_dir")
+    hy.add_argument("corpus_dir")
+    hy.add_argument("queries", nargs="+")
+    hy.add_argument("--topk", type=int, default=10)
+
+    ex2 = sub.add_parser("explain", help="per-term BM25 score breakdown for one (query, doc)")
+    ex2.add_argument("index_dir")
+    ex2.add_argument("query")
+    ex2.add_argument("doc_id", type=int)
+
     pr = sub.add_parser("prefix", help="wildcard prefix* term stats or ranked retrieval")
     pr.add_argument("index_dir")
     pr.add_argument("prefixes", nargs="+")
@@ -161,6 +172,20 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"{r['query_id']}\t{r['n_matching_terms']}\t{r['n_docs']}\t{r['n_occurrences']}"
             )
+    elif args.cmd == "hybrid":
+        from distributed_text_search_ray.pipelines.search import hybrid_search_topk
+        from distributed_text_search_ray.sources.corpus import read_corpus
+
+        docs = read_corpus(args.corpus_dir, columns=["doc_id", "content"])
+        rows = hybrid_search_topk(
+            args.index_dir, docs, list(enumerate(args.queries)), k=args.topk
+        ).take_all()
+        for r in rows:
+            print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['rrf']:.6f}")
+    elif args.cmd == "explain":
+        from distributed_text_search_ray.pipelines.search import explain_score
+
+        print(json.dumps(explain_score(args.index_dir, args.query, args.doc_id)))
     elif args.cmd == "prefix":
         from distributed_text_search_ray.pipelines.search import (
             prefix_search_topk,

@@ -934,3 +934,71 @@ def hybrid_search_topk(
             }
         )
     )
+
+
+def explain_score(
+    index_dir: str, query: str, doc_id: int
+) -> dict:
+    """Per-term BM25 score breakdown for one (query, doc) — the engine's
+    ``explain`` API: for each analyzed query term, (tf, df, idf, tf_part,
+    contribution), plus the total and the doc stats used. Answered from
+    the index alone (no content read); terms absent from the doc list a
+    zero contribution so the decomposition always sums to the score.
+    Tombstoned docs explain as score 0 with ``deleted: True``.
+    """
+    from distributed_text_search_ray.functions import bm25
+
+    view = IndexView(index_dir)
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+    tk = Tokenizer(view.cfg.analyzer)
+    terms = sorted(set(tk.tokens(query)))
+    deleted = bool(len(view.deleted)) and bool(
+        np.any(view.deleted == np.int64(doc_id))
+    )
+    out_terms = []
+    total = 0.0
+    dl_seen = None
+    for t in terms:
+        docs, tfs, dls, df = view.term_postings(t)
+        pos = np.searchsorted(docs, doc_id)
+        hit = pos < len(docs) and docs[pos] == doc_id
+        tf = int(tfs[pos]) if hit else 0
+        if hit:
+            dl_seen = int(dls[pos])
+        idf = bm25.idf(view.N, df) if df else 0.0
+        part = (
+            float(
+                bm25.tf_part(
+                    np.array([tf], dtype=np.float64),
+                    np.array([dl_seen], dtype=np.float64),
+                    view.avgdl,
+                    view.cfg.bm25_k1,
+                    view.cfg.bm25_b,
+                )[0]
+            )
+            if hit
+            else 0.0
+        )
+        contrib = idf * part
+        total += contrib
+        out_terms.append(
+            {
+                "term": t,
+                "tf": tf,
+                "df": int(df),
+                "idf": idf,
+                "tf_part": part,
+                "contribution": contrib,
+            }
+        )
+    return {
+        "query": query,
+        "doc_id": int(doc_id),
+        "deleted": deleted,
+        "N": view.N,
+        "avgdl": view.avgdl,
+        "doc_len": dl_seen,
+        "terms": out_terms,
+        "score": 0.0 if deleted else total,
+    }

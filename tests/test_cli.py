@@ -63,3 +63,16 @@ def test_cli_search_with_boolean_filter(cli_env, capsys):
                  "--filter", "def AND NOT zzznever"]) in (0, None)
     lines = _lines(capsys)
     assert lines and all(len(ln.split("\t")) == 4 for ln in lines)
+
+
+def test_cli_hybrid_and_explain(cli_env, capsys):
+    corpus_dir, index_dir = cli_env
+    assert main(["hybrid", index_dir, corpus_dir, "def tokenize", "--topk", "3"]) in (0, None)
+    lines = _lines(capsys)
+    assert lines and all(len(ln.split("\t")) == 4 for ln in lines)
+    doc = int(lines[0].split("\t")[2])
+    assert main(["explain", index_dir, "def tokenize", str(doc)]) in (0, None)
+    import json as _json
+
+    exp = _json.loads(capsys.readouterr().out)
+    assert {"terms", "score", "doc_id"} <= set(exp)

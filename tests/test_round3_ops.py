@@ -782,3 +782,21 @@ def test_hybrid_search_matches_composed_oracle(built_index_r3):
 
     got_rows = sorted((r["query_id"], r["rank"], r["doc_id"], r["rrf"]) for r in got)
     assert got_rows == sorted(expected)
+
+
+def test_explain_score_decomposition(built_index_r3):
+    """explain()'s per-term contributions sum to exactly the ranked score."""
+    from distributed_text_search_ray.pipelines.search import explain_score, search_topk
+
+    _, index_dir = built_index_r3
+    rows = search_topk(index_dir, [(0, "def tokenize zzz_missing")], topk=3).take_all()
+    assert rows
+    for r in rows:
+        exp = explain_score(index_dir, "def tokenize zzz_missing", r["doc_id"])
+        assert exp["score"] == r["score"]  # bit-exact: same accumulation order
+        assert sum(t["contribution"] for t in exp["terms"]) == exp["score"]
+        missing = [t for t in exp["terms"] if t["term"] == "zzz_missing"][0]
+        assert missing == {
+            "term": "zzz_missing", "tf": 0, "df": 0, "idf": 0.0,
+            "tf_part": 0.0, "contribution": 0.0,
+        }
