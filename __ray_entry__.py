@@ -1277,9 +1277,14 @@ SELECT term, count(DISTINCT doc_id)::BIGINT df, count(*)::BIGINT cf
 FROM stok GROUP BY 1
 """
 
+    from distributed_text_search_ray.pipelines.textstats import STOPWORDS as _STOPS
+
+    # interpolated from the SAME list the Python analyzer uses — a literal
+    # copy here would silently diverge if STOPWORDS ever changes
+    _stoplist = ", ".join(f"'{w}'" for w in _STOPS)
     top_terms_nostop_sql = f"""
 WITH {_TOK_CTE},
-flt AS (SELECT doc_id, term FROM tok WHERE term NOT IN ('a', 'and', 'in', 'is', 'it', 'of', 'the', 'to'))
+flt AS (SELECT doc_id, term FROM tok WHERE term NOT IN ({_stoplist}))
 SELECT term, count(DISTINCT doc_id)::BIGINT df, count(*)::BIGINT cf
 FROM flt GROUP BY 1
 ORDER BY df DESC, term LIMIT 20

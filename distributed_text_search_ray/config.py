@@ -35,8 +35,17 @@ class AnalyzerConfig:
     stopwords: tuple = ()
 
     def fingerprint(self) -> str:
+        # later-added fields are dropped from the hash while at their
+        # behavior-neutral defaults, so a default analyzer keeps the
+        # fingerprint it had before the field existed — adding stem/stopwords
+        # must not invalidate every pre-existing index/shard manifest
+        d = asdict(self)
+        if d.get("stem") == "none":
+            d.pop("stem", None)
+        if not d.get("stopwords"):
+            d.pop("stopwords", None)
         return hashlib.sha256(
-            json.dumps(asdict(self), sort_keys=True).encode()
+            json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]
 
 

@@ -90,9 +90,12 @@ class Tokenizer:
         return toks
 
     def has_token(self, text: str) -> bool:
-        """True iff ``tokens(text)`` would be non-empty — a first-match
-        regex probe, not a full tokenize (used by filters that must drop
-        zero-token docs without paying a re-tokenization pass)."""
+        """True iff ``tokens(text)`` would be non-empty. Without stopwords
+        this is a first-match regex probe (no full tokenize); with stopwords
+        a regex hit no longer implies a surviving token (a stopword-only doc
+        tokenizes to []), so the probe falls back to the real tokenize."""
+        if self._stop:
+            return bool(self.tokens(text))
         if self.cfg.lowercase:
             text = self._lower(text)
         return self._rx.search(text) is not None

@@ -863,6 +863,7 @@ def hybrid_search_topk(
     fetch_k: int | None = None,
     dim: int = 16,
     rrf_k: int = 60,
+    vectors: ray.data.Dataset | None = None,
     concurrency: int | None = None,
 ) -> ray.data.Dataset:
     """Hybrid sparse+dense retrieval with Reciprocal Rank Fusion:
@@ -871,36 +872,39 @@ def hybrid_search_topk(
     contributing nothing — the standard RRF formulation (Cormack et al.).
 
     The dense side needs no model: documents AND queries embed through the
-    deterministic feature-hashing vectorizer
-    (``textstats.hashed_doc_vectors``), so the operator is self-contained
-    and reproducible. Both sides are the engine's existing distributed
-    primitives (BM25 executor pool; broadcast-query cosine top-k); only the
-    q x fetch_k fused candidate lists reach the driver.
+    deterministic feature-hashing vectorizer (``textstats.hash_slot``
+    scheme) USING THE INDEX'S ANALYZER, so both sides rank over the same
+    token space (a stemmed/stop-filtered index stems/stops its dense side
+    too). Both sides are the engine's existing distributed primitives (BM25
+    executor pool; broadcast-query cosine top-k); only the q x fetch_k
+    fused candidate lists reach the driver.
+
+    Pass ``vectors`` (any (vec_id, embedding) Dataset, e.g. a persisted
+    ``hashed_doc_vectors`` output) to skip the per-call corpus
+    vectorization — the right shape for query-heavy workloads (the 1.15M-doc
+    spot-check spends most of its 31 s re-vectorizing).
 
     Output: (query_id, rank, doc_id, rrf) with rrf rounded to 6 dp,
     ties by doc_id ascending.
     """
-    from distributed_text_search_ray.functions.hashing import md5_u64
-    from distributed_text_search_ray.functions.tokenize import tokenizer_for
     from distributed_text_search_ray.pipelines.ann import ann_brute_topk
-    from distributed_text_search_ray.pipelines.textstats import hashed_doc_vectors
+    from distributed_text_search_ray.pipelines.textstats import (
+        hashed_doc_vectors,
+        hashed_text_vector,
+    )
 
     qlist = [(int(q), str(t)) for q, t in queries]
     m = fetch_k or 4 * k
+    analyzer = IndexView(index_dir).cfg.analyzer
 
     sparse = search_topk(index_dir, qlist, topk=m, concurrency=concurrency).take_all()
 
-    tk = tokenizer_for(None)
     qvecs = []
     for qid, text in qlist:
-        v = np.zeros(dim, dtype=np.float64)
-        for t in tk.tokens(text):
-            h = md5_u64(t)
-            v[h % dim] += 1.0 if (h >> 63) & 1 else -1.0
-        nrm = np.linalg.norm(v)
-        if nrm > 0:
-            qvecs.append((qid, (v / nrm).tolist()))
-    vecs = hashed_doc_vectors(docs, dim=dim)
+        v = hashed_text_vector(text, dim=dim, analyzer=analyzer)
+        if np.linalg.norm(v) > 0:
+            qvecs.append((qid, v.tolist()))
+    vecs = vectors if vectors is not None else hashed_doc_vectors(docs, dim=dim, analyzer=analyzer)
     dense = (
         ann_brute_topk(vecs, qvecs, k=m, exclude_self=False).take_all() if qvecs else []
     )

@@ -863,6 +863,30 @@ def grouped_token_length_quantiles(
     )
 
 
+def hash_slot(term: str, dim: int) -> tuple[int, float]:
+    """THE feature-hashing scheme (single definition): bucket = md5_u64 %
+    dim, sign from the top md5 bit. Docs, queries, and any future consumer
+    must hash through here so their vectors stay mutually comparable."""
+    from distributed_text_search_ray.functions.hashing import md5_u64
+
+    h = md5_u64(term)
+    return h % dim, 1.0 if (h >> 63) & 1 else -1.0
+
+
+def hashed_text_vector(
+    text: str, dim: int = 64, analyzer: AnalyzerConfig | None = None
+) -> np.ndarray:
+    """One text -> L2-normalized feature-hashed TF vector (query-side twin
+    of ``hashed_doc_vectors``)."""
+    tk = tokenizer_for(analyzer)
+    v = np.zeros(dim, dtype=np.float64)
+    for t in tk.tokens(text):
+        slot, sign = hash_slot(t, dim)
+        v[slot] += sign
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
 def hashed_doc_vectors(
     docs: ray.data.Dataset,
     dim: int = 64,
@@ -871,15 +895,13 @@ def hashed_doc_vectors(
     """Feature-hashed TF document vectors: (vec_id=doc_id, embedding).
 
     Classic hashing-trick bag-of-words — term t adds sign(t) at bucket
-    hash(t) % dim (sign from one hash bit decorrelates collisions), row
-    L2-normalized. Deterministic (md5-based, no fitted vocabulary), so the
+    hash(t) % dim via ``hash_slot`` (sign from one hash bit decorrelates
+    collisions), row L2-normalized. Deterministic (md5-based, no fitted vocabulary), so the
     map needs NO training pass, no broadcast state, and is stable across
     cluster sizes — the properties that let a 10^12-doc corpus be
     vectorized in a single streaming pass. Output schema matches the
     embeddings table, so every ANN/dedup/k-means operator composes on it
     unchanged."""
-    from distributed_text_search_ray.functions.hashing import md5_u64
-
     def f(batch: pa.Table) -> pa.Table:
         tk = tokenizer_for(analyzer)
         ids = batch.column("doc_id").to_pylist()
@@ -889,9 +911,7 @@ def hashed_doc_vectors(
             for t in tk.tokens(text):
                 slot = memo.get(t)
                 if slot is None:
-                    h = md5_u64(t)
-                    slot = (h % dim, 1.0 if (h >> 63) & 1 else -1.0)
-                    memo[t] = slot
+                    slot = memo[t] = hash_slot(t, dim)
                 out[i, slot[0]] += slot[1]
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         out = out / np.maximum(norms, 1e-30)
