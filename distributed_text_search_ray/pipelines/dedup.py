@@ -60,10 +60,28 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     Returns (content_md5, n_copies, representative_doc_id) — representative =
     min doc_id, the deterministic "first" (SURVEY.md section 2.7).
     """
+    # coarse-group + Arrow-native hash aggregate: unique contents are ~one
+    # group per row, and Ray's sort-based groupby pays per group (16 s for
+    # 1.15M docs measured); 32 coarse partitions keyed by an md5 nibble pair
+    # + pyarrow group_by inside map_groups do the same reduce in C++
     hashed = docs.map_batches(_hash_batch, batch_format="pyarrow")
-    return hashed.groupby("content_md5").aggregate(
-        Count(alias_name="n_copies"),
-        Min("doc_id", alias_name="representative_doc_id"),
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        h = [int(s[:2], 16) % 32 for s in batch.column("content_md5").to_pylist()]
+        return batch.append_column("cg", pa.array(h, type=pa.int64()))
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        agg = (
+            g.select(["content_md5", "doc_id"])
+            .group_by("content_md5")
+            .aggregate([("doc_id", "count"), ("doc_id", "min")])
+        )
+        return agg.rename_columns(["content_md5", "n_copies", "representative_doc_id"])
+
+    return (
+        hashed.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(reduce_group, batch_format="pyarrow")
     )
 
 
