@@ -140,12 +140,40 @@ def bigram_counts(
             }
         )
 
-    from ray.data.aggregate import Sum
+    # distinct bigrams ~ vocab^2 (4M at the 1.15M-doc spot-check), so a
+    # groupby(bigram) makes one-row groups and Ray's sort-based aggregate
+    # pays per group (measured 458 s); instead: 64 coarse hash groups, an
+    # Arrow C++ hash aggregate + LOCAL top-N inside each (each bigram lives
+    # in exactly one group, so the global top-N is a subset of the 64
+    # local top-Ns), then a tiny final sort over 64*N rows
+    from distributed_text_search_ray.functions.hashing import md5_u64
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        cg = [md5_u64(b) % 64 for b in batch.column("bigram").to_pylist()]
+        return batch.append_column("cg", pa.array(cg, type=pa.int64()))
+
+    def reduce_topn(g: pa.Table) -> pa.Table:
+        agg = (
+            g.select(["bigram", "n_part"])
+            .group_by("bigram")
+            .aggregate([("n_part", "sum")])
+            .rename_columns(["bigram", "n"])
+        )
+        n = agg.column("n").to_numpy()
+        if len(n) > top_n:
+            import pyarrow.compute as pc
+
+            idx = pc.select_k_unstable(
+                agg, k=top_n, sort_keys=[("n", "descending"), ("bigram", "ascending")]
+            )
+            agg = agg.take(idx)
+        return agg
 
     return (
         docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(reduce_topn, batch_format="pyarrow")
         .sort(["n", "bigram"], descending=[True, False])
         .limit(top_n)
     )
