@@ -105,6 +105,9 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("index_dir")
     dl.add_argument("doc_ids", nargs="+", type=int)
 
+    info = sub.add_parser("info", help="index metadata: stats, config, tombstones")
+    info.add_argument("index_dir")
+
     ex = sub.add_parser(
         "extend",
         help="add new corpus shards to an existing index (delta build + "
@@ -246,6 +249,27 @@ def main(argv: list[str] | None = None) -> int:
         from distributed_text_search_ray.pipelines.build import delete_docs
 
         print(json.dumps(delete_docs(args.index_dir, args.doc_ids)))
+    elif args.cmd == "info":
+        from distributed_text_search_ray.stages.executor import IndexView
+
+        v = IndexView(args.index_dir)
+        print(
+            json.dumps(
+                {
+                    "N": v.N,
+                    "avgdl": v.avgdl,
+                    "num_partitions": v.cfg.num_partitions,
+                    "store_positions": v.cfg.store_positions,
+                    "analyzer_fingerprint": v.cfg.analyzer.fingerprint(),
+                    "stem": v.cfg.analyzer.stem,
+                    "n_stopwords": len(v.cfg.analyzer.stopwords),
+                    "hot_terms": sorted(v.hot_df),
+                    "n_deleted": int(len(v.deleted)),
+                    "fingerprint": v.meta.get("fingerprint"),
+                    "complete": v.meta.get("complete"),
+                }
+            )
+        )
     elif args.cmd == "extend":
         from distributed_text_search_ray.pipelines.merge import extend_index
 

@@ -76,3 +76,12 @@ def test_cli_hybrid_and_explain(cli_env, capsys):
 
     exp = _json.loads(capsys.readouterr().out)
     assert {"terms", "score", "doc_id"} <= set(exp)
+
+
+def test_cli_info(cli_env, capsys):
+    _, index_dir = cli_env
+    assert main(["info", index_dir]) in (0, None)
+    import json as _json
+
+    info = _json.loads(capsys.readouterr().out)
+    assert info["N"] == 240 and info["complete"] and info["n_deleted"] == 0
