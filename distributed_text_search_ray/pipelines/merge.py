@@ -80,18 +80,22 @@ class _MergePart:
             m = mf.read_manifest(seg_dir)
             return {"part": part, "n_terms": m["n_terms"],
                     "n_postings": m["n_postings"], "skipped": True}
+        with_pos = self.cfg.store_positions
         per_src = [
-            read_segment_pairs(os.path.join(s, "segments", f"part={part:05d}"))
+            read_segment_pairs(
+                os.path.join(s, "segments", f"part={part:05d}"), with_positions=with_pos
+            )
             for s in self.sources
         ]
         union: dict[str, int] = {}
-        for terms, _df, _d, _t, _l in per_src:
-            for t in terms:
+        for rec in per_src:
+            for t in rec[0]:
                 union.setdefault(t, 0)
         union_terms = sorted(union)
         code_of = {t: i for i, t in enumerate(union_terms)}
-        codes_parts, docs_parts, tfs_parts, dls_parts = [], [], [], []
-        for terms, df, docs, tfs, dls in per_src:
+        codes_parts, docs_parts, tfs_parts, dls_parts, pos_parts = [], [], [], [], []
+        for rec in per_src:
+            terms, df, docs, tfs, dls = rec[:5]
             if not len(docs):
                 continue
             codes_parts.append(
@@ -103,6 +107,8 @@ class _MergePart:
             docs_parts.append(docs)
             tfs_parts.append(tfs)
             dls_parts.append(dls)
+            if with_pos:
+                pos_parts.append(rec[5])
         # doc-id disjointness across sources, checked directly: a doc present
         # in two sources with DISJOINT token sets slips past the
         # (term, doc)-pair check below yet double-counts N/total_tokens and
@@ -110,7 +116,8 @@ class _MergePart:
         # postings over many parts, so a shared doc is caught by whichever
         # parts see it from both sources.
         seen = np.empty(0, dtype=np.int64)
-        for _terms, _df, docs_s, _tfs, _dls in per_src:
+        for rec in per_src:
+            docs_s = rec[2]
             u = np.unique(docs_s)
             inter = np.intersect1d(seen, u, assume_unique=True)
             if len(inter):
@@ -120,27 +127,62 @@ class _MergePart:
                     "requires disjoint doc-id sets"
                 )
             seen = np.union1d(seen, u)
+        positions = None
         if codes_parts:
             codes = np.concatenate(codes_parts)
             docs = np.concatenate(docs_parts)
-            tfs = np.concatenate(tfs_parts)
-            dls = np.concatenate(dls_parts)
+            tfs_pre = np.concatenate(tfs_parts)
+            dls_pre = np.concatenate(dls_parts)
             order = np.lexsort((docs, codes))
-            codes, docs, tfs, dls = codes[order], docs[order], tfs[order], dls[order]
+            codes, docs = codes[order], docs[order]
+            tfs, dls = tfs_pre[order], dls_pre[order]
             dup = (np.diff(codes) == 0) & (np.diff(docs) == 0)
             if dup.any():
                 raise ValueError(
                     f"part {part}: {int(dup.sum())} overlapping (term, doc) pairs — "
                     "merge requires disjoint doc-id sets across source indexes"
                 )
+            if with_pos:
+                # permute each pair's position run with its pair: gather the
+                # flat position values through the lexsort order, vectorized
+                flat = (
+                    np.concatenate(pos_parts)
+                    if pos_parts
+                    else np.empty(0, dtype=np.int64)
+                )
+                pre_starts = np.concatenate(([0], np.cumsum(tfs_pre)[:-1]))
+                new_tfs = tfs
+                out_starts = np.concatenate(([0], np.cumsum(new_tfs)[:-1]))
+                total = int(new_tfs.sum())
+                take = np.repeat(pre_starts[order], new_tfs) + (
+                    np.arange(total, dtype=np.int64) - np.repeat(out_starts, new_tfs)
+                )
+                flat_new = flat[take]
+                offsets = np.concatenate(([0], np.cumsum(new_tfs))).astype(np.int32)
+                positions = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(flat_new.astype(np.int32))
+                )
         else:
             codes = np.empty(0, np.int64)
             docs = tfs = dls = np.empty(0, np.int64)
-        terms_table, docs_b, tfs_b, dls_b, stats = build_segment_tables(
-            codes, union_terms, docs, tfs, dls, self.N, self.avgdl, self.cfg
+            if with_pos:
+                positions = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(1, dtype=np.int32)),
+                    pa.array(np.empty(0, dtype=np.int32)),
+                )
+        built = build_segment_tables(
+            codes, union_terms, docs, tfs, dls, self.N, self.avgdl, self.cfg,
+            positions=positions,
         )
+        if with_pos:
+            terms_table, docs_b, tfs_b, dls_b, stats, pos_b = built
+        else:
+            terms_table, docs_b, tfs_b, dls_b, stats = built
+            pos_b = None
         with mf.AtomicDir(seg_dir) as tmp:
-            checks = write_segment(tmp, terms_table, docs_b, tfs_b, dls_b)
+            checks = write_segment(
+                tmp, terms_table, docs_b, tfs_b, dls_b, pos_stream=pos_b
+            )
             mf.write_manifest(
                 tmp,
                 {
@@ -189,12 +231,9 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
     if len(fps) != 1:
         raise ValueError(f"source configs differ (fingerprints {sorted(fps)})")
     cfg = cfgs[0]
-    if cfg.store_positions:
-        raise ValueError(
-            "merging positional (store_positions) indexes is not supported: "
-            "read_segment_pairs does not carry the pos stream yet — rebuild "
-            "from the union corpus instead"
-        )
+    # positional (store_positions) sources merge too: read_segment_pairs
+    # decodes the pos stream pair-aligned and _MergePart re-encodes it with
+    # the merged pair order (positions permute with their pairs)
     N = sum(int(m["N"]) for m in metas)
     total_tokens = sum(int(m["total_tokens"]) for m in metas)
     avgdl = total_tokens / N if N else 0.0

@@ -265,12 +265,19 @@ def write_segment(
     return checks
 
 
-def read_segment_pairs(seg_dir: str) -> tuple[list, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+def read_segment_pairs(
+    seg_dir: str, with_positions: bool = False
+) -> tuple:
     """Decode one segment back into its full (term, doc, tf, dl) pair stream
     — the inverse of ``build_segment_tables``, fully vectorized (one varbyte
     decode per stream + one segmented delta decode over all block starts).
     Returns (term_strings, df_per_term, doc_ids, tfs, dls) with pairs grouped
-    by term in dictionary (sorted) order. Used by the segment-merge path."""
+    by term in dictionary (sorted) order. Used by the segment-merge path.
+
+    ``with_positions`` (v4 segments) appends a sixth element: the flat
+    position values aligned to pair order (each pair's positions are
+    ``tfs[i]`` consecutive values — positions restart their delta chain at
+    every pair, so the pair-start indices ARE the decode restart table)."""
     t = pq.read_table(os.path.join(seg_dir, TERMS_FILE), columns=["term", "df"])
     md = t.schema.metadata or {}
     B = int(md.get(b"block_size", b"128"))
@@ -287,6 +294,8 @@ def read_segment_pairs(seg_dir: str) -> tuple[list, np.ndarray, np.ndarray, np.n
         )
     if total == 0:
         z = np.empty(0, dtype=np.int64)
+        if with_positions:
+            return terms, df, z, z, z, z.copy()
         return terms, df, z, z, z
     deltas = varbyte_decode(streams["docs.bin"], count=total)
     starts = np.concatenate(([0], np.cumsum(df)[:-1]))
@@ -298,6 +307,20 @@ def read_segment_pairs(seg_dir: str) -> tuple[list, np.ndarray, np.ndarray, np.n
     doc_ids = segmented_delta_decode(deltas, block_starts)
     tfs = varbyte_decode(streams["tfs.bin"], count=total).astype(np.int64)
     dls = varbyte_decode(streams["dls.bin"], count=total).astype(np.int64)
+    if with_positions:
+        pp = os.path.join(seg_dir, POS_STREAM)
+        if not os.path.exists(pp):
+            raise ValueError(f"segment {seg_dir} stores no positions")
+        raw = (
+            np.fromfile(pp, dtype=np.uint8)
+            if os.path.getsize(pp)
+            else np.empty(0, dtype=np.uint8)
+        )
+        n_pos = int(tfs.sum())
+        pos_deltas = varbyte_decode(raw, count=n_pos)
+        pair_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        flat_pos = segmented_delta_decode(pos_deltas, pair_starts)
+        return terms, df, doc_ids, tfs, dls, flat_pos
     return terms, df, doc_ids, tfs, dls
 
 

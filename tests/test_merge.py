@@ -146,3 +146,87 @@ def test_extend_index_chains(split_corpora, tmp_path):
     rep = extend_index(idx2, half_b, idx3)
     assert rep["complete"]
     assert _results(idx3) == _results(idx_full)
+
+
+def test_positional_merge_equals_full_build(tmp_path):
+    """Merging two positional (v4) half-indexes preserves the pos stream:
+    phrase and proximity answers equal a fresh positional build over the
+    union corpus, and BM25 stays rank/score-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.merge import merge_indexes
+    from distributed_text_search_ray.pipelines.phrase import (
+        phrase_search_positional,
+        proximity_search,
+    )
+    from distributed_text_search_ray.pipelines.search import search_topk
+
+    texts_a = ["alpha beta gamma beta alpha", "beta delta alpha beta"]
+    texts_b = ["alpha beta epsilon", "gamma gamma alpha beta alpha beta"]
+
+    def corpus(d, texts, tag):
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": [tag] * len(texts),
+                    "path": [f"{i}.py" for i in range(len(texts))],
+                    "commit": ["c"] * len(texts),
+                    "lang": ["py"] * len(texts),
+                    "content": texts,
+                }
+            ),
+            str(d / "shard_00000.parquet"),
+        )
+        return str(d)
+
+    ca = corpus(tmp_path / "ca", texts_a, "a")
+    cb = corpus(tmp_path / "cb", texts_b, "b")
+    cu = corpus(tmp_path / "cu", [], "u")  # union corpus dir for full build
+    import shutil
+
+    shutil.copy(f"{ca}/shard_00000.parquet", f"{cu}/shard_00000.parquet")
+    shutil.copy(f"{cb}/shard_00000.parquet", f"{cu}/shard_00001.parquet")
+
+    cfg = IndexConfig(num_partitions=2, store_positions=True)
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index(ca, ia, cfg)
+    build_index(cb, ib, cfg)
+    merged = str(tmp_path / "merged")
+    merge_indexes([ia, ib], merged)
+    full = str(tmp_path / "full")
+    build_index(cu, full, cfg)
+
+    phrases = [(0, "alpha beta"), (1, "beta alpha"), (2, "gamma gamma alpha")]
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["n_occurrences"])
+        for r in phrase_search_positional(merged, phrases).take_all()
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["n_occurrences"])
+        for r in phrase_search_positional(full, phrases).take_all()
+    )
+    assert got == want and len(got) > 0
+
+    prox_got = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in proximity_search(merged, [(0, "alpha delta")], max_span=4).take_all()
+    )
+    prox_want = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in proximity_search(full, [(0, "alpha delta")], max_span=4).take_all()
+    )
+    assert prox_got == prox_want
+
+    bm_got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search_topk(merged, [(0, "alpha beta")], topk=5).take_all()
+    )
+    bm_want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search_topk(full, [(0, "alpha beta")], topk=5).take_all()
+    )
+    assert bm_got == bm_want
