@@ -230,3 +230,58 @@ def test_positional_merge_equals_full_build(tmp_path):
         for r in search_topk(full, [(0, "alpha beta")], topk=5).take_all()
     )
     assert bm_got == bm_want
+
+
+def test_positional_extend_equals_full_build(tmp_path):
+    """extend_index on a positional base inherits positional merge: phrase
+    answers over the extended index equal a fresh full positional build."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.merge import extend_index
+    from distributed_text_search_ray.pipelines.phrase import phrase_search_positional
+
+    def corpus(d, texts, tag):
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": [tag] * len(texts),
+                    "path": [f"{i}.py" for i in range(len(texts))],
+                    "commit": ["c"] * len(texts),
+                    "lang": ["py"] * len(texts),
+                    "content": texts,
+                }
+            ),
+            str(d / "shard_00000.parquet"),
+        )
+        return str(d)
+
+    base_c = corpus(tmp_path / "base", ["alpha beta gamma", "beta alpha beta alpha"], "a")
+    new_c = corpus(tmp_path / "new", ["alpha beta epsilon alpha beta"], "b")
+    cfg = IndexConfig(num_partitions=2, store_positions=True)
+    base_i = str(tmp_path / "bi")
+    build_index(base_c, base_i, cfg)
+    ext = str(tmp_path / "ext")
+    extend_index(base_i, new_c, ext)
+
+    union = tmp_path / "union"
+    union.mkdir()
+    shutil.copy(f"{base_c}/shard_00000.parquet", str(union / "shard_00000.parquet"))
+    shutil.copy(f"{new_c}/shard_00000.parquet", str(union / "shard_00001.parquet"))
+    full = str(tmp_path / "full")
+    build_index(str(union), full, cfg)
+
+    phrases = [(0, "alpha beta")]
+    got = sorted(
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search_positional(ext, phrases).take_all()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search_positional(full, phrases).take_all()
+    )
+    assert got == want and len(got) == 3
