@@ -141,7 +141,7 @@ def _index_for(sf_dir: str) -> str:
     root = os.path.join(_CACHE_ROOT, key)
     corpus_dir = os.path.join(root, "corpus")
     marker = os.path.join(root, "source.json")
-    sig = {"size": st.st_size, "mtime": st.st_mtime}
+    sig = {"size": st.st_size, "mtime": st.st_mtime, "adapter": 2}
     os.makedirs(root, exist_ok=True)
     have = None
     if os.path.exists(marker):
@@ -172,7 +172,7 @@ def _index_for(sf_dir: str) -> str:
         num_partitions=8,
         salt_buckets=2,
         salt_df_threshold=0.5,
-        attribute_columns=("lang",),
+        attribute_columns=("lang", "n_chars"),
     )
     build_index(corpus_dir, index_dir, cfg)
     return index_dir
@@ -347,6 +347,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def prefix_stats(sf_dir):
         return search.prefix_term_search(_index_for(sf_dir), PREFIX_PATTERNS)
+
+    def bm25_topk_rangefiltered(sf_dir):
+        rows = search.search_topk_filtered_range(
+            _index_for(sf_dir), BM25_QUERIES, "n_chars", lo=150, hi=350,
+            topk=BM25_TOPK + 10,
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
 
     def bm25_topk_boolfiltered(sf_dir):
         rows = search.search_topk_boolean_filtered(
@@ -931,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_stats": prefix_stats,
         "prefix_topk": prefix_topk,
         "bm25_topk_boolfiltered": bm25_topk_boolfiltered,
+        "bm25_topk_rangefiltered": bm25_topk_rangefiltered,
         "synonym_topk": synonym_topk,
         "fuzzy_topk": fuzzy_topk,
         "term_dictionary": term_dictionary,
@@ -1094,6 +1102,40 @@ SELECT p.query_id,
        coalesce(docs.nd, 0)::BIGINT AS n_docs,
        coalesce(agg.occ, 0)::BIGINT AS n_occurrences
 FROM pats p LEFT JOIN agg USING (query_id) LEFT JOIN docs USING (query_id)
+"""
+
+    rangefiltered_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+flt AS (SELECT doc_id FROM documents WHERE n_chars BETWEEN 150 AND 350),
+q(query_id, qtext) AS (VALUES {_values(BM25_QUERIES)}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)
+),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN flt ON flt.doc_id = tf.doc_id
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
 
     boolfiltered_sql = f"""
@@ -2120,6 +2162,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "prefix_stats": prefix_stats_sql,
         "prefix_topk": prefix_topk_sql,
         "bm25_topk_boolfiltered": boolfiltered_sql,
+        "bm25_topk_rangefiltered": rangefiltered_sql,
         "synonym_topk": synonym_topk_sql,
         "term_dictionary": term_dict,
         "term_dictionary_stemmed": term_dict_stemmed,

@@ -1006,3 +1006,86 @@ def explain_score(
         "terms": out_terms,
         "score": 0.0 if deleted else total,
     }
+
+
+def load_attribute_ids_range(
+    index_dir: str, attr: str, lo: float | None = None, hi: float | None = None
+) -> np.ndarray:
+    """Sorted doc ids whose NUMERIC build-time attribute lies in
+    [lo, hi] (either bound optional) — the range-filter twin of
+    ``load_attribute_ids``; same per-shard sidecar, vectorized compare."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    attr_dir = os.path.join(index_dir, "attributes")
+    files = sorted(_glob.glob(os.path.join(attr_dir, "*.attrs.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"no attribute sidecar under {attr_dir}; build with "
+            f"IndexConfig(attribute_columns=({attr!r},))"
+        )
+    chunks = []
+    for f in files:
+        if attr not in pq.read_schema(f).names:
+            continue
+        t = pq.read_table(f, columns=["doc_id", attr])
+        mask = pc.is_valid(t.column(attr))
+        if lo is not None:
+            mask = pc.and_(mask, pc.greater_equal(t.column(attr), lo))
+        if hi is not None:
+            mask = pc.and_(mask, pc.less_equal(t.column(attr), hi))
+        chunks.append(t.filter(mask).column("doc_id").to_numpy())
+    return np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+
+
+class RangeFilteredQueryExecutor(QueryExecutor):
+    """Top-k BM25 restricted to docs whose numeric sidecar attribute lies in
+    [lo, hi] — the range-filter counterpart of ``FilteredQueryExecutor``
+    (same FilteredView semantics: global stats, restricted ranking)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        attr: str,
+        lo: float | None = None,
+        hi: float | None = None,
+        topk: int = 10,
+        mode: str = "maxscore",
+    ):
+        if mode == "wand":
+            raise ValueError("filtered search supports taat/maxscore modes")
+        super().__init__(index_dir, topk=topk, mode=mode)
+        self._base_view = self.view
+        self.view = _FilteredView(
+            self._base_view, load_attribute_ids_range(index_dir, attr, lo, hi)
+        )
+
+
+def search_topk_filtered_range(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    attr: str,
+    lo: float | None = None,
+    hi: float | None = None,
+    topk: int = 10,
+    mode: str = "maxscore",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k BM25 over only docs with ``lo <= attr <= hi`` (numeric range
+    filter, e.g. document length bands). Scores equal unfiltered scores."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        RangeFilteredQueryExecutor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "attr": attr,
+            "lo": lo,
+            "hi": hi,
+            "topk": topk,
+            "mode": mode,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )

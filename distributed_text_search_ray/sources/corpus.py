@@ -89,6 +89,14 @@ def adapt_documents_batch(batch: pa.Table) -> pa.Table:
             ),
             "commit": pa.array([""] * len(batch), type=pa.string()),
             "lang": batch.column("lang"),
+            # stored column when present (= length(text) in the driver
+            # table, verified), derived otherwise — pruned reads and other
+            # document-shaped sources need not carry it
+            "n_chars": (
+                batch.column("n_chars")
+                if "n_chars" in batch.column_names
+                else pc.utf8_length(batch.column("text"))
+            ),
             "content": batch.column("text"),
         }
     )

@@ -172,3 +172,43 @@ def test_boolean_filtered_topk_matches_oracle(built_index_r3):
     # query 0's "import" term is globally present but filter-excluded — the
     # ranking must come from "data" alone, not crash
     assert any(q == 0 for q, *_ in got)
+
+
+def test_range_filtered_topk(tmp_path):
+    """Numeric range filter over a sidecar attribute: ranking restricted to
+    docs with lo <= attr <= hi, surviving scores unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import (
+        search_topk,
+        search_topk_filtered_range,
+    )
+
+    texts = ["alpha beta " * i for i in range(1, 7)]  # lengths scale with i
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * 6,
+                "path": [f"{i}.py" for i in range(6)],
+                "commit": ["c"] * 6,
+                "lang": ["py"] * 6,
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+                "content": texts,
+            }
+        ),
+        str(d / "shard_00000.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(str(d), idx, IndexConfig(num_partitions=2, attribute_columns=("n_chars",)))
+    lens = {len(t) for t in texts}
+    lo, hi = sorted(lens)[1], sorted(lens)[3]  # keep the middle band
+    rows = search_topk_filtered_range(idx, [(0, "alpha")], "n_chars", lo=lo, hi=hi, topk=10).take_all()
+    full = {r["doc_id"]: r["score"] for r in search_topk(idx, [(0, "alpha")], topk=10).take_all()}
+    assert len(rows) == 3
+    for r in rows:
+        assert r["score"] == full[r["doc_id"]]  # unfiltered scores preserved
