@@ -178,6 +178,43 @@ def _index_for(sf_dir: str) -> str:
     return index_dir
 
 
+def _vectors_for(sf_dir: str, dim: int = 16) -> str:
+    """Persisted feature-hashed doc vectors beside the cached index
+    (VERDICT r3 item 3): ``hashed_doc_vectors`` output is deterministic and
+    analyzer-keyed, so like ``_index_for`` it is a one-time artifact — the
+    hybrid query then reads parquet instead of re-vectorizing the corpus
+    per call (31 s of a 2-query batch at 1.15M docs was the corpus pass).
+    """
+    import shutil
+
+    from distributed_text_search_ray.pipelines.textstats import hashed_doc_vectors
+
+    _index_for(sf_dir)  # ensures the resharded corpus + source.json exist
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_CACHE_ROOT, key)
+    vec_dir = os.path.join(root, f"vectors_dim{dim}")
+    marker = vec_dir + ".json"
+    with open(os.path.join(root, "source.json")) as f:
+        sig = json.load(f)
+    sig = dict(sig, dim=dim)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == sig:
+                return vec_dir
+    import ray.data
+
+    from distributed_text_search_ray.sources.corpus import corpus_files
+
+    shutil.rmtree(vec_dir, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        corpus_files(os.path.join(root, "corpus")), columns=["doc_id", "content"]
+    )
+    hashed_doc_vectors(docs, dim=dim).write_parquet(vec_dir)
+    with open(marker, "w") as f:
+        json.dump(sig, f)
+    return vec_dir
+
+
 def _rerank_rounded(rows: list[dict], k: int) -> pa.Table:
     """Re-rank top-k rows by (rounded score desc, doc_id asc) — identical to
     the SQL oracle's ORDER BY round(score,6) DESC, doc_id."""
@@ -363,8 +400,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _rerank_rounded(rows, BM25_TOPK)
 
     def hybrid_topk(sf_dir):
+        import ray.data
+
+        vectors = ray.data.read_parquet(_vectors_for(sf_dir, dim=16))
         return search.hybrid_search_topk(
-            _index_for(sf_dir), _docs_ds(sf_dir), BM25_QUERIES, k=BM25_TOPK
+            _index_for(sf_dir), _docs_ds(sf_dir), BM25_QUERIES, k=BM25_TOPK,
+            vectors=vectors,
         )
 
     def synonym_topk(sf_dir):
@@ -385,6 +426,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def _term_df_cf_partial(analyzer):
+        """Per-batch (term, df_part, cf_part) partial via the package's
+        vectorized tokenize kernel (functions/tokenize.batch_pairs_dict) —
+        one dictionary-encode + two bincounts, no per-row Python token loop
+        (VERDICT r3 item 8)."""
+
+        def partial(batch: pa.Table) -> pa.Table:
+            from distributed_text_search_ray.functions.tokenize import (
+                batch_pairs_dict,
+                tokenizer_for,
+            )
+
+            tk = tokenizer_for(analyzer)
+            pair_terms, _, tfs, _, _ = batch_pairs_dict(
+                tk,
+                batch.column("doc_id").to_numpy(),
+                batch.column("content").to_pylist(),
+            )
+            vocab = len(pair_terms.dictionary)
+            codes = pair_terms.indices.to_numpy().astype(np.int64)
+            df = np.bincount(codes, minlength=vocab)
+            cf = np.bincount(codes, weights=tfs, minlength=vocab).astype(np.int64)
+            return pa.table(
+                {
+                    "term": pair_terms.dictionary,
+                    "df_part": pa.array(df, type=pa.int64()),
+                    "cf_part": pa.array(cf, type=pa.int64()),
+                }
+            )
+
+        return partial
+
     def top_terms_nostop(sf_dir):
         from ray.data.aggregate import Sum
 
@@ -392,27 +465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from distributed_text_search_ray.pipelines.textstats import STOPWORDS
 
         analyzer = AnalyzerConfig(stopwords=tuple(STOPWORDS))
-
-        def partial(batch: pa.Table) -> pa.Table:
-            from distributed_text_search_ray.functions.tokenize import tokenizer_for
-
-            tk = tokenizer_for(analyzer)
-            agg = {}
-            for text in batch.column("content").to_pylist():
-                for t, c in tk.term_freqs(text).items():
-                    d, cc = agg.get(t, (0, 0))
-                    agg[t] = (d + 1, cc + c)
-            return pa.table(
-                {
-                    "term": pa.array(list(agg), type=pa.string()),
-                    "df_part": pa.array([v[0] for v in agg.values()], type=pa.int64()),
-                    "cf_part": pa.array([v[1] for v in agg.values()], type=pa.int64()),
-                }
-            )
-
         return (
             _docs_ds(sf_dir)
-            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(_term_df_cf_partial(analyzer), batch_format="pyarrow")
             .groupby("term")
             .aggregate(Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf"))
             .sort(["df", "term"], descending=[True, False])
@@ -424,31 +479,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ray.data.aggregate import Sum
 
         analyzer = AnalyzerConfig(stem="s")
-
-        def partial(batch: pa.Table) -> pa.Table:
-            from distributed_text_search_ray.functions.tokenize import tokenizer_for
-
-            tk = tokenizer_for(analyzer)
-            terms, dfs, cfs = [], [], []
-            agg = {}
-            for text in batch.column("content").to_pylist():
-                tf = tk.term_freqs(text)
-                for t, c in tf.items():
-                    d, cc = agg.get(t, (0, 0))
-                    agg[t] = (d + 1, cc + c)
-            for t, (d, c) in agg.items():
-                terms.append(t); dfs.append(d); cfs.append(c)
-            return pa.table(
-                {
-                    "term": pa.array(terms, type=pa.string()),
-                    "df_part": pa.array(dfs, type=pa.int64()),
-                    "cf_part": pa.array(cfs, type=pa.int64()),
-                }
-            )
-
         return (
             _docs_ds(sf_dir)
-            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(_term_df_cf_partial(analyzer), batch_format="pyarrow")
             .groupby("term")
             .aggregate(Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf"))
         )
@@ -491,7 +524,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def pack_sequences(sf_dir):
         from distributed_text_search_ray.pipelines.pack import pack_sequences as _pack
 
-        return _pack(_docs_ds(sf_dir), max_tokens=256, range_size=200)
+        out = _pack(_docs_ds(sf_dir), max_tokens=256, range_size=200)
+
+        def cast_trunc(batch: pa.Table) -> pa.Table:
+            # bool -> int64 so the hash compare sees the same physical type
+            # as the SQL oracle's (n_tokens > 256)::BIGINT
+            i = batch.schema.get_field_index("truncated")
+            return batch.set_column(
+                i, "truncated", batch.column("truncated").cast(pa.int64())
+            )
+
+        return out.map_batches(cast_trunc, batch_format="pyarrow")
 
     def curated_corpus(sf_dir):
         from distributed_text_search_ray.pipelines.curate import curate_corpus
@@ -901,11 +944,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(synthetic_media(96, seed=11))
         return decode_and_featurize(media, fake=True)
 
-    # Ordering is deliberate (VERDICT r2 item 3): every oracle-gated entry
-    # runs BEFORE the rows-only ones, and the 8 entries the round-2 gate
-    # truncated off the tail (ann_*, tpch_q1, events_*, asof, range_join)
-    # run early — if the driver's budget cuts the tail again, it can only
-    # lose rows-only checks.
+    # Ordering is deliberate. The driver evaluates only the FIRST 50 dict
+    # entries, so (VERDICT r3 item 1) the entries that had never received a
+    # driver correctness row through round 3 — dup_span_edited,
+    # proximity_search, regex_counts_indexed, token_budget_mix, doc_chunks,
+    # kmeans_clusters, hybrid_topk, doc_clusters, plus the newly
+    # oracle-gated pack_sequences — now sit INSIDE the first 50, displacing
+    # nine multi-round-green entries (token_counts, quality_scores, langid,
+    # doc_sha256, length_quantiles, repetition_scores, unigram_logperp,
+    # redact_props, lang_stats) to positions 51+. Oracle-gated entries still
+    # run before rows-only ones within each region.
     return {
         "bm25_topk": bm25_topk,
         "revenue_by_nation": revenue_by_nation,
@@ -944,6 +992,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_dictionary": term_dictionary,
         "term_dictionary_stemmed": term_dictionary_stemmed,
         "top_terms_nostop": top_terms_nostop,
+        # --- never-driver-checked through r3, oracle-gated (VERDICT item 1)
+        "dup_span_edited": dup_span_edited,
+        "proximity_search": proximity,
+        "regex_counts_indexed": regex_counts_indexed,
+        "token_budget_mix": token_budget_mix,
+        "doc_chunks": doc_chunks,
+        "pack_sequences": pack_sequences,
+        "curated_corpus": curated_corpus,
+        "exact_dedup": exact_dedup,
+        "dedup_filter": dedup_filter,
+        "top_terms": top_terms,
+        # --- never-driver-checked through r3, rows-only (no SQL oracle)
+        "kmeans_clusters": kmeans_clusters,
+        "hybrid_topk": hybrid_topk,
+        "doc_clusters": doc_clusters,
+        # ---------------- position 51+ (driver budget permitting) ---------
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "langid": langid,
@@ -952,16 +1016,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": repetition_scores,
         "unigram_logperp": unigram_logperp,
         "redact_props": redact_props,
-        "curated_corpus": curated_corpus,
         "lang_stats": lang_stats,
-        "exact_dedup": exact_dedup,
-        "dedup_filter": dedup_filter,
-        "top_terms": top_terms,
         "minhash_near_dup": minhash_near_dup,
         "ngram_jaccard_dup": ngram_jaccard_dup,
         "dup_spans": dup_spans,
         "dup_span_filtered": dup_span_filtered,
-        "dup_span_edited": dup_span_edited,
         "contamination": contamination,
         "simhash_fp": simhash_fp,
         "simhash_near_dup": simhash_near_dup,
@@ -969,28 +1028,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_counts": phrase_counts,
         "phrase_counts_indexed": phrase_counts_indexed,
         "phrase_counts_positional": phrase_counts_positional,
-        "proximity_search": proximity,
         "boolean_match": boolean_match,
         "search_snippets": search_snippets,
         "more_like_this": more_like_this,
         "spell_suggest": spell_suggest,
         "doc_keywords": doc_keywords,
         "regex_counts": regex_counts,
-        "regex_counts_indexed": regex_counts_indexed,
         "facet_lang": facet_lang,
         "sample_10pct": sample_10pct,
-        "token_budget_mix": token_budget_mix,
-        "doc_chunks": doc_chunks,
         "bigram_top20": bigram_top20,
         "distinct_terms_kmv": distinct_terms_kmv,
         "top_docs_lang": top_docs_lang,
         # rows-only (no SQL oracle) — deliberately last
         "near_dedup": near_dedup,
         "media_features": media_features,
-        "pack_sequences": pack_sequences,
-        "kmeans_clusters": kmeans_clusters,
-        "hybrid_topk": hybrid_topk,
-        "doc_clusters": doc_clusters,
     }
 
 
@@ -2144,6 +2195,42 @@ FROM l JOIN r ON l.user_id = r.user_id
              AND r.tus > l.tus - 3600000000 AND r.tus <= l.tus
 """
 
+    # pack_sequences (VERDICT r3 item 6): the greedy fill is a running-state
+    # scan, which SQL CAN express with a recursive CTE stepping one doc per
+    # range per iteration (every range advances in parallel each step, so
+    # iteration count = max docs per range = range_size). This replicates
+    # pipelines/pack.py pack_greedy exactly: new pack when fill + m would
+    # exceed max_tokens; an over-long doc is truncated to max_tokens and
+    # (because fill + 256 > 256 whenever fill > 0) packs alone.
+    pack_sql = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id // 200 AS range_id,
+         len({TOK_SQL.format(col="text")})::BIGINT AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, range_id, n_tokens,
+         least(n_tokens, 256) AS m,
+         (n_tokens > 256)::BIGINT AS truncated,
+         row_number() OVER (PARTITION BY range_id ORDER BY doc_id) AS rn
+  FROM toks
+),
+walk(range_id, rn, doc_id, n_tokens, m, truncated, pack, pos, fill) AS (
+  SELECT range_id, rn, doc_id, n_tokens, m, truncated,
+         0::BIGINT, 0::BIGINT, m
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.range_id, s.rn, s.doc_id, s.n_tokens, s.m, s.truncated,
+         CASE WHEN w.fill + s.m > 256 THEN w.pack + 1 ELSE w.pack END,
+         CASE WHEN w.fill + s.m > 256 THEN 0::BIGINT ELSE w.pos + 1 END,
+         CASE WHEN w.fill + s.m > 256 THEN s.m ELSE w.fill + s.m END
+  FROM walk w JOIN seq s ON s.range_id = w.range_id AND s.rn = w.rn + 1
+)
+SELECT doc_id, range_id * 4294967296 + pack AS pack_id, pos AS pack_pos,
+       n_tokens, m AS packed_tokens, truncated
+FROM walk
+"""
+
     return {
         "bm25_topk": bm25,
         "asof_purchase_click": asof,
@@ -2201,6 +2288,7 @@ FROM l JOIN r ON l.user_id = r.user_id
         "sample_10pct": sample_sql,
         "token_budget_mix": token_budget_sql,
         "doc_chunks": doc_chunks_sql,
+        "pack_sequences": pack_sql,
         "bigram_top20": bigram_sql,
         "distinct_terms_kmv": kmv_sql,
         "top_docs_lang": top_docs_lang_sql,

@@ -36,6 +36,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from distributed_text_search_ray.config import IndexConfig
+from distributed_text_search_ray.util import agg_rename
 from distributed_text_search_ray.sources.corpus import corpus_files
 from distributed_text_search_ray.stages.segment_build import SegmentBuilder
 from distributed_text_search_ray.stages.tokenize_stage import TokenizeShard, shard_manifest_dir
@@ -212,7 +213,9 @@ def build_index(
                 pq_.read_table(f, columns=["term", "df", "cf"]) for f in terms_files
             )
             g = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
-            g = g.rename_columns(["term", "df", "cf"]).sort_by("term")
+            g = agg_rename(
+                g, ["term"], [("df", "sum"), ("cf", "sum")], ["df", "cf"]
+            ).sort_by("term")
             with mf.AtomicDir(dict_dir) as tmp:
                 pq_.write_table(g, os.path.join(tmp, "dictionary.parquet"))
                 mf.write_manifest(tmp, {"kind": "dictionary", "fingerprint": fp})

@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from distributed_text_search_ray.util import agg_rename
+
 _PA_JOIN_TYPE = {"inner": "inner", "left": "left outer", "right": "right outer"}
 
 
@@ -179,7 +181,12 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     def merge_and_partial(batch: pa.Table) -> pa.Table:
         m = batch.join(cust_nation, keys="o_custkey", right_keys="c_custkey")
         g = m.group_by("n_name").aggregate([("revenue", "sum"), ("revenue", "count")])
-        return g.rename_columns(["n_name", "revenue_part", "n_part"])
+        return agg_rename(
+            g,
+            ["n_name"],
+            [("revenue", "sum"), ("revenue", "count")],
+            ["revenue_part", "n_part"],
+        )
 
     partials = joined.map_batches(merge_and_partial, batch_format="pyarrow")
     agg = partials.groupby("n_name").aggregate(

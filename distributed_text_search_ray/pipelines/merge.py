@@ -45,6 +45,7 @@ import pyarrow as pa
 import ray.data
 
 from distributed_text_search_ray.config import IndexConfig
+from distributed_text_search_ray.util import agg_rename
 from distributed_text_search_ray.stages.executor import config_from_meta, load_meta
 from distributed_text_search_ray.state import manifest as mf
 from distributed_text_search_ray.state.segment import (
@@ -109,12 +110,17 @@ class _MergePart:
             dls_parts.append(dls)
             if with_pos:
                 pos_parts.append(rec[5])
-        # doc-id disjointness across sources, checked directly: a doc present
-        # in two sources with DISJOINT token sets slips past the
-        # (term, doc)-pair check below yet double-counts N/total_tokens and
-        # carries inconsistent dl values. Partitioning spreads a doc's
-        # postings over many parts, so a shared doc is caught by whichever
-        # parts see it from both sources.
+        # doc-id disjointness across sources — BEST-EFFORT, per partition: a
+        # doc present in two sources would double-count N/total_tokens and
+        # carry inconsistent dl values, and is caught here by any part that
+        # sees it from BOTH sources. Partitioning spreads a doc's postings
+        # over many parts, so in practice a shared doc with any token
+        # overlap is caught; the check CANNOT see a doc whose two token
+        # sets are disjoint AND hash to disjoint partition sets (or that is
+        # token-empty in one source). Exact verification needs a global
+        # doc-id-set comparison — a full doc-id exchange at index scale —
+        # so callers merging UNTRUSTED sources should pre-verify doc-id
+        # ranges themselves (e.g. per-tenant / per-date id namespaces).
         seen = np.empty(0, dtype=np.int64)
         for rec in per_src:
             docs_s = rec[2]
@@ -279,7 +285,9 @@ def merge_indexes(sources: list[str], out_dir: str) -> dict:
         pq.read_table(f, columns=["term", "df", "cf"]) for f in terms_files
     )
     g = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
-    g = g.rename_columns(["term", "df", "cf"]).sort_by("term")
+    g = agg_rename(
+        g, ["term"], [("df", "sum"), ("cf", "sum")], ["df", "cf"]
+    ).sort_by("term")
     with mf.AtomicDir(dict_dir) as tmp:
         pq.write_table(g, os.path.join(tmp, "dictionary.parquet"))
         mf.write_manifest(tmp, {"kind": "dictionary", "fingerprint": fp})

@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
+from distributed_text_search_ray.util import agg_rename
+
 
 def sql_round(x: np.ndarray | pa.ChunkedArray, ndigits: int = 4) -> pa.Array:
     """Round exactly like DuckDB's ROUND (half away from zero, computed as
@@ -168,7 +170,12 @@ def events_hopping_window(
         g = t.group_by(["event_type", "window_start"]).aggregate(
             [("value", "count"), ("value", "sum")]
         )
-        return g.rename_columns(["event_type", "window_start", "n_part", "sum_part"])
+        return agg_rename(
+            g,
+            ["event_type", "window_start"],
+            [("value", "count"), ("value", "sum")],
+            ["n_part", "sum_part"],
+        )
 
     agg = (
         ds.map_batches(expand_and_combine, batch_format="pyarrow")
@@ -465,7 +472,7 @@ def tpch_q3(sf_dir: str, cutoff: str = "1998-06-01", segment: str = "BUILDING", 
         g = pa.table(
             {"l_orderkey": batch.column("l_orderkey"), "rev": rev}
         ).group_by("l_orderkey").aggregate([("rev", "sum")])
-        return g.rename_columns(["l_orderkey", "rev_part"])
+        return agg_rename(g, ["l_orderkey"], [("rev", "sum")], ["rev_part"])
 
     # final reduce via COARSE groups + vectorized reduceat, not
     # groupby(l_orderkey): Ray's sort-based aggregate pays per GROUP, and
@@ -610,6 +617,21 @@ def user_event_gaps(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def _drop_non_finite(column: str):
+    """Batch filter dropping null/NaN/inf rows of ``column`` — the quantile
+    operators' first stage, keeping every later pass's bin math and rank
+    bookkeeping defined (DuckDB quantile_disc skips nulls the same way)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        mask = np.isfinite(v)
+        if mask.all():
+            return batch
+        return batch.filter(pa.array(mask))
+
+    return f
+
+
 def float_quantiles(
     ds: ray.data.Dataset,
     column: str,
@@ -642,11 +664,17 @@ def float_quantiles(
     a bucket that is both over-cap AND multi-valued raises.
 
     Output: (q, value) — one row per requested quantile.
+
+    Nulls and NaNs are EXCLUDED before any pass (matching DuckDB
+    ``quantile_disc``'s null-skipping; NaN is treated as null) — otherwise
+    a single invalid value becomes INT64_MIN in the bin computation and
+    poisons the histogram/ranks.
     """
     import math
 
     from ray.data.aggregate import Count, Max, Min
 
+    ds = ds.map_batches(_drop_non_finite(column), batch_format="pyarrow")
     agg = ds.aggregate(Min(column), Max(column), Count())
     lo, hi, n = agg[f"min({column})"], agg[f"max({column})"], agg["count()"]
     if n == 0:
@@ -805,12 +833,14 @@ def grouped_float_quantiles(
        own group.
 
     Driver state O(|groups| x bins + candidates) — independent of row
-    count. Output: (group_col, q, value).
+    count. Output: (group_col, q, value). Null/NaN values are excluded
+    up-front (see ``_drop_non_finite``).
     """
     import math
 
     from ray.data.aggregate import Count, Max, Min
 
+    ds = ds.map_batches(_drop_non_finite(column), batch_format="pyarrow")
     stats_rows = (
         ds.groupby(group_col)
         .aggregate(Min(column), Max(column), Count())

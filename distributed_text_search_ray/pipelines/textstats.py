@@ -20,7 +20,7 @@ import ray.data
 from distributed_text_search_ray.config import AnalyzerConfig
 from distributed_text_search_ray.functions.hashing import rolling_fingerprint, simhash64
 from distributed_text_search_ray.functions.tokenize import tokenizer_for
-from distributed_text_search_ray.util import round_half_away
+from distributed_text_search_ray.util import agg_rename, round_half_away
 
 # fixed stopword lists (shared verbatim with the SQL oracles)
 STOPWORDS = ["a", "and", "in", "is", "it", "of", "the", "to"]
@@ -153,11 +153,13 @@ def bigram_counts(
         return batch.append_column("cg", pa.array(cg, type=pa.int64()))
 
     def reduce_topn(g: pa.Table) -> pa.Table:
-        agg = (
+        agg = agg_rename(
             g.select(["bigram", "n_part"])
             .group_by("bigram")
-            .aggregate([("n_part", "sum")])
-            .rename_columns(["bigram", "n"])
+            .aggregate([("n_part", "sum")]),
+            ["bigram"],
+            [("n_part", "sum")],
+            ["n"],
         )
         n = agg.column("n").to_numpy()
         if len(n) > top_n:
@@ -1019,7 +1021,12 @@ def corpus_rollup(
                 "n_tokens": pa.array(n_tok, type=pa.int64()),
             }
         ).group_by([k1, k2]).aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
-        return g.rename_columns([k1, k2, "tok_part", "doc_part"])
+        return agg_rename(
+            g,
+            [k1, k2],
+            [("n_tokens", "sum"), ("n_tokens", "count")],
+            ["tok_part", "doc_part"],
+        )
 
     fine = (
         docs_with_keys.map_batches(partial, batch_format="pyarrow")
@@ -1075,6 +1082,7 @@ def _required_regex_literal(pattern: str) -> str | None:
     best, cur = "", ""
     depth = 0
     in_class = False
+    class_body = -1  # index of the class body's first char (after [ or [^)
     i, n = 0, len(pattern)
     while i < n:
         ch = pattern[i]
@@ -1089,12 +1097,18 @@ def _required_regex_literal(pattern: str) -> str | None:
             i += 2
             continue
         if in_class:
-            if ch == "]":
+            # ']' directly after '[' or '[^' is a LITERAL ']' (regex rule),
+            # not the class terminator — e.g. '[]a]x' is the class {']','a'}
+            # followed by 'x', and treating the first ']' as the terminator
+            # would extract 'a' as a required literal and silently miss
+            # docs matching via ']x'
+            if ch == "]" and i != class_body:
                 in_class = False
             i += 1
             continue
         if ch == "[":
             in_class = True
+            class_body = i + 2 if pattern[i + 1 : i + 2] == "^" else i + 1
             best, cur = (cur, "") if len(cur) > len(best) else (best, "")
             i += 1
             continue

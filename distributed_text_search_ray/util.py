@@ -31,3 +31,21 @@ def resolve_concurrency(concurrency=None):
     except Exception:
         n = 4
     return (1, max(2, n))
+
+
+def agg_rename(t, keys, aggs, names):
+    """Canonicalize a pyarrow ``group_by().aggregate()`` output BY NAME.
+
+    pyarrow names aggregate columns ``<col>_<fn>`` but has historically
+    flipped whether key columns come first or last in the output (keys-first
+    on the pinned 16.1.0, keys-last in older releases) — a positional
+    ``rename_columns`` on that output would silently swap column meanings
+    across a version change. Select the expected names explicitly, then
+    rename the aggregate columns.
+
+    ``keys``: group key column names; ``aggs``: the (col, fn) pairs passed to
+    ``aggregate``; ``names``: output names for the aggregate columns, in the
+    same order.
+    """
+    cols = list(keys) + [f"{c}_{fn}" for c, fn in aggs]
+    return t.select(cols).rename_columns(list(keys) + list(names))

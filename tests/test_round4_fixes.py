@@ -1,0 +1,198 @@
+"""Round-4 fix pins: bounded cosine-dup tiling, quantile null/NaN handling,
+regex-literal character-class parsing, by-name aggregate renames."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+# ---------------------------------------------------------------- tiling
+
+def test_tile_block_count_grows_with_input():
+    """Per-task memory must stay constant in N: the tile grid grows with
+    the row count instead of tiles growing with it (VERDICT r3 item 4)."""
+    from distributed_text_search_ray.pipelines.ann import (
+        _TILE_ROWS_PER_BLOCK,
+        tile_block_count,
+    )
+
+    assert tile_block_count(0) == 64
+    assert tile_block_count(1_000) == 64  # floor keeps small inputs fanned out
+    assert tile_block_count(64 * _TILE_ROWS_PER_BLOCK) == 64
+    assert tile_block_count(100 * _TILE_ROWS_PER_BLOCK) == 100
+    assert tile_block_count(100 * _TILE_ROWS_PER_BLOCK + 1) == 101
+    # monotone growth, bounded rows per block
+    prev = 0
+    for n in [10**5, 10**6, 10**7, 10**8, 10**9]:
+        m = tile_block_count(n)
+        assert m >= prev
+        assert -(-n // m) <= _TILE_ROWS_PER_BLOCK
+        prev = m
+
+
+def test_cosine_dup_pairs_exact_after_retile():
+    from distributed_text_search_ray.pipelines.ann import cosine_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 8))
+    vecs = list(base)
+    # plant two near-dup pairs
+    vecs[10] = vecs[3] + rng.normal(scale=1e-3, size=8)
+    vecs[20] = vecs[7] + rng.normal(scale=1e-3, size=8)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(30), type=pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs]),
+            }
+        )
+    )
+    got = sorted(
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in cosine_dup_pairs(ds, threshold=0.99).take_all()
+    )
+    mat = np.stack(vecs)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    want = sorted(
+        (i, j) for i in range(30) for j in range(i + 1, 30) if sims[i, j] >= 0.99
+    )
+    assert got == want
+    assert (3, 10) in got and (7, 20) in got
+
+
+# -------------------------------------------------------- quantile guards
+
+def test_float_quantiles_skip_null_and_nan():
+    """Null/NaN rows are excluded like quantile_disc skips nulls — before
+    the fix a NaN became INT64_MIN in the bin index and poisoned the
+    histogram (ADVICE r3)."""
+    from distributed_text_search_ray.pipelines.relational import float_quantiles
+
+    vals = [float(v) for v in range(1, 101)]
+    dirty = vals + [float("nan")] * 7
+    arr = pa.array(dirty, type=pa.float64())
+    # add genuine nulls too
+    arr = pa.concat_arrays([arr, pa.array([None, None], type=pa.float64())])
+    ds = ray.data.from_arrow(pa.table({"value": arr}))
+    got = {r["q"]: r["value"] for r in float_quantiles(ds, "value").take_all()}
+    # quantile_disc over the 100 clean values: element at rank ceil(q*100)
+    assert got == {0.25: 25.0, 0.5: 50.0, 0.75: 75.0, 0.95: 95.0}
+
+
+def test_grouped_float_quantiles_skip_null_and_nan():
+    from distributed_text_search_ray.pipelines.relational import (
+        grouped_float_quantiles,
+    )
+
+    rows_g = ["a"] * 52 + ["b"] * 43
+    vals = [float(v) for v in range(1, 51)] + [float("nan"), None] + [
+        float(v) for v in range(100, 140)
+    ] + [None, float("nan"), float("inf")]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(rows_g, type=pa.string()),
+                "value": pa.array(vals, type=pa.float64()),
+            }
+        )
+    )
+    out = grouped_float_quantiles(ds, "g", "value").take_all()
+    got = {(r["g"], r["q"]): r["value"] for r in out}
+    # group a: clean values 1..50; group b: clean values 100..139
+    assert got[("a", 0.5)] == 25.0
+    assert got[("a", 0.95)] == 48.0  # ceil(0.95*50)=48
+    assert got[("b", 0.25)] == 109.0  # ceil(0.25*40)=10 -> 109
+    assert got[("b", 0.5)] == 119.0
+
+
+# ------------------------------------------------- regex literal extractor
+
+def test_required_regex_literal_class_leading_bracket():
+    """']' immediately after '[' or '[^' is a literal inside the class —
+    the old scanner closed the class there and extracted a non-required
+    literal (ADVICE r3, medium)."""
+    from distributed_text_search_ray.pipelines.textstats import (
+        _required_regex_literal as lit,
+    )
+
+    assert lit("[]a]x") == "x"
+    assert lit("[^]a]x") == "x"
+    assert lit("foo[]]bar") == "foo"
+    # unchanged behavior on ordinary classes
+    assert lit("cust[a-z]*") == "cust"
+    assert lit("[0-9]+") is None
+    assert lit("plain_literal") == "plain_literal"
+
+
+def test_regex_counts_indexed_class_leading_bracket(built_index_r3):
+    """End-to-end: a pattern whose class starts with ']' must count the
+    same docs through the index-pruned path as through a direct scan."""
+    import re
+
+    from distributed_text_search_ray.pipelines.textstats import (
+        regex_match_counts,
+        regex_match_counts_indexed,
+    )
+    from tests.conftest import corpus_docs
+
+    corpus_dir, index_dir = built_index_r3
+    docs = corpus_docs(corpus_dir)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                "content": pa.array([t for _, t in docs], type=pa.string()),
+            }
+        )
+    )
+    # matches either a literal ']e' or 'ae' — 'a' alone is NOT required
+    queries = [(0, "[]a]e"), (1, "[^]x]def")]
+    scan = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in regex_match_counts(ds, queries).take_all()
+    }
+    idx = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in regex_match_counts_indexed(index_dir, ds, queries).take_all()
+    }
+    assert scan == idx
+    # sanity: the patterns actually match something in the corpus
+    assert sum(scan.values()) > 0
+
+
+# ----------------------------------------------------------- agg_rename
+
+def test_agg_rename_is_position_independent():
+    from distributed_text_search_ray.util import agg_rename
+
+    g = (
+        pa.table({"k": ["a", "a", "b"], "v": [1, 2, 3]})
+        .group_by("k")
+        .aggregate([("v", "sum"), ("v", "count")])
+    )
+    out = agg_rename(g, ["k"], [("v", "sum"), ("v", "count")], ["s", "n"])
+    assert out.column_names == ["k", "s", "n"]
+    assert out.sort_by("k").to_pydict() == {
+        "k": ["a", "b"],
+        "s": [3, 3],
+        "n": [2, 1],
+    }
+    # a keys-LAST layout (older pyarrow) still resolves correctly
+    shuffled = g.select(
+        [n for n in g.column_names if n != "k"] + ["k"]
+    )
+    out2 = agg_rename(shuffled, ["k"], [("v", "sum"), ("v", "count")], ["s", "n"])
+    assert out2.sort_by("k").to_pydict() == out.sort_by("k").to_pydict()
+
+
+# ------------------------------------------------ near-dedup default path
+
+def test_near_dedup_filter_default_is_anti_join():
+    import inspect
+
+    from distributed_text_search_ray.pipelines.dedup import near_dedup_filter
+
+    sig = inspect.signature(near_dedup_filter)
+    assert sig.parameters["anti_join"].default is True
