@@ -245,7 +245,10 @@ def phrase_search_positional(
         _PhrasePositionalExecutor,
         fn_constructor_kwargs={"index_dir": index_dir},
         batch_format="pyarrow",
-        batch_size=8,
+        # one query per task: positional decode is the heavy unit of work
+        # (a stopword-dense query decodes millions of positions), so a
+        # small query batch must still fan out across the whole actor pool
+        batch_size=1,
         concurrency=resolve_concurrency(concurrency),
     )
 
@@ -450,7 +453,9 @@ def proximity_search(
         _ProximityExecutor,
         fn_constructor_kwargs={"index_dir": index_dir, "max_span": max_span},
         batch_format="pyarrow",
-        batch_size=8,
+        # one query per task — same fan-out rationale as the positional
+        # phrase stage above
+        batch_size=1,
         concurrency=resolve_concurrency(concurrency),
     )
 
