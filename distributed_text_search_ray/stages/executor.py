@@ -182,10 +182,20 @@ class IndexView:
         tfs = np.concatenate([c[1] for c in chunks])
         pos = np.concatenate([c[2] for c in chunks])
         if len(chunks) > 1 and (np.diff(docs) <= 0).any():
+            # permute each posting's position run with its posting — one
+            # vectorized gather, NOT a per-posting slice loop (a salted hot
+            # term has df posting groups; the loop version built millions of
+            # tiny arrays and dominated proximity/phrase wall at 1M+ docs)
             order = np.argsort(docs, kind="stable")
-            bounds = np.concatenate(([0], np.cumsum(tfs)))
-            pos = np.concatenate([pos[bounds[i] : bounds[i + 1]] for i in order])
-            docs, tfs = docs[order], tfs[order]
+            bounds = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+            new_tfs = tfs[order]
+            out_starts = np.concatenate(([0], np.cumsum(new_tfs)[:-1]))
+            total = int(new_tfs.sum())
+            take = np.repeat(bounds[order], new_tfs) + (
+                np.arange(total, dtype=np.int64) - np.repeat(out_starts, new_tfs)
+            )
+            pos = pos[take]
+            docs, tfs = docs[order], new_tfs
         if len(self.deleted) and len(docs):
             p = np.searchsorted(self.deleted, docs)
             p_c = np.minimum(p, len(self.deleted) - 1)
