@@ -1098,6 +1098,89 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 def oracle_sql() -> dict[str, str]:
     bm25 = _BM25_SQL.format(queries=_values(BM25_QUERIES))
 
+    # hybrid RRF (sparse BM25 + dense hashed-vector cosine): both sides are
+    # deterministic, so the WHOLE fusion is SQL-expressible. The dense side
+    # recomputes the feature-hashed vectors from documents (hash_slot:
+    # bucket = md5_number_lower % dim, sign from md5 bit 63 — md5_u64 is
+    # bit-equal to DuckDB md5_number_lower); both rank lists order by the
+    # 6-dp-rounded score desc, doc_id asc per the engine's determinism
+    # contract (pipelines/search.py hybrid_search_topk docstring).
+    _HY_DIM, _HY_M, _HY_RRF = 16, 4 * BM25_TOPK, 60
+    _sgn = (
+        "sum(CASE WHEN (md5_number_lower(term) >> 63) & 1 = 1"
+        " THEN 1.0 ELSE -1.0 END) s"
+    )
+    hybrid_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+q(query_id, qtext) AS (VALUES {_values(BM25_QUERIES)}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)
+),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+spr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) r
+  FROM sc
+),
+dsl AS (
+  SELECT doc_id, (md5_number_lower(term) % {_HY_DIM})::BIGINT slot, {_sgn}
+  FROM tok GROUP BY 1, 2
+),
+dn AS (SELECT doc_id, sqrt(sum(s * s)) n FROM dsl GROUP BY 1),
+qtok AS (SELECT query_id, t.term FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)),
+qsl AS (
+  SELECT query_id, (md5_number_lower(term) % {_HY_DIM})::BIGINT slot, {_sgn}
+  FROM qtok GROUP BY 1, 2
+),
+qn AS (SELECT query_id, sqrt(sum(s * s)) n FROM qsl GROUP BY 1),
+dotp AS (
+  SELECT qsl.query_id, dsl.doc_id, sum(dsl.s * qsl.s) dp
+  FROM dsl JOIN qsl USING (slot) GROUP BY 1, 2
+),
+cosall AS (
+  SELECT q.query_id, d.doc_id,
+         round(coalesce(dotp.dp / (dn.n * qn.n), 0), 6) cosine
+  FROM q JOIN qn ON qn.query_id = q.query_id AND qn.n > 0
+  CROSS JOIN documents d
+  LEFT JOIN dn ON dn.doc_id = d.doc_id
+  LEFT JOIN dotp ON dotp.query_id = q.query_id AND dotp.doc_id = d.doc_id
+),
+dnr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) r
+  FROM cosall
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / ({_HY_RRF} + r) c FROM spr WHERE r <= {_HY_M}
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / ({_HY_RRF} + r) FROM dnr WHERE r <= {_HY_M}
+),
+fused AS (SELECT query_id, doc_id, round(sum(c), 6) rrf FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) rank,
+         doc_id, rrf
+  FROM fused
+)
+SELECT query_id, rank, doc_id, rrf FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
     # filtered search: same global df/N/avgdl (scores unchanged), scored doc
     # set restricted to lang='es' — splice the restriction into the sc CTE
     bm25_filtered = bm25.replace(
@@ -2313,8 +2396,8 @@ FROM walk
         "corpus_rollup": corpus_rollup_sql,
         "events_window_1h": events,
         "events_hopping": hopping,
-        # media_features, near_dedup, pack_sequences, kmeans_clusters,
-        # doc_clusters, hybrid_topk: not
-        # SQL-expressible (media codec stubs, LSH banding, stateful packing,
-        # iterative Lloyd refinement) -> rows-only
+        "hybrid_topk": hybrid_sql,
+        # media_features, near_dedup, kmeans_clusters, doc_clusters: not
+        # SQL-expressible (media codec stubs, LSH banding, iterative Lloyd
+        # refinement) -> rows-only
     }

@@ -871,6 +871,14 @@ def hybrid_search_topk(
     over each side's top ``fetch_k`` (default 4k) candidates, missing side
     contributing nothing — the standard RRF formulation (Cormack et al.).
 
+    Determinism contract (what makes the fusion SQL-oracle-checkable):
+    BOTH input rankings order by their score ROUNDED to 6 dp, descending,
+    ties by doc_id ascending — the dense side already ranks that way
+    (``_merge_topk_factory``); the sparse side fetches ``2 * fetch_k`` raw
+    candidates and re-ranks them rounded before the cut, so an ulp-level
+    score difference between two float summation orders can never flip a
+    fused rank.
+
     The dense side needs no model: documents AND queries embed through the
     deterministic feature-hashing vectorizer (``textstats.hash_slot``
     scheme) USING THE INDEX'S ANALYZER, so both sides rank over the same
@@ -897,7 +905,21 @@ def hybrid_search_topk(
     m = fetch_k or 4 * k
     analyzer = IndexView(index_dir).cfg.analyzer
 
-    sparse = search_topk(index_dir, qlist, topk=m, concurrency=concurrency).take_all()
+    # fetch 2m raw, re-rank by (round(score, 6) desc, doc_id asc), cut to m
+    # — see the determinism contract in the docstring
+    sparse_raw = search_topk(
+        index_dir, qlist, topk=2 * m, concurrency=concurrency
+    ).take_all()
+    sparse_by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in sparse_raw:
+        sparse_by_q.setdefault(int(r["query_id"]), []).append(
+            (float(round_half_away(np.float64(r["score"]), 6)), int(r["doc_id"]))
+        )
+    sparse = []
+    for qid, lst in sparse_by_q.items():
+        ranked = sorted(lst, key=lambda t: (-t[0], t[1]))[:m]
+        for rank, (_s, doc) in enumerate(ranked, start=1):
+            sparse.append({"query_id": qid, "doc_id": doc, "rank": rank})
 
     qvecs = []
     for qid, text in qlist:

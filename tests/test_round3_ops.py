@@ -765,7 +765,13 @@ def test_hybrid_search_matches_composed_oracle(built_index_r3):
     expected = []
     for qid, qtext in queries:
         rrf: dict[int, float] = {}
-        for rank, doc, _s in topk(bm25_scores(idx, tk.tokens(qtext)), M):
+        # mirror the engine's determinism contract: sparse side ranks by
+        # the 6-dp-rounded BM25 score desc, doc_id asc
+        rounded = {
+            d: float(round_half_away(np.float64(s), 6))
+            for d, s in bm25_scores(idx, tk.tokens(qtext)).items()
+        }
+        for rank, doc, _s in topk(rounded, M):
             rrf[doc] = rrf.get(doc, 0.0) + 1.0 / (RRF + rank)
         qv = hvec(qtext)
         # mirror ann_brute_topk exactly: round_half_away(raw cosine, 6)
