@@ -605,10 +605,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dup_span_edit(_docs_ds(sf_dir))
 
     def near_dedup(sf_dir):
-        # rows-only (LSH band hashes are not SQL-expressible); correctness
-        # pinned by test_near_dedup_filter_keeps_one_per_cluster
+        # gate runs the recall-EXACT bucket="shingle" config (buckets are
+        # the shingles themselves, so the survivor set is deterministic and
+        # SQL-twinnable — the ANN probe-all pattern); the LSH default stays
+        # recall-tested in test_near_dedup_filter_keeps_one_per_cluster
         return dedup.near_dedup_filter(
-            _docs_ds(sf_dir), threshold=0.5, bands=32
+            _docs_ds(sf_dir), threshold=0.5, bucket="shingle"
         ).select_columns(["doc_id"])
 
     def contamination(sf_dir):
@@ -1693,6 +1695,39 @@ WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= {threshold}
          WHEN len({l}) >= 1 THEN [array_to_string({l}, chr(31))]
          ELSE [] END"""
 
+    # near_dedup gate (bucket="shingle" recall-exact config): anchor = min
+    # doc_id per shingle bucket; a doc is DROPPED iff its exact shingle-
+    # Jaccard to any of its anchors reaches the threshold; survivors =
+    # everything else, including zero-token docs (they hold no shingles so
+    # they are never bucketed). Mirrors pipelines/dedup.py near_dedup_filter
+    # with bucket="shingle" step for step.
+    near_dedup_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+sh AS (SELECT doc_id, {_SHINGLE_CASE.format(l="l")} shingles FROM toks),
+ds AS (SELECT DISTINCT doc_id, s.shingle FROM sh, unnest(shingles) AS s(shingle)),
+anch AS (SELECT shingle, min(doc_id) a FROM ds GROUP BY 1),
+edges AS (
+  SELECT DISTINCT anch.a doc_a, ds.doc_id doc_b
+  FROM ds JOIN anch USING (shingle) WHERE ds.doc_id <> anch.a
+),
+sizes AS (SELECT doc_id, count(*) sz FROM ds GROUP BY 1),
+inter AS (
+  SELECT e.doc_a, e.doc_b, count(*) i
+  FROM edges e
+  JOIN ds x ON x.doc_id = e.doc_a
+  JOIN ds y ON y.doc_id = e.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= 0.5
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+"""
+
     dup_spans_sql = f"""
 WITH toks AS (
   SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
@@ -2397,7 +2432,8 @@ FROM walk
         "events_window_1h": events,
         "events_hopping": hopping,
         "hybrid_topk": hybrid_sql,
-        # media_features, near_dedup, kmeans_clusters, doc_clusters: not
-        # SQL-expressible (media codec stubs, LSH banding, iterative Lloyd
-        # refinement) -> rows-only
+        "near_dedup": near_dedup_sql,
+        # media_features, kmeans_clusters, doc_clusters: not
+        # SQL-expressible (media codec stubs, iterative Lloyd refinement)
+        # -> rows-only
     }

@@ -536,9 +536,26 @@ def near_dedup_filter(
     pair_partitions: int = 64,
     join_partitions: int = 4,
     anti_join: bool = True,
+    bucket: str = "lsh",
 ) -> ray.data.Dataset:
     """Near-duplicate-FILTERED corpus: keep one representative per near-dup
     cluster. Returns the surviving (doc_id, content) rows.
+
+    ``bucket`` picks the candidate-bucket scheme:
+
+    - ``"lsh"`` (default, the 100 TB path): MinHash band hashes —
+      O(bands) rows per doc, probabilistic recall tuned by
+      (num_perm, bands, threshold).
+    - ``"shingle"``: the bucket IS the n-gram shingle — recall-EXACT for
+      any threshold > 0 (a pair with positive Jaccard shares a shingle by
+      definition), which makes the whole operator's survivor set
+      deterministic and SQL-oracle-checkable (the exactness-forcing gate
+      config, same pattern as the ANN probe-all configs). Costs O(windows)
+      bucket rows and makes boilerplate shingles high-degree anchors, so
+      it is the CONFORMANCE configuration, not the scale default.
+
+    Identical downstream in both modes: per-bucket min-doc anchor edges,
+    exact shingle-Jaccard verification, min-anchored drop.
 
     Why this exists next to ``minhash_lsh_pairs``: on duplicate-heavy
     corpora the all-pairs output is Θ(Σ cluster²) — measured 1.16e9
@@ -556,12 +573,48 @@ def near_dedup_filter(
     Verification reuses the single-join gather of ``minhash_lsh_pairs``;
     everything stays distributed (no O(corpus) driver state)."""
     analyzer = analyzer or AnalyzerConfig()
-    _bander = _MinhashBands(
-        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
-        analyzer=analyzer, pair_partitions=pair_partitions,
-    )
+    if bucket == "shingle":
 
-    band_rows = docs.map_batches(lambda b: _bander(b), batch_format="pyarrow")
+        def shingle_bucket_rows(batch: pa.Table) -> pa.Table:
+            tk = tokenizer_for(analyzer)
+            hs, ids = [], []
+            for doc_id, text in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("content").to_pylist(),
+            ):
+                sh = shingle_hashes(tk.tokens(text), shingle_n)
+                if sh.size:
+                    hs.append(sh)
+                    ids.append(np.full(sh.size, doc_id, dtype=np.int64))
+            if hs:
+                # int63 mask mirrors the LSH band_hash column type; a masked
+                # collision only merges two buckets, and the exact-Jaccard
+                # verify keeps the survivor set correct either way
+                flat = (
+                    np.concatenate(hs) & np.uint64(0x7FFFFFFFFFFFFFFF)
+                ).astype(np.int64)
+                doc_rep = np.concatenate(ids)
+            else:
+                flat = np.empty(0, dtype=np.int64)
+                doc_rep = np.empty(0, dtype=np.int64)
+            return pa.table(
+                {
+                    "part": pa.array(
+                        (flat % pair_partitions).astype(np.int32), type=pa.int32()
+                    ),
+                    "band_hash": pa.array(flat, type=pa.int64()),
+                    "doc_id": pa.array(doc_rep, type=pa.int64()),
+                }
+            )
+
+        band_rows = docs.map_batches(shingle_bucket_rows, batch_format="pyarrow")
+    else:
+        _bander = _MinhashBands(
+            num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+            analyzer=analyzer, pair_partitions=pair_partitions,
+        )
+
+        band_rows = docs.map_batches(lambda b: _bander(b), batch_format="pyarrow")
 
     def anchor_edges(group: pa.Table) -> pa.Table:
         keys = group.column("band_hash").to_numpy()

@@ -196,3 +196,69 @@ def test_near_dedup_filter_default_is_anti_join():
 
     sig = inspect.signature(near_dedup_filter)
     assert sig.parameters["anti_join"].default is True
+
+
+# ------------------------------------- near-dedup recall-exact shingle mode
+
+def test_near_dedup_shingle_bucket_matches_python_oracle():
+    """bucket="shingle" (the SQL-gated conformance config) == a pure-Python
+    replay of the rule: anchor = min doc per distinct trigram shingle; a doc
+    is dropped iff exact shingle-Jaccard to any of its anchors >= threshold.
+    """
+    from distributed_text_search_ray.functions.hashing import shingle_hashes
+    from distributed_text_search_ray.functions.tokenize import tokenizer_for
+    from distributed_text_search_ray.pipelines.dedup import near_dedup_filter
+
+    rng = np.random.default_rng(11)
+    ids, texts = [], []
+    # near-dup clusters, singletons, a zero-token doc, sub-3-token docs
+    for g in range(12):
+        base = [f"c{g}t{k}" for k in range(20)]
+        for v in range(3):
+            words = list(base)
+            if v:
+                words[int(rng.integers(0, 20))] = f"c{g}v{v}x"
+            ids.append(g * 10 + v)
+            texts.append(" ".join(words))
+    ids += [900, 901, 902, 903]
+    texts += ["", "one", "two tokens", "solo words only here"]
+    THRESH = 0.5
+
+    tk = tokenizer_for(None)
+    sets = {d: set(shingle_hashes(tk.tokens(t), 3).tolist()) for d, t in zip(ids, texts)}
+    anchor: dict[int, int] = {}
+    for d in sorted(ids):
+        for s in sets[d]:
+            anchor.setdefault(s, d)
+    dropped = set()
+    for d in ids:
+        for s in sets[d]:
+            a = anchor[s]
+            if a == d:
+                continue
+            inter = len(sets[a] & sets[d])
+            union = len(sets[a] | sets[d])
+            if union and inter / union >= THRESH:
+                dropped.add(d)
+                break
+    want = sorted(set(ids) - dropped)
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in near_dedup_filter(
+            ds, threshold=THRESH, bucket="shingle", pair_partitions=16
+        ).take_all()
+    )
+    assert kept == want
+    # the planted structure itself: one representative per cluster plus all
+    # the shingle-less / tiny docs survive
+    assert set(g * 10 for g in range(12)) <= set(kept)
+    assert {900, 901, 902, 903} <= set(kept)
