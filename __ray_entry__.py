@@ -888,11 +888,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kmeans_clusters(sf_dir):
         import ray.data
 
+        # gate runs the deterministic conformance config (first-k init +
+        # 9-dp centroid rounding per iteration — SQL-twinnable trajectory);
+        # the kmeans++ seeded default stays differential-tested in pytest
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        return ann.kmeans_clusters(ds, n_clusters=8, iters=3)
+        return ann.kmeans_clusters(
+            ds, n_clusters=8, iters=3, init="first_k", round_dp=9
+        )
 
     def doc_clusters(sf_dir):
-        return textstats.doc_clusters(_docs_ds(sf_dir), n_clusters=6, iters=3)
+        return textstats.doc_clusters(
+            _docs_ds(sf_dir), n_clusters=6, iters=3, init="first_k", round_dp=9
+        )
 
     def events_hopping(sf_dir):
         return relational.events_hopping_window(sf_dir, width_minutes=60, hop_minutes=15)
@@ -1095,6 +1102,61 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
+
+
+def _kmeans_sql(xn_ctes: str, k: int, iters: int, dim: int, id_col: str) -> str:
+    """DuckDB twin of ``ann.kmeans_clusters(init="first_k", round_dp=9)``:
+    the fixed iteration count unrolls into plain chained CTEs (assignment =
+    max inner product over unit centroids, cluster-asc ties; update = per-
+    coordinate mean, renormalized, ROUNDED to 9 dp — the same rounding the
+    engine applies, which is what makes two float summation orders agree).
+    ``xn_ctes`` must define ``xn(vec_id, x)`` with x a length-``dim``
+    L2-normalized DOUBLE[] (zero vectors stay zero)."""
+    parts = [xn_ctes]
+    parts.append(f"""
+cent0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT "cluster",
+         list_transform(x, v -> round(v, 9)) c
+  FROM (SELECT vec_id, x FROM xn ORDER BY vec_id LIMIT {k})
+)""")
+    for q in range(1, iters + 1):
+        p = q - 1
+        parts.append(f"""
+asg{q} AS (
+  SELECT vec_id, x, "cluster" FROM (
+    SELECT xn.vec_id, xn.x, c."cluster",
+           row_number() OVER (PARTITION BY xn.vec_id
+                              ORDER BY list_inner_product(xn.x, c.c) DESC, c."cluster") rn
+    FROM xn CROSS JOIN cent{p} c
+  ) WHERE rn = 1
+),
+agg{q} AS (
+  SELECT "cluster", i.i AS d, sum(x[i.i]) / count(*) mv
+  FROM asg{q}, unnest(generate_series(1, {dim})) AS i(i)
+  GROUP BY 1, 2
+),
+nrm{q} AS (SELECT "cluster", sqrt(sum(mv * mv)) n FROM agg{q} GROUP BY 1),
+cn{q} AS (
+  SELECT agg{q}."cluster", list(round(mv / greatest(n, 1e-30), 9) ORDER BY d) c
+  FROM agg{q} JOIN nrm{q} USING ("cluster") GROUP BY agg{q}."cluster", nrm{q}.n
+),
+cent{q} AS (
+  SELECT c0."cluster", coalesce(cn{q}.c, c0.c) c
+  FROM cent{p} c0 LEFT JOIN cn{q} USING ("cluster")
+)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT vec_id AS {id_col}, "cluster", round(sim, 6) AS cosine
+FROM (
+  SELECT xn.vec_id, c."cluster", list_inner_product(xn.x, c.c) sim,
+         row_number() OVER (PARTITION BY xn.vec_id
+                            ORDER BY list_inner_product(xn.x, c.c) DESC, c."cluster") rn
+  FROM xn CROSS JOIN cent{iters} c
+) WHERE rn = 1
+"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1727,6 +1789,52 @@ dropped AS (
 )
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
 """
+
+    # kmeans_clusters gate (first_k init + 9-dp centroid rounding): spherical
+    # Lloyd's over the embeddings table, unrolled to 3 iterations
+    kmeans_sql = _kmeans_sql(
+        """
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+xn AS (
+  SELECT vec_id,
+         list_transform(e, v -> v / greatest(sqrt(list_inner_product(e, e)), 1e-30)) x
+  FROM emb
+)""",
+        k=8,
+        iters=3,
+        dim=64,
+        id_col="vec_id",
+    )
+
+    # doc_clusters gate: same k-means twin over the feature-hashed TF
+    # vectors recomputed from documents (hash_slot = md5_number_lower % 64,
+    # sign from md5 bit 63 — the hybrid oracle's scheme at dim 64);
+    # zero-token docs become zero vectors and follow cluster-asc ties
+    doc_clusters_sql = _kmeans_sql(
+        f"""
+{_TOK_CTE},
+dsl64 AS (
+  SELECT doc_id, (md5_number_lower(term) % 64)::BIGINT slot, {_sgn}
+  FROM tok GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.doc_id, i.i - 1 AS slot
+  FROM documents d, unnest(generate_series(1, 64)) AS i(i)
+),
+dense AS (
+  SELECT g.doc_id, g.slot, coalesce(dsl64.s, 0.0) s
+  FROM grid g LEFT JOIN dsl64 ON dsl64.doc_id = g.doc_id AND dsl64.slot = g.slot
+),
+dnorm64 AS (SELECT doc_id, sqrt(sum(s * s)) n FROM dense GROUP BY 1),
+xn AS (
+  SELECT dense.doc_id AS vec_id, list(s / greatest(n, 1e-30) ORDER BY slot) x
+  FROM dense JOIN dnorm64 USING (doc_id) GROUP BY dense.doc_id, dnorm64.n
+)""",
+        k=6,
+        iters=3,
+        dim=64,
+        id_col="doc_id",
+    )
 
     dup_spans_sql = f"""
 WITH toks AS (
@@ -2433,7 +2541,8 @@ FROM walk
         "events_hopping": hopping,
         "hybrid_topk": hybrid_sql,
         "near_dedup": near_dedup_sql,
-        # media_features, kmeans_clusters, doc_clusters: not
-        # SQL-expressible (media codec stubs, iterative Lloyd refinement)
-        # -> rows-only
+        "kmeans_clusters": kmeans_sql,
+        "doc_clusters": doc_clusters_sql,
+        # media_features: not SQL-expressible (binary media codecs) ->
+        # rows-only, the single remaining ungated entry
     }

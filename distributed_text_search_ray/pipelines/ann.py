@@ -394,6 +394,8 @@ def kmeans_clusters(
     column: str = "embedding",
     fit_sample: int = 10_000,
     concurrency=None,
+    init: str = "kmeanspp",
+    round_dp: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed Lloyd's k-means over the FULL embedding table (spherical:
     vectors L2-normalized, assignment by max cosine) — unlike ``kmeans_fit``,
@@ -420,19 +422,48 @@ def kmeans_clusters(
 
     Output: (vec_id, cluster, cosine) — cosine to the final centroid,
     rounded to 6 dp.
+
+    Conformance mode (the SQL-gateable configuration, same pattern as the
+    ANN probe-all configs): ``init="first_k"`` seeds centroids with the
+    normalized vectors of the k SMALLEST vec_ids (found with a bounded
+    per-batch partial min-k, no sort/shuffle), and ``round_dp`` rounds
+    every centroid coordinate after init and after each update, so the
+    whole trajectory is deterministic across batch layouts AND
+    reproducible by a DuckDB twin (a raw double mean depends on summation
+    order in its last ulp; rounding at 9 dp makes the two systems agree
+    except when a mean sits within ~1e-16 of a rounding boundary).
     """
     import math
 
     import pyarrow.compute as pc
 
-    n_total = embeddings.count()
-    if n_total > fit_sample:
-        frac = min(1.0, fit_sample / n_total)
-        sample = embeddings.random_sample(frac, seed=seed).limit(fit_sample).take_all()
+    from distributed_text_search_ray.util import round_half_away
+
+    if init == "first_k":
+        def pmin(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            keep = np.argsort(ids, kind="stable")[:n_clusters]
+            return batch.take(pa.array(keep))
+
+        firsts = sorted(
+            embeddings.select_columns(["vec_id", column])
+            .map_batches(pmin, batch_format="pyarrow")
+            .take_all(),
+            key=lambda r: r["vec_id"],
+        )[:n_clusters]
+        X0 = np.array([r[column] for r in firsts], dtype=np.float64)
+        C = X0 / np.maximum(np.linalg.norm(X0, axis=1, keepdims=True), 1e-30)
     else:
-        sample = embeddings.take_all()
-    Xs = np.array([r[column] for r in sample], dtype=np.float64)
-    C = kmeans_fit(Xs, n_clusters, seed=seed, iters=0)
+        n_total = embeddings.count()
+        if n_total > fit_sample:
+            frac = min(1.0, fit_sample / n_total)
+            sample = embeddings.random_sample(frac, seed=seed).limit(fit_sample).take_all()
+        else:
+            sample = embeddings.take_all()
+        Xs = np.array([r[column] for r in sample], dtype=np.float64)
+        C = kmeans_fit(Xs, n_clusters, seed=seed, iters=0)
+    if round_dp is not None:
+        C = round_half_away(C, round_dp)
     k = len(C)
 
     for _ in range(iters):
@@ -487,6 +518,8 @@ def kmeans_clusters(
             if r["cnt"]:
                 c = np.asarray(r["vec_sum"], dtype=np.float64) / r["cnt"]
                 C[int(r["cluster"])] = c / max(np.linalg.norm(c), 1e-30)
+        if round_dp is not None:
+            C = round_half_away(C, round_dp)
 
     C_final = C
 

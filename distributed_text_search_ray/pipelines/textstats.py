@@ -962,6 +962,8 @@ def doc_clusters(
     dim: int = 64,
     seed: int = 42,
     analyzer: AnalyzerConfig | None = None,
+    init: str = "kmeanspp",
+    round_dp: int | None = None,
 ) -> ray.data.Dataset:
     """Topic-bucket the corpus: feature-hashed TF vectors -> distributed
     spherical k-means. Output (doc_id, cluster, cosine).
@@ -976,7 +978,10 @@ def doc_clusters(
     from distributed_text_search_ray.pipelines.ann import kmeans_clusters
 
     vecs = hashed_doc_vectors(docs, dim=dim, analyzer=analyzer).materialize()
-    out = kmeans_clusters(vecs, n_clusters=n_clusters, iters=iters, seed=seed)
+    out = kmeans_clusters(
+        vecs, n_clusters=n_clusters, iters=iters, seed=seed,
+        init=init, round_dp=round_dp,
+    )
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(

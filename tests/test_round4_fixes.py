@@ -262,3 +262,54 @@ def test_near_dedup_shingle_bucket_matches_python_oracle():
     # the shingle-less / tiny docs survive
     assert set(g * 10 for g in range(12)) <= set(kept)
     assert {900, 901, 902, 903} <= set(kept)
+
+
+# -------------------------------------- k-means deterministic conformance
+
+def test_kmeans_first_k_round_dp_matches_numpy_replay():
+    """init="first_k" + round_dp=9 (the SQL-gated conformance config) == a
+    single-matrix numpy replay of the rounded spherical-Lloyd trajectory,
+    bit-for-bit on (vec_id, cluster, cosine) regardless of block layout."""
+    from distributed_text_search_ray.pipelines.ann import kmeans_clusters
+    from distributed_text_search_ray.util import round_half_away
+
+    rng = np.random.default_rng(7)
+    K, DIM, N, ITERS = 4, 8, 300, 3
+    centers = rng.normal(size=(K, DIM)) * 3
+    X = np.concatenate(
+        [centers[i % K] + rng.normal(size=DIM) * 0.4 for i in range(N)]
+    ).reshape(N, DIM)
+    ids = np.arange(100, 100 + N, dtype=np.int64)
+
+    # numpy replay of the documented trajectory
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    C = round_half_away(Xn[:K].copy(), 9)  # k smallest vec_ids are rows 0..K-1
+    for _ in range(ITERS):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        C = C.copy()
+        for j in range(K):
+            m = assign == j
+            if m.any():
+                c = Xn[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-30)
+        C = round_half_away(C, 9)
+    assign = np.argmax(Xn @ C.T, axis=1)
+    cosine = round_half_away(Xn[np.arange(N), :] @ C.T, 6)[np.arange(N), assign]
+    want = sorted(zip(ids.tolist(), assign.tolist(), cosine.tolist()))
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(X.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(7)  # odd block layout must not change the trajectory
+    got = sorted(
+        (r["vec_id"], r["cluster"], r["cosine"])
+        for r in kmeans_clusters(
+            ds, n_clusters=K, iters=ITERS, init="first_k", round_dp=9
+        ).take_all()
+    )
+    assert got == want
+    assert len(set(a for _, a, _ in got)) > 1  # actually clusters
