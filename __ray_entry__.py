@@ -1011,8 +1011,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_corpus": curated_corpus,
         "exact_dedup": exact_dedup,
         "dedup_filter": dedup_filter,
-        "top_terms": top_terms,
-        # --- never-driver-checked through r3, rows-only (no SQL oracle)
+        # newly SQL-gated in r4 (recall-exact shingle-bucket config) —
+        # needs a first-50 slot for its first driver-verified row
+        "near_dedup": near_dedup,
+        # --- never-driver-checked through r3 (SQL-gated in r4) ---
         "kmeans_clusters": kmeans_clusters,
         "hybrid_topk": hybrid_topk,
         "doc_clusters": doc_clusters,
@@ -1048,8 +1050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top20": bigram_top20,
         "distinct_terms_kmv": distinct_terms_kmv,
         "top_docs_lang": top_docs_lang,
+        "top_terms": top_terms,  # 3 sibling dictionary queries stay in the first 50
         # rows-only (no SQL oracle) — deliberately last
-        "near_dedup": near_dedup,
         "media_features": media_features,
     }
 
