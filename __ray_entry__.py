@@ -188,16 +188,21 @@ def _vectors_for(sf_dir: str, dim: int = 16) -> str:
     import shutil
 
     from distributed_text_search_ray.pipelines.textstats import hashed_doc_vectors
+    from distributed_text_search_ray.stages.executor import IndexView
 
-    _index_for(sf_dir)  # ensures the resharded corpus + source.json exist
+    index_dir = _index_for(sf_dir)  # ensures resharded corpus + source.json
+    # Vectorize with the INDEX's analyzer (the same one hybrid_search_topk
+    # uses to embed queries) and key the cache on its fingerprint — default-
+    # analyzer vectors must not survive an analyzer change in _index_for.
+    analyzer = IndexView(index_dir).cfg.analyzer
     key = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(_CACHE_ROOT, key)
     vec_dir = os.path.join(root, f"vectors_dim{dim}")
     marker = vec_dir + ".json"
     with open(os.path.join(root, "source.json")) as f:
         sig = json.load(f)
-    sig = dict(sig, dim=dim)
-    if os.path.exists(marker):
+    sig = dict(sig, dim=dim, analyzer=analyzer.fingerprint())
+    if os.path.exists(marker) and os.path.isdir(vec_dir):
         with open(marker) as f:
             if json.load(f) == sig:
                 return vec_dir
@@ -209,7 +214,7 @@ def _vectors_for(sf_dir: str, dim: int = 16) -> str:
     docs = ray.data.read_parquet(
         corpus_files(os.path.join(root, "corpus")), columns=["doc_id", "content"]
     )
-    hashed_doc_vectors(docs, dim=dim).write_parquet(vec_dir)
+    hashed_doc_vectors(docs, dim=dim, analyzer=analyzer).write_parquet(vec_dir)
     with open(marker, "w") as f:
         json.dump(sig, f)
     return vec_dir

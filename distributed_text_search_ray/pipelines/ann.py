@@ -146,7 +146,12 @@ def cosine_dup_pairs(
     norm = embeddings.select_columns(["vec_id", column]).materialize()
     n_rows = norm.count()
     target = tile_block_count(n_rows)
-    if norm.num_blocks() > target or n_rows > _TILE_ROWS_PER_BLOCK * norm.num_blocks():
+    # Always even out to exactly `target` blocks: the upstream layout may be
+    # skewed (one hot block after a filter holds O(N) rows even when the
+    # AVERAGE is fine), and repartition is one linear pass next to the
+    # O(N^2) tile compute. This is also what enforces the floor-64 fan-out
+    # for small single-block inputs.
+    if norm.num_blocks() != target:
         norm = norm.repartition(target).materialize()
     blocks = norm.to_arrow_refs()
     tasks = [(i, j) for i in range(len(blocks)) for j in range(i, len(blocks))]
@@ -156,6 +161,8 @@ def cosine_dup_pairs(
         for i, j in zip(batch.column("i").to_pylist(), batch.column("j").to_pylist()):
             A = _ray.get(blocks[i])
             Bt = _ray.get(blocks[j])
+            if A.num_rows == 0 or Bt.num_rows == 0:
+                continue  # repartition pads small inputs with empty blocks
             ids_a = A.column("vec_id").to_numpy()
             ids_b = Bt.column("vec_id").to_numpy()
             An = _batch_matrix(A, column)

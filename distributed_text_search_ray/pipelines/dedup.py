@@ -587,9 +587,12 @@ def near_dedup_filter(
                     hs.append(sh)
                     ids.append(np.full(sh.size, doc_id, dtype=np.int64))
             if hs:
-                # int63 mask mirrors the LSH band_hash column type; a masked
-                # collision only merges two buckets, and the exact-Jaccard
-                # verify keeps the survivor set correct either way
+                # int63 mask mirrors the LSH band_hash column type. A masked
+                # collision (~2^-63 per shingle pair) merges two buckets and
+                # can move a bucket's min-doc anchor, so an edge between true
+                # co-members may be missed — the exact-Jaccard verify keeps
+                # every EMITTED edge correct, but "recall-exact" holds only
+                # up to that hash collision probability
                 flat = (
                     np.concatenate(hs) & np.uint64(0x7FFFFFFFFFFFFFFF)
                 ).astype(np.int64)

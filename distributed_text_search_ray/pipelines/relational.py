@@ -617,10 +617,28 @@ def user_event_gaps(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
-def _drop_non_finite(column: str):
-    """Batch filter dropping null/NaN/inf rows of ``column`` — the quantile
-    operators' first stage, keeping every later pass's bin math and rank
-    bookkeeping defined (DuckDB quantile_disc skips nulls the same way)."""
+def _drop_null_nan(column: str):
+    """Batch filter dropping null/NaN rows of ``column`` — the quantile
+    operators' first stage. DuckDB ``quantile_disc`` skips NULLs the same
+    way; NaN is treated as null here (documented divergence: DuckDB orders
+    NaN above +inf). +/-inf rows are KEPT — they are legitimate orderable
+    values that hold ranks; they are counted into rank offsets by the
+    quantile operators and never reach the bin math."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        mask = ~np.isnan(v)
+        if mask.all():
+            return batch
+        return batch.filter(pa.array(mask))
+
+    return f
+
+
+def _keep_finite(column: str):
+    """Batch filter keeping only finite rows — the quantile operators'
+    histogram/candidate passes run over this view so +/-inf never enters
+    the ``(v - lo) / width`` bin computation (inf would become INT64_MIN)."""
 
     def f(batch: pa.Table) -> pa.Table:
         v = batch.column(column).to_numpy(zero_copy_only=False)
@@ -666,21 +684,42 @@ def float_quantiles(
     Output: (q, value) — one row per requested quantile.
 
     Nulls and NaNs are EXCLUDED before any pass (matching DuckDB
-    ``quantile_disc``'s null-skipping; NaN is treated as null) — otherwise
-    a single invalid value becomes INT64_MIN in the bin computation and
-    poisons the histogram/ranks.
+    ``quantile_disc``'s null-skipping; NaN is treated as null — DuckDB
+    itself orders NaN above +inf, the one documented divergence).
+    +/-inf values are legitimate order statistics: they are counted into
+    rank offsets in pass 1 (rank <= #(-inf) answers -inf; rank beyond the
+    finite run answers +inf) and kept OUT of the bin math, which only ever
+    sees finite values.
     """
     import math
 
-    from ray.data.aggregate import Count, Max, Min
+    ds = ds.map_batches(_drop_null_nan(column), batch_format="pyarrow")
 
-    ds = ds.map_batches(_drop_non_finite(column), batch_format="pyarrow")
-    agg = ds.aggregate(Min(column), Max(column), Count())
-    lo, hi, n = agg[f"min({column})"], agg[f"max({column})"], agg["count()"]
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy()
+        fin = v[np.isfinite(v)]
+        return pa.table(
+            {
+                "fmin": pa.array([float(fin.min()) if fin.size else math.inf]),
+                "fmax": pa.array([float(fin.max()) if fin.size else -math.inf]),
+                "nf": pa.array([int(fin.size)], type=pa.int64()),
+                "nneg": pa.array([int(np.count_nonzero(np.isneginf(v)))], type=pa.int64()),
+                "npos": pa.array([int(np.count_nonzero(np.isposinf(v)))], type=pa.int64()),
+            }
+        )
+
+    lo, hi, n_fin, n_neg, n_pos = math.inf, -math.inf, 0, 0, 0
+    for r in ds.map_batches(stats_partial, batch_format="pyarrow").take_all():
+        lo, hi = min(lo, r["fmin"]), max(hi, r["fmax"])
+        n_fin += r["nf"]
+        n_neg += r["nneg"]
+        n_pos += r["npos"]
+    n = n_fin + n_neg + n_pos
     if n == 0:
         return ray.data.from_arrow(
             pa.table({"q": pa.array([], type=pa.float64()), "value": pa.array([], type=pa.float64())})
         )
+    ds = ds.map_batches(_keep_finite(column), batch_format="pyarrow")
     width = (hi - lo) / bins if hi > lo else 1.0
 
     def hist_partial(batch: pa.Table) -> pa.Table:
@@ -695,7 +734,15 @@ def float_quantiles(
         hist += np.asarray(r["h"], dtype=np.int64)
     cum = np.cumsum(hist)
 
-    ranks = sorted({min(max(1, math.ceil(q * n)), n) for q in qs})
+    # ranks within the FINITE run only: rank r <= n_neg is -inf, rank past
+    # n_neg + n_fin is +inf — neither needs a bucket
+    ranks = sorted(
+        {
+            r - n_neg
+            for r in (min(max(1, math.ceil(q * n)), n) for q in qs)
+            if n_neg < r <= n_neg + n_fin
+        }
+    )
     need_bins = sorted({int(np.searchsorted(cum, r, side="left")) for r in ranks})
     resolved: dict[int, float] = {}
     if sum(int(hist[b]) for b in need_bins) > max_candidate_rows:
@@ -758,14 +805,21 @@ def float_quantiles(
     out_q, out_v = [], []
     for q in qs:
         r = min(max(1, math.ceil(q * n)), n)
-        b = int(np.searchsorted(cum, r, side="left"))
         out_q.append(float(q))
+        if r <= n_neg:
+            out_v.append(-math.inf)
+            continue
+        if r > n_neg + n_fin:
+            out_v.append(math.inf)
+            continue
+        rf = r - n_neg
+        b = int(np.searchsorted(cum, rf, side="left"))
         if b in resolved:
             out_v.append(resolved[b])
             continue
         before = int(cum[b - 1]) if b else 0
         vals = np.sort(np.asarray(by_bin[b]))
-        out_v.append(float(vals[r - before - 1]))
+        out_v.append(float(vals[rf - before - 1]))
     return ray.data.from_arrow(
         pa.table({"q": pa.array(out_q, type=pa.float64()), "value": pa.array(out_v, type=pa.float64())})
     )
@@ -834,22 +888,46 @@ def grouped_float_quantiles(
 
     Driver state O(|groups| x bins + candidates) — independent of row
     count. Output: (group_col, q, value). Null/NaN values are excluded
-    up-front (see ``_drop_non_finite``).
+    up-front (see ``_drop_null_nan``); +/-inf values hold ranks via
+    per-group offsets exactly as in ``float_quantiles``.
     """
     import math
 
-    from ray.data.aggregate import Count, Max, Min
+    ds = ds.map_batches(_drop_null_nan(column), batch_format="pyarrow")
 
-    ds = ds.map_batches(_drop_non_finite(column), batch_format="pyarrow")
-    stats_rows = (
-        ds.groupby(group_col)
-        .aggregate(Min(column), Max(column), Count())
-        .take_all()
-    )
-    gstats = {
-        r[group_col]: (r[f"min({column})"], r[f"max({column})"], r["count()"])
-        for r in stats_rows
-    }
+    def gstats_partial(batch: pa.Table) -> pa.Table:
+        gs = np.asarray(batch.column(group_col).to_pylist(), dtype=object)
+        v = batch.column(column).to_numpy()
+        out = {"g": [], "fmin": [], "fmax": [], "nf": [], "nneg": [], "npos": []}
+        for g in np.unique(gs):
+            vg = v[gs == g]
+            fin = vg[np.isfinite(vg)]
+            out["g"].append(g)
+            out["fmin"].append(float(fin.min()) if fin.size else math.inf)
+            out["fmax"].append(float(fin.max()) if fin.size else -math.inf)
+            out["nf"].append(int(fin.size))
+            out["nneg"].append(int(np.count_nonzero(np.isneginf(vg))))
+            out["npos"].append(int(np.count_nonzero(np.isposinf(vg))))
+        return pa.table(
+            {
+                "g": pa.array(out["g"]),
+                "fmin": pa.array(out["fmin"], type=pa.float64()),
+                "fmax": pa.array(out["fmax"], type=pa.float64()),
+                "nf": pa.array(out["nf"], type=pa.int64()),
+                "nneg": pa.array(out["nneg"], type=pa.int64()),
+                "npos": pa.array(out["npos"], type=pa.int64()),
+            }
+        )
+
+    # g -> [fmin, fmax, n_finite, n_neg_inf, n_pos_inf]
+    gstats: dict = {}
+    for r in ds.map_batches(gstats_partial, batch_format="pyarrow").take_all():
+        cur = gstats.setdefault(r["g"], [math.inf, -math.inf, 0, 0, 0])
+        cur[0] = min(cur[0], r["fmin"])
+        cur[1] = max(cur[1], r["fmax"])
+        cur[2] += r["nf"]
+        cur[3] += r["nneg"]
+        cur[4] += r["npos"]
     if not gstats:
         return ray.data.from_arrow(
             pa.table(
@@ -867,6 +945,10 @@ def grouped_float_quantiles(
         (gstats[g][1] - gstats[g][0]) / bins if gstats[g][1] > gstats[g][0] else 1.0
         for g in groups
     ])
+
+    # histogram/candidate passes see only finite rows (groups whose values
+    # are all +/-inf simply never appear in them)
+    ds = ds.map_batches(_keep_finite(column), batch_format="pyarrow")
 
     def bin_of(gvals: np.ndarray, v: np.ndarray) -> np.ndarray:
         return np.minimum(((v - lo[gvals]) / width[gvals]).astype(np.int64), bins - 1)
@@ -896,9 +978,14 @@ def grouped_float_quantiles(
     need: dict[str, set[int]] = {}
     total_cand = 0
     for g in groups:
-        n = gstats[g][2]
-        ranks = {min(max(1, math.ceil(q * n)), n) for q in qs}
-        bs = {int(np.searchsorted(cums[g], r, side="left")) for r in ranks}
+        _, _, nf, nneg, npos = gstats[g]
+        n = nf + nneg + npos
+        franks = {
+            r - nneg
+            for r in (min(max(1, math.ceil(q * n)), n) for q in qs)
+            if nneg < r <= nneg + nf
+        }
+        bs = {int(np.searchsorted(cums[g], r, side="left")) for r in franks}
         need[g] = bs
         total_cand += sum(int(hists[g][b]) for b in bs)
     resolved: dict[tuple[str, int], float] = {}
@@ -980,18 +1067,26 @@ def grouped_float_quantiles(
         by_bin.setdefault((r[group_col], int(r["bin"])), []).append(float(r[column]))
     out_g, out_q, out_v = [], [], []
     for g in groups:
-        n = gstats[g][2]
+        _, _, nf, nneg, npos = gstats[g]
+        n = nf + nneg + npos
         for q in qs:
             r = min(max(1, math.ceil(q * n)), n)
-            b = int(np.searchsorted(cums[g], r, side="left"))
             out_g.append(g)
             out_q.append(float(q))
+            if r <= nneg:
+                out_v.append(-math.inf)
+                continue
+            if r > nneg + nf:
+                out_v.append(math.inf)
+                continue
+            rf = r - nneg
+            b = int(np.searchsorted(cums[g], rf, side="left"))
             if (g, b) in resolved:
                 out_v.append(resolved[(g, b)])
                 continue
             before = int(cums[g][b - 1]) if b else 0
             vals = np.sort(np.asarray(by_bin[(g, b)]))
-            out_v.append(float(vals[r - before - 1]))
+            out_v.append(float(vals[rf - before - 1]))
     return ray.data.from_arrow(
         pa.table(
             {

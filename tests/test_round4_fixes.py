@@ -100,11 +100,36 @@ def test_grouped_float_quantiles_skip_null_and_nan():
     )
     out = grouped_float_quantiles(ds, "g", "value").take_all()
     got = {(r["g"], r["q"]): r["value"] for r in out}
-    # group a: clean values 1..50; group b: clean values 100..139
+    # group a: 50 clean values 1..50; group b: 100..139 PLUS +inf (41 ranked
+    # values — inf is orderable and holds a rank, quantile_disc semantics)
     assert got[("a", 0.5)] == 25.0
     assert got[("a", 0.95)] == 48.0  # ceil(0.95*50)=48
-    assert got[("b", 0.25)] == 109.0  # ceil(0.25*40)=10 -> 109
-    assert got[("b", 0.5)] == 119.0
+    assert got[("b", 0.25)] == 110.0  # ceil(0.25*41)=11 -> 110
+    assert got[("b", 0.5)] == 120.0  # ceil(0.5*41)=21 -> 120
+
+
+def test_float_quantiles_inf_ranks_match_duckdb():
+    """+/-inf values participate in ranks exactly like quantile_disc: low
+    quantiles land on -inf, high on +inf, middle on the finite run."""
+    import duckdb
+
+    from distributed_text_search_ray.pipelines.relational import float_quantiles
+
+    vals = [float("-inf")] * 30 + [float(v) for v in range(1, 41)] + [
+        float("inf")
+    ] * 30
+    ds = ray.data.from_arrow(
+        pa.table({"value": pa.array(vals, type=pa.float64())})
+    )
+    got = {r["q"]: r["value"] for r in float_quantiles(ds, "value").take_all()}
+    con = duckdb.connect()
+    for q in (0.25, 0.5, 0.75, 0.95):
+        want = con.execute(
+            "SELECT quantile_disc(v, ?) FROM (SELECT unnest(?::DOUBLE[]) v)",
+            [q, vals],
+        ).fetchone()[0]
+        assert got[q] == want, (q, got[q], want)
+    assert got[0.25] == float("-inf") and got[0.95] == float("inf")
 
 
 # ------------------------------------------------- regex literal extractor
