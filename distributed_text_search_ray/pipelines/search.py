@@ -875,9 +875,15 @@ def hybrid_search_topk(
     BOTH input rankings order by their score ROUNDED to 6 dp, descending,
     ties by doc_id ascending — the dense side already ranks that way
     (``_merge_topk_factory``); the sparse side fetches ``2 * fetch_k`` raw
-    candidates and re-ranks them rounded before the cut, so an ulp-level
-    score difference between two float summation orders can never flip a
-    fused rank.
+    candidates and re-ranks them rounded before the cut. If the rounded
+    score at the cut still equals the LOWEST rounded score in a full
+    buffer — meaning docs beyond the raw fetch could round-tie into the
+    top ``fetch_k`` with a doc_id win — the fetch escalates (x4) until the
+    boundary tier is fully inside the buffer or the query's posting list
+    is exhausted, so an ulp-level score difference between two float
+    summation orders can never flip a fused rank (a corpus where more
+    than ``fetch_k`` docs share one 6-dp score tier at the cut pays the
+    escalated fetches; anything else takes one).
 
     The dense side needs no model: documents AND queries embed through the
     deterministic feature-hashing vectorizer (``textstats.hash_slot``
@@ -905,16 +911,28 @@ def hybrid_search_topk(
     m = fetch_k or 4 * k
     analyzer = IndexView(index_dir).cfg.analyzer
 
-    # fetch 2m raw, re-rank by (round(score, 6) desc, doc_id asc), cut to m
-    # — see the determinism contract in the docstring
-    sparse_raw = search_topk(
-        index_dir, qlist, topk=2 * m, concurrency=concurrency
-    ).take_all()
-    sparse_by_q: dict[int, list[tuple[float, int]]] = {}
-    for r in sparse_raw:
-        sparse_by_q.setdefault(int(r["query_id"]), []).append(
-            (float(round_half_away(np.float64(r["score"]), 6)), int(r["doc_id"]))
-        )
+    # fetch 2m raw, re-rank by (round(score, 6) desc, doc_id asc), cut to m;
+    # escalate the fetch while a FULL buffer's boundary rounded tier reaches
+    # its end (docs past the raw cut could round-tie in) — see the
+    # determinism contract in the docstring
+    fetch = 2 * m
+    while True:
+        sparse_raw = search_topk(
+            index_dir, qlist, topk=fetch, concurrency=concurrency
+        ).take_all()
+        sparse_by_q: dict[int, list[tuple[float, int]]] = {}
+        for r in sparse_raw:
+            sparse_by_q.setdefault(int(r["query_id"]), []).append(
+                (float(round_half_away(np.float64(r["score"]), 6)), int(r["doc_id"]))
+            )
+        if not any(
+            len(lst) == fetch
+            and len(lst) > m
+            and sorted(lst, key=lambda t: (-t[0], t[1]))[m - 1][0] == min(s for s, _ in lst)
+            for lst in sparse_by_q.values()
+        ):
+            break
+        fetch *= 4
     sparse = []
     for qid, lst in sparse_by_q.items():
         ranked = sorted(lst, key=lambda t: (-t[0], t[1]))[:m]

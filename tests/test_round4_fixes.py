@@ -338,3 +338,49 @@ def test_kmeans_first_k_round_dp_matches_numpy_replay():
     )
     assert got == want
     assert len(set(a for _, a, _ in got)) > 1  # actually clusters
+
+
+# ----------------------------------------- hybrid sparse fetch escalation
+
+def test_hybrid_sparse_fetch_escalates_through_rounded_tie_tier(tmp_path):
+    """A corpus where every doc shares one 6-dp BM25 score tier: the raw
+    2*fetch_k buffer cannot see the whole tie tier, so the sparse fetch
+    must escalate until it does — the fused top-k are then the smallest
+    doc_ids (rounded-desc, doc_id-asc over ALL docs), exactly what the SQL
+    twin computes."""
+    import pyarrow.parquet as pq_
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import hybrid_search_topk
+    from distributed_text_search_ray.sources.corpus import read_corpus
+    from tests.conftest import corpus_docs
+
+    n = 30
+    d = tmp_path / "c"
+    d.mkdir()
+    pq_.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * n,
+                "path": [f"f{i:03d}.py" for i in range(n)],
+                "commit": ["c"] * n,
+                "lang": ["py"] * n,
+                "content": ["alpha beta gamma"] * n,  # identical -> exact score ties
+            }
+        ),
+        str(d / "shard_00000.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(str(d), idx, IndexConfig(num_partitions=2))
+
+    K, M = 3, 4  # k <= fetch_k; initial raw fetch 2*M=8 << 30 tied docs
+    got = hybrid_search_topk(
+        idx,
+        read_corpus(str(d), columns=["doc_id", "content"]),
+        [(0, "alpha")],
+        k=K,
+        fetch_k=M,
+    ).take_all()
+    all_ids = sorted(doc_id for doc_id, _ in corpus_docs(str(d)))
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == all_ids[:K]
