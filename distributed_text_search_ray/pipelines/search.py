@@ -914,24 +914,34 @@ def hybrid_search_topk(
     # fetch 2m raw, re-rank by (round(score, 6) desc, doc_id asc), cut to m;
     # escalate the fetch while a FULL buffer's boundary rounded tier reaches
     # its end (docs past the raw cut could round-tie in) — see the
-    # determinism contract in the docstring
-    fetch = 2 * m
-    while True:
-        sparse_raw = search_topk(
-            index_dir, qlist, topk=fetch, concurrency=concurrency
-        ).take_all()
-        sparse_by_q: dict[int, list[tuple[float, int]]] = {}
-        for r in sparse_raw:
-            sparse_by_q.setdefault(int(r["query_id"]), []).append(
-                (float(round_half_away(np.float64(r["score"]), 6)), int(r["doc_id"]))
-            )
-        if not any(
+    # determinism contract in the docstring. Escalation is PER QUERY: only
+    # the queries whose boundary tier is still unresolved re-fetch, so one
+    # degenerate query (a huge rounded tie tier) does not re-run the whole
+    # batch at 4x.
+    def _tier_unresolved(lst: list[tuple[float, int]], fetch: int) -> bool:
+        return (
             len(lst) == fetch
             and len(lst) > m
-            and sorted(lst, key=lambda t: (-t[0], t[1]))[m - 1][0] == min(s for s, _ in lst)
-            for lst in sparse_by_q.values()
-        ):
-            break
+            and sorted(lst, key=lambda t: (-t[0], t[1]))[m - 1][0]
+            == min(s for s, _ in lst)
+        )
+
+    sparse_by_q: dict[int, list[tuple[float, int]]] = {}
+    pending = qlist
+    fetch = 2 * m
+    while pending:
+        sparse_raw = search_topk(
+            index_dir, pending, topk=fetch, concurrency=concurrency
+        ).take_all()
+        got: dict[int, list[tuple[float, int]]] = {qid: [] for qid, _ in pending}
+        for r in sparse_raw:
+            got[int(r["query_id"])].append(
+                (float(round_half_away(np.float64(r["score"]), 6)), int(r["doc_id"]))
+            )
+        sparse_by_q.update(got)
+        pending = [
+            (qid, text) for qid, text in pending if _tier_unresolved(got[qid], fetch)
+        ]
         fetch *= 4
     sparse = []
     for qid, lst in sparse_by_q.items():

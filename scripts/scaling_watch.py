@@ -20,10 +20,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scripts.host_probe import main as probe  # noqa: E402
 
-THRESHOLD = 0.70
-MAX_WAIT_S = 2.5 * 3600
-POLL_S = 240
-OUT = "/tmp/scaling_r3.json"
+THRESHOLD = float(os.environ.get("SCALING_WATCH_THRESHOLD", "0.70"))
+MAX_WAIT_S = float(os.environ.get("SCALING_WATCH_MAX_WAIT_S", str(2.5 * 3600)))
+POLL_S = int(os.environ.get("SCALING_WATCH_POLL_S", "240"))
+OUT = os.environ.get("SCALING_WATCH_OUT", "/tmp/scaling_r3.json")
 
 
 def run_scaling() -> dict:

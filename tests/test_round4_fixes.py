@@ -384,3 +384,51 @@ def test_hybrid_sparse_fetch_escalates_through_rounded_tie_tier(tmp_path):
     ).take_all()
     all_ids = sorted(doc_id for doc_id, _ in corpus_docs(str(d)))
     assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == all_ids[:K]
+
+
+def test_hybrid_sparse_escalation_is_per_query(tmp_path):
+    """A mixed batch — one query hitting a 30-doc rounded tie tier, one
+    selective query — must return, per query, exactly what each returns
+    when run alone: escalation re-fetches only the unresolved query, and
+    resolved lists are not disturbed by later rounds."""
+    import pyarrow.parquet as pq_
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import hybrid_search_topk
+    from distributed_text_search_ray.sources.corpus import read_corpus
+
+    n = 30
+    d = tmp_path / "c"
+    d.mkdir()
+    content = ["alpha beta gamma"] * n  # identical -> one big rounded tie tier
+    content[7] = "zeta eta theta"       # the only doc matching the selective query
+    pq_.write_table(
+        pa.table(
+            {
+                "repo": ["r"] * n,
+                "path": [f"f{i:03d}.py" for i in range(n)],
+                "commit": ["c"] * n,
+                "lang": ["py"] * n,
+                "content": content,
+            }
+        ),
+        str(d / "shard_00000.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(str(d), idx, IndexConfig(num_partitions=2))
+    corpus = read_corpus(str(d), columns=["doc_id", "content"])
+
+    K, M = 3, 4
+    batch = hybrid_search_topk(
+        idx, corpus, [(0, "alpha"), (1, "zeta")], k=K, fetch_k=M
+    ).take_all()
+    for qid, qtext in [(0, "alpha"), (1, "zeta")]:
+        alone = hybrid_search_topk(
+            idx, corpus, [(qid, qtext)], k=K, fetch_k=M
+        ).take_all()
+        got = sorted(
+            ((r["rank"], r["doc_id"]) for r in batch if r["query_id"] == qid)
+        )
+        want = sorted(((r["rank"], r["doc_id"]) for r in alone))
+        assert got == want, qid
