@@ -210,6 +210,14 @@ def _vectors_for(sf_dir: str, dim: int = 16) -> str:
 
     from distributed_text_search_ray.sources.corpus import corpus_files
 
+    # invalidate the marker BEFORE touching vec_dir: a crash mid
+    # write_parquet must not leave a still-matching marker validating a
+    # partially written dir on the next run (write-then-publish, same
+    # ordering as state/manifest.AtomicDir)
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
     shutil.rmtree(vec_dir, ignore_errors=True)
     docs = ray.data.read_parquet(
         corpus_files(os.path.join(root, "corpus")), columns=["doc_id", "content"]

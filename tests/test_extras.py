@@ -1051,7 +1051,12 @@ def test_near_dedup_filter_anti_join_matches_broadcast():
         )
     )
     kw = dict(threshold=0.5, bands=32, pair_partitions=16)
-    base = sorted(r["doc_id"] for r in near_dedup_filter(ds, **kw).take_all())
+    # anti_join=False: exercise the broadcast drop-set branch explicitly —
+    # since the default flipped to the anti-join path, leaving the default
+    # here would compare the anti-join path to itself
+    base = sorted(
+        r["doc_id"] for r in near_dedup_filter(ds, anti_join=False, **kw).take_all()
+    )
     anti = sorted(
         r["doc_id"] for r in near_dedup_filter(ds, anti_join=True, **kw).take_all()
     )
