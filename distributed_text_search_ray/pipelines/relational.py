@@ -23,10 +23,12 @@ def sql_round(x: np.ndarray | pa.ChunkedArray, ndigits: int = 4) -> pa.Array:
     round(x * 10^n) / 10^n in float64) so engine and SQL-oracle outputs are
     bit-identical. ``pc.round`` uses a different algorithm and can differ in
     the last ulp."""
+    from distributed_text_search_ray.util import round_half_away
+
     v = x.to_numpy() if not isinstance(x, np.ndarray) else x
-    p = 10.0**ndigits
-    out = np.sign(v) * np.floor(np.abs(v) * p + 0.5) / p
-    return pa.array(out, type=pa.float64())
+    return pa.array(
+        round_half_away(np.asarray(v, dtype=np.float64), ndigits), type=pa.float64()
+    )
 
 
 def tpch_q1(sf_dir: str) -> ray.data.Dataset:
@@ -568,8 +570,9 @@ def tpch_q6(sf_dir: str, year: str = "1997") -> ray.data.Dataset:
         ds.map_batches(partial, batch_format="pyarrow")
         .aggregate(Sum("rev_part", alias_name="revenue"))["revenue"]
     )
-    p = 10.0**4
-    rounded = float(np.sign(total) * np.floor(np.abs(total) * p + 0.5) / p)
+    from distributed_text_search_ray.util import round_half_away
+
+    rounded = float(round_half_away(total, 4))
     return ray.data.from_arrow(
         pa.table({"revenue": pa.array([rounded], type=pa.float64())})
     )

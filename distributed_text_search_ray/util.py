@@ -12,10 +12,27 @@ def round_half_away(x, ndigits: int = 6):
     / 10^n in float64) — NOT Python's banker's rounding. Used for every float
     column that a SQL oracle reproduces, so both sides emit identical doubles.
     Accepts scalars or numpy arrays."""
+    # DuckDB computes std::round(x * 10^n) / 10^n: the scaled value rounds
+    # half AWAY from zero on its true float value. The classic floor(ax+0.5)
+    # shortcut is wrong twice at the edges — ax+0.5 is inexact for ax with
+    # ulp >= 1 (floor(2^52+1 + 0.5) lands on 2^52+2), and it rounds UP the
+    # largest double below 0.5 (0.49999999999999994+0.5 == 1.0) — so round
+    # via floor(ax) + (frac >= 0.5), which is exact in both regimes
+    # (hypothesis-found divergences, tests/test_oracle_kernels.py).
     p = 10.0**ndigits
     if isinstance(x, np.ndarray):
-        return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
-    return math.copysign(math.floor(abs(x) * p + 0.5) / p, x)
+        with np.errstate(invalid="ignore", over="ignore"):
+            ax = np.abs(x) * p
+            f = np.floor(ax)
+            r = np.sign(x) * (f + (ax - f >= 0.5)) / p
+        # |x|*10^n overflowing to inf would round a finite huge value to inf
+        # (DuckDB returns x unchanged — no fractional part at that magnitude)
+        return np.where(np.isfinite(ax), r, x)
+    ax = abs(x) * p
+    if not math.isfinite(ax):
+        return x  # huge finite, inf, or nan: DuckDB round returns x
+    f = math.floor(ax)
+    return math.copysign((f + 1 if ax - f >= 0.5 else f) / p, x)
 
 
 def resolve_concurrency(concurrency=None):
