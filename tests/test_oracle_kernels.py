@@ -127,3 +127,84 @@ def test_float_quantiles_fuzz_matches_duckdb(ray_session, seed):
         ).fetchone()
         want[q] = w
     assert got == want, (seed, got, want)
+
+
+# --------------------------------------- analyzer vs string_split_regex fuzz
+
+# every character class the analyzer cares about, plus the known-nasty code
+# points: U+0130 (Turkish İ, the full-vs-simple lowercase split), dotless ı,
+# ß (full lowercase is identity but casefold is not), Greek final sigma,
+# combining dot above, accented latin, CJK, controls
+_NASTY = "ab_0 .İIıßΣσς̇Éé日本\t\n-"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_NASTY, max_size=40))
+def test_tokenizer_matches_oracle_split(s):
+    """tokens(s) must equal the oracle twin expression
+    ``list_filter(string_split_regex(lower(s), '[^a-z0-9_]+'), x -> x <> '')``
+    — the tokenization every index oracle (bm25_topk, term_dictionary,
+    token_counts, ...) is built on."""
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+    con = duckdb.connect()
+    (want,) = con.execute(
+        "SELECT list_filter(string_split_regex(lower(?), '[^a-z0-9_]+'), x -> x <> '')",
+        [s],
+    ).fetchone()
+    assert Tokenizer().tokens(s) == want, repr(s)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abceiosuy_", max_size=12))
+def test_s_stemmer_matches_sql_case_twin(w):
+    """Harman S-stemmer vs the CASE/LIKE twin used by the
+    term_dictionary_stemmed oracle — same three ordered, exclusive rules."""
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+    con = duckdb.connect()
+    (want,) = con.execute(
+        """
+        SELECT CASE
+          WHEN ? LIKE '%eies' OR ? LIKE '%aies' THEN ?
+          WHEN ? LIKE '%ies' THEN substr(?, 1, len(?) - 3) || 'y'
+          WHEN ? LIKE '%aes' OR ? LIKE '%ees' OR ? LIKE '%oes' THEN ?
+          WHEN ? LIKE '%es' THEN substr(?, 1, len(?) - 1)
+          WHEN ? LIKE '%us' OR ? LIKE '%ss' THEN ?
+          WHEN ? LIKE '%s' THEN substr(?, 1, len(?) - 1)
+          ELSE ? END
+        """,
+        [w] * 20,
+    ).fetchone()
+    assert Tokenizer.s_stem(w) == want, w
+
+
+# ------------------------------------ BM25 per-posting score vs the SQL twin
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10**12),  # N
+    st.integers(min_value=1, max_value=10**9),  # df (clamped to N)
+    st.integers(min_value=1, max_value=10**6),  # tf
+    st.integers(min_value=1, max_value=10**7),  # dl
+    st.floats(min_value=0.5, max_value=1e6, allow_nan=False),  # avgdl
+)
+def test_bm25_rounded_score_matches_duckdb_formula(N, df, tf, dl, avgdl):
+    """The gate's actual contract: engine scores and the oracle's inline
+    ``ln(1+(N-df+0.5)/(df+0.5)) * tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl))`` may
+    differ in the last ulp (different expression trees), and every search
+    oracle absorbs that by comparing ``round(score, 6)``. Pin BOTH halves:
+    raw scores within 4 ulp, and the rounded values the gate hashes equal."""
+    from distributed_text_search_ray.functions.bm25 import score_postings
+
+    df = min(df, N)
+    con = duckdb.connect()
+    (want_raw,) = con.execute(
+        "SELECT ln(1+(?::DOUBLE-?+0.5)/(?+0.5))"
+        " * ?::DOUBLE*2.2/(?+1.2*(1-0.75+0.75*?::DOUBLE/?))",
+        [N, df, df, tf, tf, dl, avgdl],
+    ).fetchone()
+    (want_rounded,) = con.execute("SELECT round(?::DOUBLE, 6)", [want_raw]).fetchone()
+    got = float(score_postings(np.array([tf]), np.array([dl]), N, df, avgdl)[0])
+    assert abs(got - want_raw) <= 4 * np.spacing(max(abs(got), abs(want_raw)))
+    assert round_half_away(got, 6) == want_rounded, (N, df, tf, dl, avgdl)
