@@ -914,6 +914,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf_dir), n_clusters=6, iters=3, init="first_k", round_dp=9
         )
 
+    def semantic_dedup(sf_dir):
+        import ray.data
+
+        # SemDeDup cluster-then-dedup, gated in the deterministic
+        # conformance config (first-k init + 9-dp centroid rounding — the
+        # kmeans_clusters trajectory twin feeds a pairwise EXISTS filter);
+        # the kmeans++ default stays differential-tested in pytest
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return ann.semantic_dedup(
+            ds, n_clusters=8, threshold=0.45, iters=3, init="first_k", round_dp=9
+        )
+
     def events_hopping(sf_dir):
         return relational.events_hopping_window(sf_dir, width_minutes=60, hop_minutes=15)
 
@@ -1013,7 +1025,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": fuzzy_topk,
         "term_dictionary": term_dictionary,
         "term_dictionary_stemmed": term_dictionary_stemmed,
-        "top_terms_nostop": top_terms_nostop,
         # --- never-driver-checked through r3, oracle-gated (VERDICT item 1)
         "dup_span_edited": dup_span_edited,
         "proximity_search": proximity,
@@ -1031,7 +1042,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": kmeans_clusters,
         "hybrid_topk": hybrid_topk,
         "doc_clusters": doc_clusters,
+        # new in r4: SemDeDup cluster-then-dedup — takes the first-50 slot
+        # of top_terms_nostop (green r2+r3) so it gets a driver row at once
+        "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
+        "top_terms_nostop": top_terms_nostop,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "langid": langid,
@@ -1119,14 +1134,21 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
 
 
-def _kmeans_sql(xn_ctes: str, k: int, iters: int, dim: int, id_col: str) -> str:
+def _kmeans_sql(
+    xn_ctes: str, k: int, iters: int, dim: int, id_col: str, tail: str | None = None
+) -> str:
     """DuckDB twin of ``ann.kmeans_clusters(init="first_k", round_dp=9)``:
     the fixed iteration count unrolls into plain chained CTEs (assignment =
     max inner product over unit centroids, cluster-asc ties; update = per-
     coordinate mean, renormalized, ROUNDED to 9 dp — the same rounding the
     engine applies, which is what makes two float summation orders agree).
     ``xn_ctes`` must define ``xn(vec_id, x)`` with x a length-``dim``
-    L2-normalized DOUBLE[] (zero vectors stay zero)."""
+    L2-normalized DOUBLE[] (zero vectors stay zero).
+
+    The final assignment lands in CTE ``kfinal(vec_id, "cluster", cosine)``;
+    ``tail`` (optional) replaces the default final SELECT — it may open with
+    ``, more_ctes AS (...)`` to chain extra CTEs (the semantic_dedup twin
+    builds its pairwise EXISTS filter this way)."""
     parts = [xn_ctes]
     parts.append(f"""
 cent0 AS (
@@ -1159,19 +1181,19 @@ cent{q} AS (
   SELECT c0."cluster", coalesce(cn{q}.c, c0.c) c
   FROM cent{p} c0 LEFT JOIN cn{q} USING ("cluster")
 )""")
-    return (
-        "WITH "
-        + ",".join(parts)
-        + f"""
-SELECT vec_id AS {id_col}, "cluster", round(sim, 6) AS cosine
-FROM (
-  SELECT xn.vec_id, c."cluster", list_inner_product(xn.x, c.c) sim,
-         row_number() OVER (PARTITION BY xn.vec_id
-                            ORDER BY list_inner_product(xn.x, c.c) DESC, c."cluster") rn
-  FROM xn CROSS JOIN cent{iters} c
-) WHERE rn = 1
-"""
-    )
+    parts.append(f"""
+kfinal AS (
+  SELECT vec_id, "cluster", round(sim, 6) AS cosine
+  FROM (
+    SELECT xn.vec_id, c."cluster", list_inner_product(xn.x, c.c) sim,
+           row_number() OVER (PARTITION BY xn.vec_id
+                              ORDER BY list_inner_product(xn.x, c.c) DESC, c."cluster") rn
+    FROM xn CROSS JOIN cent{iters} c
+  ) WHERE rn = 1
+)""")
+    if tail is None:
+        tail = f'\nSELECT vec_id AS {id_col}, "cluster", cosine FROM kfinal\n'
+    return "WITH " + ",".join(parts) + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1807,18 +1829,38 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
 
     # kmeans_clusters gate (first_k init + 9-dp centroid rounding): spherical
     # Lloyd's over the embeddings table, unrolled to 3 iterations
-    kmeans_sql = _kmeans_sql(
-        """
+    _EMB_XN = """
 emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
 xn AS (
   SELECT vec_id,
          list_transform(e, v -> v / greatest(sqrt(list_inner_product(e, e)), 1e-30)) x
   FROM emb
-)""",
+)"""
+    kmeans_sql = _kmeans_sql(_EMB_XN, k=8, iters=3, dim=64, id_col="vec_id")
+
+    # semantic_dedup gate: the SAME kmeans trajectory twin, then the
+    # single-pass min-anchor drop — b is dropped when ANY smaller-id member
+    # of its cluster has cosine >= 0.45 (raw inner product of the normalized
+    # lists, the cosine_dup_pairs comparison contract; already-dropped
+    # anchors still mark, matching ann.semantic_dedup's rule exactly)
+    semantic_dedup_sql = _kmeans_sql(
+        _EMB_XN,
         k=8,
         iters=3,
         dim=64,
         id_col="vec_id",
+        tail=""",
+sd_drop AS (
+  SELECT DISTINCT b.vec_id
+  FROM kfinal a
+  JOIN kfinal b ON a."cluster" = b."cluster" AND a.vec_id < b.vec_id
+  JOIN xn xa ON xa.vec_id = a.vec_id
+  JOIN xn xb ON xb.vec_id = b.vec_id
+  WHERE list_inner_product(xa.x, xb.x) >= 0.45
+)
+SELECT vec_id, "cluster" FROM kfinal
+WHERE vec_id NOT IN (SELECT vec_id FROM sd_drop)
+""",
     )
 
     # doc_clusters gate: same k-means twin over the feature-hashed TF
@@ -2558,6 +2600,7 @@ FROM walk
         "near_dedup": near_dedup_sql,
         "kmeans_clusters": kmeans_sql,
         "doc_clusters": doc_clusters_sql,
+        "semantic_dedup": semantic_dedup_sql,
         # media_features: not SQL-expressible (binary media codecs) ->
         # rows-only, the single remaining ungated entry
     }

@@ -393,53 +393,22 @@ def embedding_dedup_filter(
     return keep_cols.map_batches(keep, batch_format="pyarrow")
 
 
-def kmeans_clusters(
+def kmeans_centroids(
     embeddings: ray.data.Dataset,
     n_clusters: int = 8,
     iters: int = 5,
     seed: int = 42,
     column: str = "embedding",
     fit_sample: int = 10_000,
-    concurrency=None,
     init: str = "kmeanspp",
     round_dp: int | None = None,
-) -> ray.data.Dataset:
-    """Distributed Lloyd's k-means over the FULL embedding table (spherical:
-    vectors L2-normalized, assignment by max cosine) — unlike ``kmeans_fit``,
-    which fits on a driver-side sample, every refinement pass here streams
-    the whole Dataset.
-
-    Shape per iteration: ONE ``map_batches`` pass emitting k partial rows
-    per batch (cluster, per-coordinate vector sum, count) — the partial+
-    final aggregate of SURVEY.md A1, the same MPI_Reduce-of-partial-counts
-    idiom as the reference (src/flexible_mpi.c:533-544) with a k x dim
-    payload instead of one int per pattern. Partials reduce in a k-group
-    ``groupby("cluster").map_groups`` (shuffle volume = k rows per batch),
-    so the driver pulls exactly k rows per pass regardless of corpus size;
-    coordinate sums combine with ``math.fsum`` (exactly-rounded,
-    order-independent) so centroid trajectories do not depend on block or
-    shuffle arrival order. Batch
-    BOUNDARIES still influence the last ulp of per-batch partial sums; with
-    any separated cluster structure the argmax assignment is invariant to
-    that (differential-tested against a single-matrix numpy oracle).
-
-    Init: kmeans++ on a bounded seeded uniform sample (exactly
-    ``kmeans_fit`` with iters=0), so init cost does not scale with the
-    corpus. Empty clusters keep their previous centroid.
-
-    Output: (vec_id, cluster, cosine) — cosine to the final centroid,
-    rounded to 6 dp.
-
-    Conformance mode (the SQL-gateable configuration, same pattern as the
-    ANN probe-all configs): ``init="first_k"`` seeds centroids with the
-    normalized vectors of the k SMALLEST vec_ids (found with a bounded
-    per-batch partial min-k, no sort/shuffle), and ``round_dp`` rounds
-    every centroid coordinate after init and after each update, so the
-    whole trajectory is deterministic across batch layouts AND
-    reproducible by a DuckDB twin (a raw double mean depends on summation
-    order in its last ulp; rounding at 9 dp makes the two systems agree
-    except when a mean sits within ~1e-16 of a rounding boundary).
-    """
+) -> np.ndarray:
+    """Fit spherical-k-means centroids over the FULL table and return the
+    final (k, dim) unit-centroid matrix — the streaming Lloyd's loop shared
+    by ``kmeans_clusters`` (which assigns every vector to these centroids)
+    and ``semantic_dedup`` (which partitions the pairwise-dedup work by
+    them). See ``kmeans_clusters`` for the full semantics/conformance-mode
+    contract; this helper is that docstring's fit phase, verbatim."""
     import math
 
     import pyarrow.compute as pc
@@ -528,7 +497,68 @@ def kmeans_clusters(
         if round_dp is not None:
             C = round_half_away(C, round_dp)
 
-    C_final = C
+    return C
+
+
+def kmeans_clusters(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+    column: str = "embedding",
+    fit_sample: int = 10_000,
+    concurrency=None,
+    init: str = "kmeanspp",
+    round_dp: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over the FULL embedding table (spherical:
+    vectors L2-normalized, assignment by max cosine) — unlike ``kmeans_fit``,
+    which fits on a driver-side sample, every refinement pass here streams
+    the whole Dataset.
+
+    Shape per iteration: ONE ``map_batches`` pass emitting k partial rows
+    per batch (cluster, per-coordinate vector sum, count) — the partial+
+    final aggregate of SURVEY.md A1, the same MPI_Reduce-of-partial-counts
+    idiom as the reference (src/flexible_mpi.c:533-544) with a k x dim
+    payload instead of one int per pattern. Partials reduce in a k-group
+    ``groupby("cluster").map_groups`` (shuffle volume = k rows per batch),
+    so the driver pulls exactly k rows per pass regardless of corpus size;
+    coordinate sums combine with ``math.fsum`` (exactly-rounded,
+    order-independent) so centroid trajectories do not depend on block or
+    shuffle arrival order. Batch
+    BOUNDARIES still influence the last ulp of per-batch partial sums; with
+    any separated cluster structure the argmax assignment is invariant to
+    that (differential-tested against a single-matrix numpy oracle).
+
+    Init: kmeans++ on a bounded seeded uniform sample (exactly
+    ``kmeans_fit`` with iters=0), so init cost does not scale with the
+    corpus. Empty clusters keep their previous centroid.
+
+    Output: (vec_id, cluster, cosine) — cosine to the final centroid,
+    rounded to 6 dp.
+
+    Conformance mode (the SQL-gateable configuration, same pattern as the
+    ANN probe-all configs): ``init="first_k"`` seeds centroids with the
+    normalized vectors of the k SMALLEST vec_ids (found with a bounded
+    per-batch partial min-k, no sort/shuffle), and ``round_dp`` rounds
+    every centroid coordinate after init and after each update, so the
+    whole trajectory is deterministic across batch layouts AND
+    reproducible by a DuckDB twin (a raw double mean depends on summation
+    order in its last ulp; rounding at 9 dp makes the two systems agree
+    except when a mean sits within ~1e-16 of a rounding boundary).
+    """
+    from distributed_text_search_ray.util import round_half_away
+
+    C_final = kmeans_centroids(
+        embeddings,
+        n_clusters=n_clusters,
+        iters=iters,
+        seed=seed,
+        column=column,
+        fit_sample=fit_sample,
+        init=init,
+        round_dp=round_dp,
+    )
 
     def assign_batch(batch: pa.Table) -> pa.Table:
         X = _batch_matrix(batch, column)
@@ -545,6 +575,108 @@ def kmeans_clusters(
         )
 
     return embeddings.map_batches(assign_batch, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    iters: int = 5,
+    seed: int = 42,
+    column: str = "embedding",
+    fit_sample: int = 10_000,
+    init: str = "kmeanspp",
+    round_dp: int | None = None,
+    chunk_rows: int = 2048,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (cluster-then-dedup; Abbas et
+    al. 2023, arXiv:2303.09540): spherical k-means partitions the corpus,
+    exact pairwise cosine runs only WITHIN clusters — the paper's central
+    trick: ``n_clusters`` turns the global O(N^2) pair matrix into
+    sum-over-clusters O(g^2), so k is the compute/recall dial (the paper
+    runs k=50k over LAION; cross-cluster near-dups are deliberately missed).
+
+    Drop rule: a vector is dropped when ANY smaller-vec_id member of its
+    cluster has cosine >= threshold — the repo's standard single-pass
+    min-anchor rule (the same representative choice as
+    ``embedding_dedup_filter`` / ``dedup.near_dedup_filter``; the paper
+    keeps the point with lowest centroid-similarity instead, an
+    arbitrary-but-different pick). Deterministic given the centroids, so
+    the ``init="first_k", round_dp=9`` conformance config makes the WHOLE
+    operator SQL-twinnable (kmeans CTE + EXISTS anti-filter).
+
+    Output: surviving (vec_id, cluster) rows.
+
+    Scale shape: one centroid fit (``kmeans_centroids`` — k-group shuffle
+    reduce per pass, O(k) driver state), one assignment pass over broadcast
+    centroids, ONE shuffle into k cluster groups, then per-group chunked
+    tiles: the g x g similarity matrix is computed ``chunk_rows`` x
+    ``chunk_rows`` at a time (float64 tile = chunk^2 * 8 B, 32 MB at the
+    2048 default), never materialized whole. A group must fit one task —
+    choose n_clusters so N/k rows (id + vector) fit worker heap, exactly
+    the paper's operating assumption; a pathological hot cluster degrades
+    to that group's O(g^2) compute, so cap upstream or raise k.
+    """
+    C = kmeans_centroids(
+        embeddings,
+        n_clusters=n_clusters,
+        iters=iters,
+        seed=seed,
+        column=column,
+        fit_sample=fit_sample,
+        init=init,
+        round_dp=round_dp,
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        X = _batch_matrix(batch, column)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        a = np.argmax(Xn @ C.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(a, type=pa.int64()),
+                column: batch.column(column),
+            }
+        )
+
+    assigned = embeddings.select_columns(["vec_id", column]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    def dedup_group(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        Xn = _batch_matrix(group, column)[order]
+        Xn /= np.maximum(np.linalg.norm(Xn, axis=1, keepdims=True), 1e-30)
+        n = len(ids)
+        drop = np.zeros(n, dtype=bool)
+        # chunked upper-triangle sweep: anchor rows a in [a0,a1) mark any
+        # LARGER-id column b with raw cosine >= threshold (raw, not rounded —
+        # the same comparison contract as cosine_dup_pairs; already-dropped
+        # anchors still mark, the rule has no sequential dependency)
+        for a0 in range(0, n, chunk_rows):
+            a1 = min(a0 + chunk_rows, n)
+            for b0 in range(a0, n, chunk_rows):
+                b1 = min(b0 + chunk_rows, n)
+                S = Xn[a0:a1] @ Xn[b0:b1].T
+                above = (S >= threshold) & (
+                    np.arange(b0, b1)[None, :] > np.arange(a0, a1)[:, None]
+                )
+                drop[b0:b1] |= above.any(axis=0)
+        keep = ~drop
+        cl = group.column("cluster")[0].as_py()
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], type=pa.int64()),
+                "cluster": pa.array(
+                    np.full(int(keep.sum()), cl, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(dedup_group, batch_format="pyarrow")
 
 
 class _HardNegativeScorer:

@@ -432,3 +432,113 @@ def test_hybrid_sparse_escalation_is_per_query(tmp_path):
         )
         want = sorted(((r["rank"], r["doc_id"]) for r in alone))
         assert got == want, qid
+
+
+# ------------------------------------------------------- semantic_dedup
+
+def _semantic_corpus(seed=7, n_per=20, dim=8):
+    """Two planted directional clusters with exact near-dup pairs inside
+    each, plus one CROSS-cluster near-dup pair (ids 998/999 land in
+    different clusters by construction)."""
+    rng = np.random.default_rng(seed)
+    a_axis = np.zeros(dim); a_axis[0] = 1.0
+    b_axis = np.zeros(dim); b_axis[1] = 1.0
+    rows = []
+    for i in range(n_per):
+        rows.append((i, a_axis + 0.05 * rng.normal(size=dim)))
+        rows.append((100 + i, b_axis + 0.05 * rng.normal(size=dim)))
+    # within-cluster near-dups: copy of vec 0 and of vec 100, tiny jitter
+    rows.append((500, rows[0][1] + 1e-4))
+    rows.append((501, rows[1][1] + 1e-4))
+    return rows
+
+
+def _min_anchor_survivors(rows, assign, threshold):
+    """Numpy replay of the drop rule: b dropped iff ANY smaller-id member
+    of its cluster has cosine >= threshold (dropped anchors still mark)."""
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    order = np.argsort(ids)
+    ids, Xn = ids[order], Xn[order]
+    cl = np.array([assign[i] for i in ids])
+    S = Xn @ Xn.T
+    survivors = set()
+    for j in range(len(ids)):
+        smaller = (np.arange(len(ids)) < j) & (cl == cl[j])
+        if not (S[smaller, j] >= threshold).any():
+            survivors.add(int(ids[j]))
+    return survivors
+
+
+def test_semantic_dedup_single_cluster_equals_global_min_anchor():
+    from distributed_text_search_ray.pipelines.ann import semantic_dedup
+
+    rows = _semantic_corpus()
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": list(v)} for i, v in rows]
+    )
+    got = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            ds, n_clusters=1, threshold=0.95, iters=2, init="first_k", round_dp=9
+        ).take_all()
+    }
+    want = _min_anchor_survivors(rows, {r[0]: 0 for r in rows}, 0.95)
+    assert got == want
+    assert len(got) < len(rows)  # the planted dups actually dropped
+
+
+def test_semantic_dedup_is_within_cluster_only():
+    """A near-dup PAIR split across two clusters must BOTH survive — the
+    SemDeDup trade documented in the docstring — while within-cluster dups
+    drop; assignments replayed from kmeans_centroids."""
+    from distributed_text_search_ray.pipelines.ann import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    rows = _semantic_corpus()
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": list(v)} for i, v in rows]
+    )
+    C = kmeans_centroids(ds, n_clusters=2, iters=3, init="first_k", round_dp=9)
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    assign = dict(
+        zip([r[0] for r in rows], np.argmax(Xn @ C.T, axis=1).tolist())
+    )
+    # the planted copies co-cluster with their originals; the two axes split
+    assert assign[0] == assign[500] and assign[100] == assign[501]
+    assert assign[0] != assign[100]
+
+    res = semantic_dedup(
+        ds, n_clusters=2, threshold=0.95, iters=3, init="first_k", round_dp=9
+    ).take_all()
+    got = {r["vec_id"] for r in res}
+    want = _min_anchor_survivors(rows, assign, 0.95)
+    assert got == want
+    assert 500 not in got and 501 not in got  # within-cluster dups dropped
+    # output cluster column matches the replayed assignment
+    assert {r["vec_id"]: r["cluster"] for r in res} == {
+        i: assign[i] for i in got
+    }
+
+
+def test_semantic_dedup_chunked_tiles_match_unchunked():
+    from distributed_text_search_ray.pipelines.ann import semantic_dedup
+
+    rows = _semantic_corpus(seed=11, n_per=30)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": list(v)} for i, v in rows]
+    )
+    kw = dict(n_clusters=2, threshold=0.9, iters=2, init="first_k", round_dp=9)
+    small = {
+        (r["vec_id"], r["cluster"])
+        for r in semantic_dedup(ds, chunk_rows=4, **kw).take_all()
+    }
+    big = {
+        (r["vec_id"], r["cluster"])
+        for r in semantic_dedup(ds, chunk_rows=1 << 20, **kw).take_all()
+    }
+    assert small == big
