@@ -111,6 +111,16 @@ BOOLEAN_QUERIES = [
 
 TOK_SQL = "list_filter(string_split_regex(lower({col}), '[^a-z0-9_]+'), x -> x <> '')"
 
+# DSIR importance weighting: hashed-bucket model size and the target slice
+# (docs whose lang matches — the "in-domain" corpus the raw pool is scored
+# against). 1024 buckets keeps the broadcast model tiny while leaving the
+# Zipf head well-separated at test scales.
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+# tombstone-delete demo set: doc_id % DELETE_MOD == DELETE_REM (10% of docs)
+DELETE_MOD, DELETE_REM = 10, 7
+
 _CACHE_ROOT = "/tmp/dts_ray_cache"
 
 
@@ -337,6 +347,49 @@ def _merged_index_for(sf_dir: str) -> str:
     return merged
 
 
+def _deleted_index_for(sf_dir: str) -> str:
+    """Hardlink-clone the cached full index, then tombstone every doc with
+    ``doc_id % DELETE_MOD == DELETE_REM`` (Lucene-style delete-in-place:
+    no rebuild, corpus stats stay at build-time values —
+    ``pipelines/build.py delete_docs``). Cloning keeps the shared cached
+    index untouched for every other query; hardlinks cost no bytes, and
+    ``delete_docs`` only ADDS ``deleted.parquet`` via temp+rename — it
+    never mutates an inode the clone shares with the original."""
+    import shutil
+
+    from distributed_text_search_ray.pipelines.build import delete_docs
+
+    index_dir = _index_for(sf_dir)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_CACHE_ROOT, key)
+    del_dir = os.path.join(root, "index_deleted")
+    marker = del_dir + ".json"
+    with open(os.path.join(root, "source.json")) as f:
+        sig = json.load(f)
+    sig = dict(sig, delete=[DELETE_MOD, DELETE_REM])
+    if os.path.exists(marker) and os.path.isdir(del_dir):
+        with open(marker) as f:
+            if json.load(f) == sig:
+                return del_dir
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    shutil.rmtree(del_dir, ignore_errors=True)
+    shutil.copytree(index_dir, del_dir, copy_function=os.link)
+    # the tombstone id set is small by contract (deletes, takedowns); at
+    # real scale it would arrive as an id list from upstream, not a scan
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+    )
+    delete_docs(del_dir, ids[ids % DELETE_MOD == DELETE_REM])
+    with open(marker, "w") as f:
+        json.dump(sig, f)
+    return del_dir
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -362,6 +415,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         index_dir = _merged_index_for(sf_dir)
         rows = search_topk(index_dir, BM25_QUERIES, topk=BM25_TOPK + 10).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
+
+    def bm25_topk_deleted(sf_dir):
+        from distributed_text_search_ray.pipelines.search import search_topk
+
+        rows = search_topk(
+            _deleted_index_for(sf_dir), BM25_QUERIES, topk=BM25_TOPK + 10
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
+    def dsir_weights(sf_dir):
+        from distributed_text_search_ray.pipelines.dsir import dsir_importance_weights
+
+        import ray.data
+
+        def target_slice(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            sel = t.filter(pc.equal(t.column("lang"), DSIR_TARGET_LANG))
+            return pa.table(
+                {"doc_id": sel.column("doc_id"), "content": sel.column("text")}
+            )
+
+        target = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        ).map_batches(target_slice, batch_format="pyarrow")
+        return dsir_importance_weights(
+            _docs_ds(sf_dir), target, buckets=DSIR_BUCKETS, alpha=0.5
+        )
 
     def bm25_topk_filtered(sf_dir):
         from distributed_text_search_ray.pipelines.search import search_topk_filtered
@@ -1004,9 +1086,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": user_event_gaps,
         "user_moving_avg": user_moving_avg,
         "grouped_quantiles": grouped_quantiles,
-        "value_quantiles": value_quantiles,
         "value_quantiles_by_type": value_quantiles_by_type,
-        "corpus_rollup": corpus_rollup,
+        # new in r4: tombstone deletes + DSIR importance weighting — take
+        # the first-50 slots of value_quantiles / corpus_rollup (both green
+        # r1-r3) so each gets a driver row immediately
+        "bm25_topk_deleted": bm25_topk_deleted,
+        "dsir_weights": dsir_weights,
         "events_window_1h": events_window_1h,
         "events_hopping": events_hopping,
         "asof_purchase_click": asof_purchase_click,
@@ -1046,6 +1131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of top_terms_nostop (green r2+r3) so it gets a driver row at once
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
+        "value_quantiles": value_quantiles,
+        "corpus_rollup": corpus_rollup,
         "top_terms_nostop": top_terms_nostop,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
@@ -1290,6 +1377,53 @@ SELECT query_id, rank, doc_id, rrf FROM ranked WHERE rank <= {BM25_TOPK}
         " JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang = 'es', stats s",
     )
     assert bm25_filtered != bm25
+
+    # tombstone-delete twin: scored doc set excludes the deleted ids, but
+    # N/avgdl/df/dl all stay computed over the FULL corpus — the stale-stats
+    # contract of delete-in-place (pipelines/build.py delete_docs docstring)
+    bm25_deleted = bm25.replace(
+        "JOIN dl ON dl.doc_id = tf.doc_id, stats s",
+        "JOIN dl ON dl.doc_id = tf.doc_id"
+        f" AND tf.doc_id % {DELETE_MOD} <> {DELETE_REM}, stats s",
+    )
+    assert bm25_deleted != bm25
+
+    # DSIR importance weights (pipelines/dsir.py): bucket = md5_number_lower
+    # (bit-equal to the engine's md5_u64) % DSIR_BUCKETS; Laplace-smoothed
+    # ln-ratio of target (lang = DSIR_TARGET_LANG) vs raw bucket unigram
+    # models; per-doc weight accumulated per (doc, bucket) and rounded 6 dp
+    # — the same multiset of addends as the engine's dot(bincount, lr).
+    # Scoring joins through raw-count buckets only, which covers every
+    # scored token by construction (each scored doc is itself in raw).
+    _B, _A = DSIR_BUCKETS, 0.5
+    dsir_sql = f"""
+WITH {_TOK_CTE},
+b AS (SELECT doc_id, (md5_number_lower(term) % {_B})::BIGINT bucket FROM tok),
+raw AS (SELECT bucket, count(*)::DOUBLE c FROM b GROUP BY 1),
+rtot AS (SELECT count(*)::DOUBLE t FROM b),
+tgt AS (
+  SELECT b.bucket, count(*)::DOUBLE c
+  FROM b JOIN documents d USING (doc_id)
+  WHERE d.lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+),
+ttot AS (
+  SELECT count(*)::DOUBLE t
+  FROM b JOIN documents d USING (doc_id)
+  WHERE d.lang = '{DSIR_TARGET_LANG}'
+),
+lr AS (
+  SELECT r.bucket,
+         ln((coalesce(tg.c, 0) + {_A}) / ((SELECT t FROM ttot) + {_A} * {_B}))
+         - ln((r.c + {_A}) / ((SELECT t FROM rtot) + {_A} * {_B})) AS lr
+  FROM raw r LEFT JOIN tgt tg USING (bucket)
+),
+db AS (SELECT doc_id, bucket, count(*)::DOUBLE c FROM b GROUP BY 1, 2)
+SELECT db.doc_id,
+       sum(db.c)::BIGINT AS n_tokens,
+       round(sum(db.c * lr.lr), 6) AS weight
+FROM db JOIN lr USING (bucket)
+GROUP BY db.doc_id
+"""
 
     apm = f"""
 WITH pats(query_id, p, k) AS (VALUES {_values(APM_PATTERNS)})
@@ -2520,6 +2654,8 @@ FROM walk
         "range_join_1h": range_join,
         "bm25_topk_wand": bm25,
         "bm25_topk_filtered": bm25_filtered,
+        "bm25_topk_deleted": bm25_deleted,
+        "dsir_weights": dsir_sql,
         "bm25_topk_merged": bm25,
         "revenue_by_nation": revenue_nation,
         "sessionize_30m": sessions,
