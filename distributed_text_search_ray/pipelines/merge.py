@@ -63,6 +63,74 @@ def _merge_fingerprint(metas: list[dict]) -> str:
     return "merge-" + h.hexdigest()[:16]
 
 
+def validate_doc_disjointness(sources: list[str]) -> None:
+    """EXACT cross-source doc-id disjointness check (opt-in; the per-part
+    check inside the merge is best-effort — see the comment there).
+
+    One distributed pass: every (source, partition) segment decodes its
+    doc-id stream, uniques it locally, and emits (doc_id, src) rows; a
+    ``groupby(doc_id)`` Min/Max-source aggregate then flags any id seen
+    from two different sources (min != max). Cost is a shuffle of the
+    per-part unique doc ids — O(Σ_parts unique docs per part), linear in
+    index size and fully distributed (nothing corpus-sized reaches the
+    driver; only the first few violations are pulled for the error).
+
+    Caveat: a token-EMPTY document appears in no segment, so an id
+    collision involving one is invisible here — it cannot corrupt scores
+    (it has no postings) but would still double-count N. Raises
+    ``ValueError`` on the first violations found."""
+    from ray.data.aggregate import Max, Min
+
+    items = [
+        {"src": i, "seg_dir": os.path.join(s, "segments", d)}
+        for i, s in enumerate(sources)
+        for d in sorted(os.listdir(os.path.join(s, "segments")))
+        if d.startswith("part=")
+    ]
+
+    def part_doc_ids(batch: pa.Table) -> pa.Table:
+        out_docs, out_src = [], []
+        for src, seg_dir in zip(
+            batch.column("src").to_pylist(), batch.column("seg_dir").to_pylist()
+        ):
+            docs = np.unique(read_segment_pairs(seg_dir)[2])
+            out_docs.append(docs)
+            out_src.append(np.full(len(docs), src, dtype=np.int64))
+        d = np.concatenate(out_docs) if out_docs else np.empty(0, dtype=np.int64)
+        s = np.concatenate(out_src) if out_src else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "src": pa.array(s, type=pa.int64()),
+            }
+        )
+
+    spans = (
+        ray.data.from_items(items)
+        .map_batches(part_doc_ids, batch_format="pyarrow", batch_size=1)
+        .groupby("doc_id")
+        .aggregate(Min("src", alias_name="src_min"), Max("src", alias_name="src_max"))
+    )
+
+    def violations(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.not_equal(batch.column("src_min"), batch.column("src_max"))
+        )
+
+    bad = spans.map_batches(violations, batch_format="pyarrow").take(5)
+    if bad:
+        ex = ", ".join(
+            f"doc {r['doc_id']} in sources {r['src_min']} and {r['src_max']}"
+            for r in bad
+        )
+        raise ValueError(
+            f"source indexes share doc ids — merge requires disjoint doc-id "
+            f"sets (first violations: {ex})"
+        )
+
+
 class _MergePart:
     """map_batches stage: one row = one partition to merge."""
 
@@ -118,9 +186,10 @@ class _MergePart:
         # overlap is caught; the check CANNOT see a doc whose two token
         # sets are disjoint AND hash to disjoint partition sets (or that is
         # token-empty in one source). Exact verification needs a global
-        # doc-id-set comparison — a full doc-id exchange at index scale —
-        # so callers merging UNTRUSTED sources should pre-verify doc-id
-        # ranges themselves (e.g. per-tenant / per-date id namespaces).
+        # doc-id-set comparison — available as the opt-in
+        # ``validate_doc_disjointness`` pass (``merge_indexes(...,
+        # validate_disjoint=True)``) for sources from untrusted id
+        # namespaces; trusted per-tenant / per-date namespaces can skip it.
         seen = np.empty(0, dtype=np.int64)
         for rec in per_src:
             docs_s = rec[2]
@@ -219,15 +288,25 @@ class _MergePart:
         )
 
 
-def merge_indexes(sources: list[str], out_dir: str) -> dict:
+def merge_indexes(
+    sources: list[str], out_dir: str, validate_disjoint: bool = False
+) -> dict:
     """Merge complete, same-config, doc-disjoint indexes into ``out_dir``.
 
     Returns a report (per-phase timings, totals). Resumable: finished
-    partitions are skipped on rerun via their lineage manifests."""
+    partitions are skipped on rerun via their lineage manifests.
+
+    ``validate_disjoint=True`` runs :func:`validate_doc_disjointness`
+    first — an exact distributed doc-id-set check that catches what the
+    in-merge per-part check cannot (a shared doc whose two token sets
+    hash to disjoint partition sets); use it when merging sources from
+    untrusted id namespaces."""
     import pyarrow.parquet as pq
 
     if len(sources) < 2:
         raise ValueError("merge_indexes needs at least two source indexes")
+    if validate_disjoint:
+        validate_doc_disjointness(sources)
     metas = [load_meta(s) for s in sources]
     for s, m in zip(sources, metas):
         if not m.get("complete"):
