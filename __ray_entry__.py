@@ -429,20 +429,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         import ray.data
 
-        def target_slice(t: pa.Table) -> pa.Table:
+        def flag_target(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            sel = t.filter(pc.equal(t.column("lang"), DSIR_TARGET_LANG))
             return pa.table(
-                {"doc_id": sel.column("doc_id"), "content": sel.column("text")}
+                {
+                    "doc_id": t.column("doc_id"),
+                    "content": t.column("text"),
+                    "is_target": pc.equal(t.column("lang"), DSIR_TARGET_LANG),
+                }
             )
 
-        target = ray.data.read_parquet(
+        docs = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text", "lang"],
-        ).map_batches(target_slice, batch_format="pyarrow")
+        ).map_batches(flag_target, batch_format="pyarrow")
+        # target is a slice of the pool -> fused single-pass model fit
         return dsir_importance_weights(
-            _docs_ds(sf_dir), target, buckets=DSIR_BUCKETS, alpha=0.5
+            docs, buckets=DSIR_BUCKETS, alpha=0.5, target_flag="is_target"
         )
 
     def bm25_topk_filtered(sf_dir):

@@ -49,42 +49,88 @@ from distributed_text_search_ray.functions.tokenize import tokenizer_for
 from distributed_text_search_ray.util import round_half_away
 
 
+def _flat_buckets(texts: list[str], tk, buckets: int):
+    """Tokenize a batch and bucket-hash its FLAT token stream, vectorized.
+
+    One dictionary-encode of the stream + one md5 hash per DISTINCT token
+    (not per occurrence), then a gather — the same shape as
+    ``functions.tokenize.batch_pairs_dict``. Returns (bucket_per_token,
+    doc_idx_per_token, tokens_per_doc) or None for a token-empty batch.
+    """
+    from itertools import chain
+
+    toks = [tk.tokens(t) for t in texts]
+    counts = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    total = int(counts.sum())
+    if total == 0:
+        return None
+    enc = pa.array(
+        list(chain.from_iterable(toks)), type=pa.string()
+    ).dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab_buckets = (
+        _md5_token_hashes(enc.dictionary.to_pylist()) % np.uint64(buckets)
+    ).astype(np.int64)
+    b = vocab_buckets[codes]
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    return b, doc_idx, counts
+
+
 def _bucket_counts(
-    ds: ray.data.Dataset, buckets: int, analyzer: AnalyzerConfig | None
-) -> np.ndarray:
+    ds: ray.data.Dataset,
+    buckets: int,
+    analyzer: AnalyzerConfig | None,
+    flag_col: str | None = None,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Dense bucket-count vector of a (doc_id, content) dataset.
 
     Partial per-batch bincounts (sparse rows) -> groupby(bucket).sum ->
     at most ``buckets`` rows pulled to the driver (bounded by construction).
+
+    With ``flag_col`` (a boolean column marking target rows), ONE pass
+    fits BOTH models — returns (all_counts, flagged_counts). Tokenizing
+    is the dominant cost of a fit pass, so fusing halves model-fit time
+    when the target is a slice of the pool (the common DSIR setup).
     """
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         tk = tokenizer_for(analyzer)
-        acc = np.zeros(buckets, dtype=np.int64)
-        for text in batch.column("content").to_pylist():
-            toks = tk.tokens(text)
-            if toks:
-                b = (_md5_token_hashes(toks) % np.uint64(buckets)).astype(np.int64)
-                acc += np.bincount(b, minlength=buckets)
+        flat = _flat_buckets(batch.column("content").to_pylist(), tk, buckets)
+        if flat is None:
+            b = np.empty(0, dtype=np.int64)
+            doc_idx = b
+        else:
+            b, doc_idx, _ = flat
+        acc = np.bincount(b, minlength=buckets)
         nz = np.flatnonzero(acc)
-        return pa.table(
-            {
-                "bucket": pa.array(nz.astype(np.int64), type=pa.int64()),
-                "c": pa.array(acc[nz], type=pa.int64()),
-            }
-        )
+        cols = {
+            "bucket": pa.array(nz.astype(np.int64), type=pa.int64()),
+            "c": pa.array(acc[nz], type=pa.int64()),
+        }
+        if flag_col:
+            flags = np.asarray(batch.column(flag_col).to_pylist(), dtype=bool)
+            bt = b[flags[doc_idx]] if len(b) else b
+            acc_t = np.bincount(bt, minlength=buckets)
+            cols["ct"] = pa.array(acc_t[nz], type=pa.int64())
+        return pa.table(cols)
 
+    aggs = [Sum("c", alias_name="cnt")]
+    if flag_col:
+        aggs.append(Sum("ct", alias_name="cnt_t"))
     rows = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
-        .aggregate(Sum("c", alias_name="cnt"))
+        .aggregate(*aggs)
         .take_all()
     )
     out = np.zeros(buckets, dtype=np.float64)
+    out_t = np.zeros(buckets, dtype=np.float64) if flag_col else None
     for r in rows:
         out[r["bucket"]] = r["cnt"]
-    return out
+        if flag_col:
+            out_t[r["bucket"]] = r["cnt_t"]
+    return (out, out_t) if flag_col else out
 
 
 def dsir_log_ratio(
@@ -101,10 +147,11 @@ def dsir_log_ratio(
 
 def dsir_importance_weights(
     docs: ray.data.Dataset,
-    target: ray.data.Dataset,
+    target: ray.data.Dataset | None = None,
     buckets: int = 1024,
     alpha: float = 0.5,
     analyzer: AnalyzerConfig | None = None,
+    target_flag: str | None = None,
 ) -> ray.data.Dataset:
     """Importance weight of every raw document against a target corpus.
 
@@ -114,35 +161,55 @@ def dsir_importance_weights(
     with weight rounded to 6 dp; zero-token docs are omitted (they carry
     no evidence either way, matching the SQL twin's inner join through
     the token stream).
+
+    When the target IS a slice of the pool, pass ``target_flag`` (the
+    name of a boolean column on ``docs`` marking target rows) instead of
+    a separate ``target`` dataset: both bucket models then fit in ONE
+    tokenize pass over the pool instead of two (identical counts, so the
+    weights — and the SQL twin — are unchanged).
     """
-    raw_counts = _bucket_counts(docs, buckets, analyzer)
-    target_counts = _bucket_counts(target, buckets, analyzer)
+    if (target is None) == (target_flag is None):
+        raise ValueError("pass exactly one of target / target_flag")
+    if target_flag is not None:
+        raw_counts, target_counts = _bucket_counts(
+            docs, buckets, analyzer, flag_col=target_flag
+        )
+    else:
+        raw_counts = _bucket_counts(docs, buckets, analyzer)
+        target_counts = _bucket_counts(target, buckets, analyzer)
     lr_ref = ray.put(dsir_log_ratio(raw_counts, target_counts, alpha))
 
     def score(batch: pa.Table) -> pa.Table:
         lr = ray.get(lr_ref)
         tk = tokenizer_for(analyzer)
-        ids, ntok, ws = [], [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
-        ):
-            toks = tk.tokens(text)
-            if not toks:
-                continue
-            b = (_md5_token_hashes(toks) % np.uint64(buckets)).astype(np.int64)
-            cnts = np.bincount(b, minlength=buckets)
-            nz = np.flatnonzero(cnts)
-            # accumulate per (doc, bucket): dot(counts, lr) — the same
-            # multiset of addends as the oracle's GROUP BY doc,bucket twin
-            w = float(np.dot(cnts[nz].astype(np.float64), lr[nz]))
-            ids.append(doc_id)
-            ntok.append(len(toks))
-            ws.append(round_half_away(w, 6))
+        texts = batch.column("content").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy()
+        flat = _flat_buckets(texts, tk, buckets)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "weight": pa.array([], type=pa.float64()),
+            }
+        )
+        if flat is None:
+            return empty
+        b, doc_idx, counts = flat
+        # accumulate per (doc, bucket) in bucket-ascending order per doc —
+        # the same addend multiset AND order as the per-doc dot(counts, lr)
+        # form and the oracle's GROUP BY doc,bucket twin
+        key = doc_idx * buckets + b
+        uk, tf = np.unique(key, return_counts=True)
+        d_of, b_of = uk // buckets, uk % buckets
+        w = np.bincount(d_of, weights=tf * lr[b_of], minlength=len(texts))
+        keep = counts > 0
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "n_tokens": pa.array(ntok, type=pa.int64()),
-                "weight": pa.array(ws, type=pa.float64()),
+                "doc_id": pa.array(doc_ids[keep], type=pa.int64()),
+                "n_tokens": pa.array(counts[keep], type=pa.int64()),
+                "weight": pa.array(
+                    round_half_away(w[keep], 6), type=pa.float64()
+                ),
             }
         )
 

@@ -89,6 +89,36 @@ def test_dsir_weights_match_bruteforce(code_corpus):
     assert np.mean(tw) > np.mean(rw)
 
 
+def test_dsir_fused_flag_path_equals_two_pass(code_corpus):
+    """target_flag (single fused model-fit pass) must produce identical
+    weights to the two-dataset path — same counts, same model, bit-equal."""
+    corpus_dir, _ = code_corpus
+    docs = corpus_docs(corpus_dir)
+
+    import pyarrow as pa
+
+    def ds_of(pairs, flag=False):
+        cols = {
+            "doc_id": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "content": pa.array([p[1] for p in pairs], type=pa.string()),
+        }
+        if flag:
+            cols["is_target"] = pa.array([p[0] % 5 == 0 for p in pairs])
+        return ray.data.from_arrow(pa.table(cols)).repartition(4)
+
+    target = [d for d in docs if d[0] % 5 == 0]
+    two_pass = dsir_importance_weights(
+        ds_of(docs), ds_of(target), buckets=256
+    ).take_all()
+    fused = dsir_importance_weights(
+        ds_of(docs, flag=True), buckets=256, target_flag="is_target"
+    ).take_all()
+    key = lambda r: r["doc_id"]
+    assert sorted(fused, key=key) == sorted(two_pass, key=key)
+    with pytest.raises(ValueError):
+        dsir_importance_weights(ds_of(docs))  # neither target nor flag
+
+
 def test_dsir_select_deterministic_topfraction(code_corpus):
     corpus_dir, _ = code_corpus
     docs = corpus_docs(corpus_dir)
