@@ -98,6 +98,29 @@ def main(argv: list[str] | None = None) -> int:
     mg = sub.add_parser("merge")
     mg.add_argument("out_dir")
     mg.add_argument("sources", nargs="+")
+    mg.add_argument(
+        "--validate-disjoint",
+        action="store_true",
+        help="exact distributed doc-id disjointness check before merging "
+        "(for sources from untrusted id namespaces)",
+    )
+
+    dsr = sub.add_parser(
+        "dsir",
+        help="DSIR importance weights: score a corpus against a target "
+        "corpus (hashed-n-gram data selection)",
+    )
+    dsr.add_argument("corpus_dir")
+    dsr.add_argument("target_dir")
+    dsr.add_argument("--buckets", type=int, default=4096)
+    dsr.add_argument(
+        "--fraction", type=float, default=0.0,
+        help="keep only the top fraction by weight (0 = all rows)",
+    )
+    dsr.add_argument(
+        "--out", default="",
+        help="write the weight table to this parquet dir instead of stdout",
+    )
 
     dl = sub.add_parser(
         "delete", help="tombstone doc ids (no rebuild; stats stay build-time)"
@@ -243,8 +266,29 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "merge":
         from distributed_text_search_ray.pipelines.merge import merge_indexes
 
-        report = merge_indexes(args.sources, args.out_dir)
+        report = merge_indexes(
+            args.sources, args.out_dir, validate_disjoint=args.validate_disjoint
+        )
         print(json.dumps({k: report[k] for k in ("fingerprint", "N", "complete")}))
+    elif args.cmd == "dsir":
+        from distributed_text_search_ray.pipelines.dsir import (
+            dsir_importance_weights,
+            dsir_select,
+        )
+        from distributed_text_search_ray.sources.corpus import read_corpus
+
+        w = dsir_importance_weights(
+            read_corpus(args.corpus_dir, columns=["doc_id", "content"]),
+            read_corpus(args.target_dir, columns=["doc_id", "content"]),
+            buckets=args.buckets,
+        )
+        sel = dsir_select(w, args.fraction) if args.fraction > 0 else w
+        if args.out:
+            sel.write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+        else:
+            for r in sel.take_all():
+                print(f"{r['doc_id']}\t{r['n_tokens']}\t{r['weight']:.6f}")
     elif args.cmd == "delete":
         from distributed_text_search_ray.pipelines.build import delete_docs
 

@@ -85,3 +85,25 @@ def test_cli_info(cli_env, capsys):
 
     info = _json.loads(capsys.readouterr().out)
     assert info["N"] == 240 and info["complete"] and info["n_deleted"] == 0
+
+
+def test_cli_dsir(cli_env, capsys):
+    corpus_dir, _ = cli_env
+    # target = the corpus itself: weights ~0 but the full path runs
+    assert main(
+        ["dsir", corpus_dir, corpus_dir, "--buckets", "128", "--fraction", "0.1"]
+    ) in (0, None)
+    lines = _lines(capsys)
+    assert lines and all(len(ln.split("\t")) == 3 for ln in lines)
+
+
+def test_cli_merge_validate_disjoint_flag(cli_env, tmp_path, capsys):
+    import json as _json
+
+    _, index_dir = cli_env
+    # merging an index with itself must be rejected by the exact validator
+    with pytest.raises(ValueError, match="share doc ids|fingerprints"):
+        main([
+            "merge", str(tmp_path / "m"), index_dir, index_dir,
+            "--validate-disjoint",
+        ])
