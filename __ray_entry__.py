@@ -424,6 +424,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def bm25_topk_compacted(sf_dir):
+        # true compaction of the tombstoned clone: segment rewrite dropping
+        # the deleted docs' pairs, stats RECOMPUTED (unlike the stale-stats
+        # tombstone path above) — compact_index skips when already built
+        from distributed_text_search_ray.pipelines.merge import compact_index
+        from distributed_text_search_ray.pipelines.search import search_topk
+
+        del_dir = _deleted_index_for(sf_dir)
+        out = os.path.join(os.path.dirname(del_dir), "index_compacted")
+        compact_index(del_dir, out)
+        rows = search_topk(out, BM25_QUERIES, topk=BM25_TOPK + 10).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
     def dsir_weights(sf_dir):
         from distributed_text_search_ray.pipelines.dsir import dsir_importance_weights
 
@@ -1088,13 +1101,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": tpch_q3,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
-        "user_moving_avg": user_moving_avg,
         "grouped_quantiles": grouped_quantiles,
         "value_quantiles_by_type": value_quantiles_by_type,
         # new in r4: tombstone deletes + DSIR importance weighting — take
         # the first-50 slots of value_quantiles / corpus_rollup (both green
         # r1-r3) so each gets a driver row immediately
         "bm25_topk_deleted": bm25_topk_deleted,
+        "bm25_topk_compacted": bm25_topk_compacted,
         "dsir_weights": dsir_weights,
         "events_window_1h": events_window_1h,
         "events_hopping": events_hopping,
@@ -1135,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of top_terms_nostop (green r2+r3) so it gets a driver row at once
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
+        "user_moving_avg": user_moving_avg,
         "value_quantiles": value_quantiles,
         "corpus_rollup": corpus_rollup,
         "top_terms_nostop": top_terms_nostop,
@@ -1391,6 +1405,17 @@ SELECT query_id, rank, doc_id, rrf FROM ranked WHERE rank <= {BM25_TOPK}
         f" AND tf.doc_id % {DELETE_MOD} <> {DELETE_REM}, stats s",
     )
     assert bm25_deleted != bm25
+
+    # compaction twin: the surviving corpus IS the corpus — every stat
+    # (N/avgdl/df/dl) recomputes over it, unlike the stale-stats tombstone
+    # twin above. Prepend a survivor CTE and retarget every corpus read.
+    bm25_compacted = bm25.replace("FROM documents", "FROM surv").replace(
+        "WITH ",
+        f"WITH surv AS (SELECT * FROM documents"
+        f" WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}),\n",
+        1,
+    )
+    assert "FROM surv" in bm25_compacted and bm25_compacted.count("FROM documents") == 1
 
     # DSIR importance weights (pipelines/dsir.py): bucket = md5_number_lower
     # (bit-equal to the engine's md5_u64) % DSIR_BUCKETS; Laplace-smoothed
@@ -2659,6 +2684,7 @@ FROM walk
         "bm25_topk_wand": bm25,
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_deleted": bm25_deleted,
+        "bm25_topk_compacted": bm25_compacted,
         "dsir_weights": dsir_sql,
         "bm25_topk_merged": bm25,
         "revenue_by_nation": revenue_nation,

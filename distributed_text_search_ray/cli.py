@@ -105,6 +105,14 @@ def main(argv: list[str] | None = None) -> int:
         "(for sources from untrusted id namespaces)",
     )
 
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite an index without its tombstoned docs (segment-level, "
+        "no re-tokenization; stats recomputed)",
+    )
+    cp.add_argument("index_dir")
+    cp.add_argument("out_dir")
+
     dsr = sub.add_parser(
         "dsir",
         help="DSIR importance weights: score a corpus against a target "
@@ -270,6 +278,19 @@ def main(argv: list[str] | None = None) -> int:
             args.sources, args.out_dir, validate_disjoint=args.validate_disjoint
         )
         print(json.dumps({k: report[k] for k in ("fingerprint", "N", "complete")}))
+    elif args.cmd == "compact":
+        from distributed_text_search_ray.pipelines.merge import compact_index
+
+        report = compact_index(args.index_dir, args.out_dir)
+        print(
+            json.dumps(
+                {
+                    k: report[k]
+                    for k in ("fingerprint", "N", "complete")
+                    if k in report
+                }
+            )
+        )
     elif args.cmd == "dsir":
         from distributed_text_search_ray.pipelines.dsir import (
             dsir_importance_weights,

@@ -449,6 +449,299 @@ def merge_indexes(
     return report
 
 
+class _CompactPart:
+    """map_batches stage: one row = one partition to compact (drop
+    tombstoned docs' pairs, re-encode under the post-delete stats)."""
+
+    def __init__(self, index_dir: str, out_dir: str, fingerprint: str,
+                 cfg: IndexConfig, N: int, avgdl: float, deleted_ref):
+        self.index_dir = index_dir
+        self.out_dir = out_dir
+        self.fingerprint = fingerprint
+        self.cfg = cfg
+        self.N = N
+        self.avgdl = avgdl
+        self.deleted_ref = deleted_ref  # ray.put'd sorted int64 array
+
+    def compact_part(self, part: int) -> dict:
+        import ray as _ray
+
+        seg_dir = os.path.join(self.out_dir, "segments", f"part={part:05d}")
+        if mf.is_complete(seg_dir, self.fingerprint):
+            m = mf.read_manifest(seg_dir)
+            return {"part": part, "n_terms": m["n_terms"],
+                    "n_postings": m["n_postings"], "skipped": True}
+        with_pos = self.cfg.store_positions
+        rec = read_segment_pairs(
+            os.path.join(self.index_dir, "segments", f"part={part:05d}"),
+            with_positions=with_pos,
+        )
+        terms, df, docs, tfs, dls = rec[:5]
+        deleted = _ray.get(self.deleted_ref)
+        codes_all = np.repeat(np.arange(len(df), dtype=np.int64), df)
+        keep = ~np.isin(docs, deleted, assume_unique=False)
+        positions = None
+        if keep.all():
+            codes_new, terms_kept = codes_all, list(terms)
+            docs_k, tfs_k, dls_k = docs, tfs, dls
+            if with_pos:
+                flat_new, new_tfs = rec[5], tfs
+        else:
+            codes_k = codes_all[keep]
+            docs_k, tfs_k, dls_k = docs[keep], tfs[keep], dls[keep]
+            # drop now-empty terms so the dictionary equals a fresh build's
+            kept_codes, codes_new = np.unique(codes_k, return_inverse=True)
+            terms_kept = [terms[c] for c in kept_codes]
+            if with_pos:
+                flat = rec[5]
+                pre_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                new_tfs = tfs_k
+                out_starts = np.concatenate(([0], np.cumsum(new_tfs)[:-1]))
+                total = int(new_tfs.sum())
+                take = np.repeat(pre_starts[keep], new_tfs) + (
+                    np.arange(total, dtype=np.int64) - np.repeat(out_starts, new_tfs)
+                )
+                flat_new = flat[take]
+        if with_pos:
+            if len(tfs_k):
+                offsets = np.concatenate(([0], np.cumsum(new_tfs))).astype(np.int32)
+                positions = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(flat_new.astype(np.int32))
+                )
+            else:
+                positions = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(1, dtype=np.int32)),
+                    pa.array(np.empty(0, dtype=np.int32)),
+                )
+        built = build_segment_tables(
+            codes_new if len(tfs_k) else np.empty(0, np.int64),
+            terms_kept if len(tfs_k) else [],
+            docs_k, tfs_k, dls_k, self.N, self.avgdl, self.cfg,
+            positions=positions,
+        )
+        if with_pos:
+            terms_table, docs_b, tfs_b, dls_b, stats, pos_b = built
+        else:
+            terms_table, docs_b, tfs_b, dls_b, stats = built
+            pos_b = None
+        with mf.AtomicDir(seg_dir) as tmp:
+            checks = write_segment(
+                tmp, terms_table, docs_b, tfs_b, dls_b, pos_stream=pos_b
+            )
+            mf.write_manifest(
+                tmp,
+                {"kind": "segment", "part": part,
+                 "fingerprint": self.fingerprint, "checksums": checks, **stats},
+            )
+        return {"part": part, "n_terms": stats["n_terms"],
+                "n_postings": stats["n_postings"], "skipped": False}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"part": [], "n_terms": [], "n_postings": [], "skipped": []}
+        for part in batch.column("part").to_pylist():
+            res = self.compact_part(int(part))
+            for k in out:
+                out[k].append(res[k])
+        return pa.table(
+            {
+                "part": pa.array(out["part"], type=pa.int64()),
+                "n_terms": pa.array(out["n_terms"], type=pa.int64()),
+                "n_postings": pa.array(out["n_postings"], type=pa.int64()),
+                "skipped": pa.array(out["skipped"]),
+            }
+        )
+
+
+def compact_index(index_dir: str, out_dir: str) -> dict:
+    """Rewrite an index WITHOUT its tombstoned documents — the true
+    compaction path for ``delete_docs``, no re-tokenization.
+
+    Two distributed passes over the segments, never over the corpus:
+
+    1. stats pre-pass: each partition decodes (doc, dl) and reports the
+       tombstoned docs it contains (unique (doc_id, dl) rows — at most
+       the tombstone set reaches the driver, small by the delete
+       contract). N/total_tokens/avgdl are corrected by exactly the
+       deleted docs' contributions.
+    2. compact pass: one task per partition drops the deleted pairs
+       (positions permute with their pairs on v4 segments), drops
+       now-empty terms, and re-encodes under the NEW global stats;
+       resumable via compact-fingerprint manifests.
+
+    The result is rank- AND score-identical to a fresh build over the
+    surviving corpus (pinned by tests) with one documented caveat: a
+    tombstone for a doc with NO postings (token-empty, or an id that
+    never existed) cannot be observed in any segment, so it leaves
+    N/avgdl unchanged — it has no postings to remove either way.
+    """
+    import ray as _ray
+    import pyarrow.parquet as pq
+
+    meta = load_meta(index_dir)
+    if not meta.get("complete"):
+        raise ValueError(f"source index {index_dir} is not complete")
+    cfg = config_from_meta(meta)
+    tomb_path = os.path.join(index_dir, "deleted.parquet")
+    deleted = (
+        pq.read_table(tomb_path, columns=["doc_id"]).column("doc_id").to_numpy()
+        if os.path.exists(tomb_path)
+        else np.empty(0, dtype=np.int64)
+    )
+    deleted = np.unique(deleted)
+    h = hashlib.sha256(meta["fingerprint"].encode())
+    h.update(deleted.tobytes())
+    fp = "compact-" + h.hexdigest()[:16]
+    os.makedirs(out_dir, exist_ok=True)
+    report: dict = {"fingerprint": fp, "phases": {}}
+
+    meta_path = os.path.join(out_dir, "index_meta.json")
+    if os.path.exists(meta_path):
+        m = load_meta(out_dir)
+        if m.get("fingerprint") == fp and m.get("complete"):
+            report["skipped"] = True
+            report.update(m)
+            return report
+
+    # ---- stats pre-pass ----
+    t0 = time.perf_counter()
+    deleted_ref = _ray.put(deleted)
+
+    def find_deleted(batch: pa.Table) -> pa.Table:
+        dset = _ray.get(deleted_ref)
+        out_d, out_l = [], []
+        for part in batch.column("part").to_pylist():
+            _, _, docs, _, dls = read_segment_pairs(
+                os.path.join(index_dir, "segments", f"part={int(part):05d}")
+            )[:5]
+            hit = np.isin(docs, dset)
+            if hit.any():
+                pairs = np.unique(
+                    np.stack([docs[hit], dls[hit]], axis=1), axis=0
+                )
+                out_d.append(pairs[:, 0])
+                out_l.append(pairs[:, 1])
+        d = np.concatenate(out_d) if out_d else np.empty(0, dtype=np.int64)
+        l = np.concatenate(out_l) if out_l else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "dl": pa.array(l, type=pa.int64()),
+            }
+        )
+
+    parts_ds = ray.data.from_items([{"part": p} for p in range(cfg.num_partitions)])
+    found = (
+        parts_ds.map_batches(find_deleted, batch_size=1, batch_format="pyarrow")
+        .take_all()
+        if len(deleted)
+        else []
+    )
+    uniq = {r["doc_id"]: r["dl"] for r in found}
+    n_found, dl_removed = len(uniq), int(sum(uniq.values()))
+    N = int(meta["N"]) - n_found
+    total_tokens = int(meta["total_tokens"]) - dl_removed
+    avgdl = total_tokens / N if N else 0.0
+    report["phases"]["stats"] = {
+        "sec": time.perf_counter() - t0,
+        "n_tombstones": int(len(deleted)),
+        "n_found": n_found,
+        "tokens_removed": dl_removed,
+    }
+
+    # ---- compact pass: one task per partition ----
+    t0 = time.perf_counter()
+    mf.gc_tmp_dirs(os.path.join(out_dir, "segments"))
+    stage = _CompactPart(index_dir, out_dir, fp, cfg, N, avgdl, deleted_ref)
+    results = (
+        parts_ds.map_batches(lambda b: stage(b), batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    report["phases"]["segments"] = {
+        "sec": time.perf_counter() - t0,
+        "built": sum(1 for r in results if not r["skipped"]),
+        "skipped": sum(1 for r in results if r["skipped"]),
+    }
+
+    # ---- dictionary + stats + meta (vocabulary-sized, driver) ----
+    t0 = time.perf_counter()
+    dict_dir = os.path.join(out_dir, "dictionary")
+    terms_files = [
+        os.path.join(out_dir, "segments", f"part={p:05d}", "terms.parquet")
+        for p in range(cfg.num_partitions)
+    ]
+    t = pa.concat_tables(
+        pq.read_table(f, columns=["term", "df", "cf"]) for f in terms_files
+    )
+    g = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+    g = agg_rename(
+        g, ["term"], [("df", "sum"), ("cf", "sum")], ["df", "cf"]
+    ).sort_by("term")
+    with mf.AtomicDir(dict_dir) as tmp:
+        pq.write_table(g, os.path.join(tmp, "dictionary.parquet"))
+        mf.write_manifest(tmp, {"kind": "dictionary", "fingerprint": fp})
+    hot_terms = set(meta.get("hot_df", {}))
+    hot_df: dict[str, int] = {}
+    if hot_terms:
+        import pyarrow.compute as pc
+
+        sel = g.filter(
+            pc.is_in(g.column("term"), value_set=pa.array(sorted(hot_terms)))
+        )
+        hot_df = {
+            t_: int(d)
+            for t_, d in zip(
+                sel.column("term").to_pylist(), sel.column("df").to_pylist()
+            )
+        }
+    stats_path = os.path.join(out_dir, "stats.json")
+    with open(stats_path + ".tmp", "w") as f:
+        json.dump(
+            {"fingerprint": fp, "N": N, "total_tokens": total_tokens,
+             "avgdl": avgdl, "hot_df": hot_df},
+            f, indent=1, sort_keys=True,
+        )
+    os.replace(stats_path + ".tmp", stats_path)
+    report["phases"]["dictionary"] = {"sec": time.perf_counter() - t0}
+
+    # attribute sidecars copy unchanged: rows for compacted-away docs are
+    # inert (attribute filters only ever intersect with postings)
+    src_attr = os.path.join(index_dir, "attributes")
+    if os.path.isdir(src_attr):
+        dst_attr = os.path.join(out_dir, "attributes")
+        os.makedirs(dst_attr, exist_ok=True)
+        for name in sorted(os.listdir(src_attr)):
+            if name.endswith(".attrs.parquet"):
+                shutil.copyfile(
+                    os.path.join(src_attr, name), os.path.join(dst_attr, name)
+                )
+
+    part_stats = {}
+    max_doc_id = -1
+    for p in range(cfg.num_partitions):
+        m = mf.read_manifest(os.path.join(out_dir, "segments", f"part={p:05d}"))
+        part_stats[p] = {k: m[k] for k in ("n_terms", "n_postings", "sum_tf")}
+        max_doc_id = max(max_doc_id, m.get("max_doc_id", -1))
+    out_meta = {
+        "max_doc_id": max_doc_id,
+        "fingerprint": fp,
+        "compacted_from": meta["fingerprint"],
+        "config": asdict(cfg),
+        "N": N,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        "hot_df": hot_df,
+        "num_partitions": cfg.num_partitions,
+        "part_stats": part_stats,
+        "complete": True,
+    }
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(out_meta, f, indent=1, sort_keys=True)
+    os.replace(meta_path + ".tmp", meta_path)
+    report.update(out_meta)
+    report["n_compacted_out"] = n_found
+    return report
+
+
 def extend_index(
     index_dir: str,
     new_corpus_path: str,

@@ -107,3 +107,24 @@ def test_cli_merge_validate_disjoint_flag(cli_env, tmp_path, capsys):
             "merge", str(tmp_path / "m"), index_dir, index_dir,
             "--validate-disjoint",
         ])
+
+
+def test_cli_delete_then_compact(cli_env, tmp_path, capsys):
+    import json as _json
+    import os
+    import shutil
+
+    _, index_dir = cli_env
+    clone = str(tmp_path / "clone")
+    shutil.copytree(index_dir, clone, copy_function=os.link)
+    # find a real doc id via a search, tombstone it, compact it away
+    assert main(["search", clone, "def tokenize", "--topk", "1"]) in (0, None)
+    victim = _lines(capsys)[0].split("\t")[2]
+    assert main(["delete", clone, victim]) in (0, None)
+    assert _json.loads(_lines(capsys)[-1])["n_deleted"] == 1
+    out = str(tmp_path / "compacted")
+    assert main(["compact", clone, out]) in (0, None)
+    rep = _json.loads(_lines(capsys)[-1])
+    assert rep["complete"] is True
+    assert main(["search", out, "def tokenize", "--topk", "3"]) in (0, None)
+    assert all(ln.split("\t")[2] != victim for ln in _lines(capsys))
