@@ -61,6 +61,16 @@ PREFIX_PATTERNS = [
     (4, "s"),        # duplicate of 0 — counted independently
 ]
 
+# general */? wildcards (mid-pattern, not just prefixes); raw syntax here,
+# translated to LIKE by search.wildcard_to_like on BOTH sides of the gate
+WILDCARD_PATTERNS = [
+    (0, "c?st*"),    # customer...
+    (1, "*ue"),      # value/...
+    (2, "t?ble"),    # table
+    (3, "zz*q?"),    # matches nothing
+    (4, "*ust*"),    # mid-pattern fan-out
+]
+
 SYNONYMS = {
     "join": ["merge"],
     "table": ["row"],
@@ -496,6 +506,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def prefix_stats(sf_dir):
         return search.prefix_term_search(_index_for(sf_dir), PREFIX_PATTERNS)
+
+    def wildcard_stats(sf_dir):
+        return search.wildcard_term_search(_index_for(sf_dir), WILDCARD_PATTERNS)
+
+    def wildcard_topk(sf_dir):
+        rows = search.wildcard_topk_search(
+            _index_for(sf_dir), WILDCARD_PATTERNS, topk=BM25_TOPK + 10
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
 
     def bm25_topk_rangefiltered(sf_dir):
         rows = search.search_topk_filtered_range(
@@ -1109,8 +1128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_topk_compacted": bm25_topk_compacted,
         "dsir_weights": dsir_weights,
-        "events_window_1h": events_window_1h,
-        "events_hopping": events_hopping,
+        "wildcard_stats": wildcard_stats,
+        "wildcard_topk": wildcard_topk,
         "asof_purchase_click": asof_purchase_click,
         "range_join_1h": range_join_1h,
         "bm25_topk_wand": bm25_topk_wand,
@@ -1148,6 +1167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of top_terms_nostop (green r2+r3) so it gets a driver row at once
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
+        "events_window_1h": events_window_1h,
+        "events_hopping": events_hopping,
         "user_moving_avg": user_moving_avg,
         "value_quantiles": value_quantiles,
         "corpus_rollup": corpus_rollup,
@@ -1631,6 +1652,64 @@ SELECT p.query_id,
        coalesce(docs.nd, 0)::BIGINT AS n_docs,
        coalesce(agg.occ, 0)::BIGINT AS n_occurrences
 FROM pats p LEFT JOIN agg USING (query_id) LEFT JOIN docs USING (query_id)
+"""
+
+    # general wildcard twins: the SAME translation function produces the
+    # LIKE pattern on both sides (engine: pc.match_like; oracle: LIKE ...
+    # ESCAPE '\\' — verified char-equal incl. escaped literals)
+    from distributed_text_search_ray.pipelines.search import wildcard_to_like
+
+    _WC = [(q, wildcard_to_like(p)) for q, p in WILDCARD_PATTERNS]
+    wildcard_stats_sql = f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT term, count(DISTINCT doc_id) df, count(*) cf FROM tok GROUP BY 1),
+pats(query_id, p) AS (VALUES {_values(_WC)}),
+matched AS (
+  SELECT pats.query_id, v.term, v.cf FROM pats, vocab v
+  WHERE v.term LIKE pats.p ESCAPE '\\'
+),
+agg AS (SELECT query_id, count(*) nt, sum(cf) occ FROM matched GROUP BY 1),
+docs AS (
+  SELECT m.query_id, count(DISTINCT t.doc_id) nd
+  FROM matched m JOIN tok t ON t.term = m.term GROUP BY 1
+)
+SELECT p.query_id,
+       coalesce(agg.nt, 0)::BIGINT AS n_matching_terms,
+       coalesce(docs.nd, 0)::BIGINT AS n_docs,
+       coalesce(agg.occ, 0)::BIGINT AS n_occurrences
+FROM pats p LEFT JOIN agg USING (query_id) LEFT JOIN docs USING (query_id)
+"""
+
+    wildcard_topk_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+pats(query_id, p) AS (VALUES {_values(_WC)}),
+qterms AS (
+  SELECT DISTINCT pats.query_id, df.term
+  FROM pats, df WHERE df.term LIKE pats.p ESCAPE '\\'
+),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
 
     prefix_topk_sql = f"""
@@ -2696,6 +2775,8 @@ FROM walk
         "fuzzy_term_stats": fuzzy,
         "fuzzy_topk": fuzzy_topk_sql,
         "prefix_stats": prefix_stats_sql,
+        "wildcard_stats": wildcard_stats_sql,
+        "wildcard_topk": wildcard_topk_sql,
         "prefix_topk": prefix_topk_sql,
         "bm25_topk_boolfiltered": boolfiltered_sql,
         "bm25_topk_rangefiltered": rangefiltered_sql,

@@ -95,6 +95,15 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("prefixes", nargs="+")
     pr.add_argument("--topk", type=int, default=0, help="if > 0, rank docs over the expansion")
 
+    wc = sub.add_parser(
+        "wildcard",
+        help="general */? wildcard term stats or ranked retrieval "
+        "(mid-pattern wildcards; ? = one char, * = any run)",
+    )
+    wc.add_argument("index_dir")
+    wc.add_argument("patterns", nargs="+")
+    wc.add_argument("--topk", type=int, default=0, help="if > 0, rank docs over the expansion")
+
     mg = sub.add_parser("merge")
     mg.add_argument("out_dir")
     mg.add_argument("sources", nargs="+")
@@ -232,6 +241,21 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
         else:
             for r in prefix_term_search(args.index_dir, pats).take_all():
+                print(
+                    f"{r['query_id']}\t{r['n_matching_terms']}\t{r['n_docs']}\t{r['n_occurrences']}"
+                )
+    elif args.cmd == "wildcard":
+        from distributed_text_search_ray.pipelines.search import (
+            wildcard_term_search,
+            wildcard_topk_search,
+        )
+
+        pats = list(enumerate(args.patterns))
+        if args.topk > 0:
+            for r in wildcard_topk_search(args.index_dir, pats, topk=args.topk).take_all():
+                print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+        else:
+            for r in wildcard_term_search(args.index_dir, pats).take_all():
                 print(
                     f"{r['query_id']}\t{r['n_matching_terms']}\t{r['n_docs']}\t{r['n_occurrences']}"
                 )

@@ -642,6 +642,10 @@ class PrefixCountExecutor:
 
         self.tokenizer = Tokenizer(self.view.cfg.analyzer)
 
+    def _normalize(self, raw: str) -> str:
+        toks = self.tokenizer.tokens(raw)
+        return toks[0] if toks else ""
+
     def _expand(self, prefix: str) -> np.ndarray:
         import pyarrow.compute as pc
 
@@ -651,9 +655,7 @@ class PrefixCountExecutor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"query_id": [], "n_matching_terms": [], "n_docs": [], "n_occurrences": []}
         for row in batch.to_pylist():
-            toks = self.tokenizer.tokens(row["prefix"])
-            p = toks[0] if toks else ""
-            idxs = self._expand(p)
+            idxs = self._expand(self._normalize(row["prefix"]))
             # occurrences from LIVE postings (tf sums), not dictionary cf:
             # cf is a build-time stat that would still count tombstoned docs
             posts = [self.view.term_postings(self.expander.term_at(i)) for i in idxs]
@@ -690,6 +692,77 @@ def prefix_term_search(
     )
 
 
+def wildcard_to_like(pattern: str) -> str:
+    """GENERAL wildcard pattern -> SQL LIKE pattern (the shared contract
+    between the engine and its DuckDB twin, verified char-for-char:
+    ``pc.match_like`` and ``LIKE ... ESCAPE '\\'`` agree on every case).
+
+    ``*`` matches any run (-> ``%``), ``?`` matches one char (-> ``_``);
+    literal ``%`` ``_`` ``\\`` in the input are backslash-escaped so code
+    tokens like ``data_1`` match literally. The pattern is lowercased to
+    match the analyzer's term space."""
+    out = []
+    for ch in pattern.lower():
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in "%_\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+class WildcardCountExecutor(PrefixCountExecutor):
+    """General ``*``/``?`` wildcard term stats (mid-pattern wildcards, not
+    just prefixes): expansion is one vectorized ``pc.match_like`` over the
+    per-actor dictionary; everything downstream (live-postings stats,
+    tombstone filtering) is shared with the prefix executor."""
+
+    def _normalize(self, raw: str) -> str:
+        return wildcard_to_like(raw)
+
+    def _expand(self, like: str) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        mask = pc.match_like(self.expander.terms, like)
+        return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+
+
+def wildcard_term_search(
+    index_dir: str,
+    patterns: Iterable[tuple[int, str]],
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """General wildcard (``*``/``?``) term stats for (query_id, pattern)."""
+    items = [{"query_id": int(q), "prefix": str(p)} for q, p in patterns]
+    return ray.data.from_items(items).map_batches(
+        WildcardCountExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+def wildcard_topk_search(
+    index_dir: str,
+    patterns: Iterable[tuple[int, str]],
+    topk: int = 10,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Ranked retrieval over the wildcard-expanded term set."""
+    items = [{"query_id": int(q), "prefix": str(p)} for q, p in patterns]
+    return ray.data.from_items(items).map_batches(
+        WildcardTopkExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "topk": topk},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 class PrefixTopkExecutor(QueryExecutor):
     """BM25 over the OR of the prefix-expanded term set (wildcard retrieval:
     every doc containing any ``prefix*`` term, ranked). Same exhaustive
@@ -700,15 +773,20 @@ class PrefixTopkExecutor(QueryExecutor):
         super().__init__(index_dir, topk=topk)
         self.expander = DictionaryExpander(index_dir)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _normalize(self, raw: str) -> str:
+        toks = self.tokenizer.tokens(raw)
+        return toks[0] if toks else ""
+
+    def _expand(self, pattern: str) -> np.ndarray:
         import pyarrow.compute as pc
 
+        mask = pc.starts_with(self.expander.terms, pattern)
+        return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_r, out_d, out_s = [], [], [], []
         for row in batch.to_pylist():
-            toks = self.tokenizer.tokens(row["prefix"])
-            p = toks[0] if toks else ""
-            mask = pc.starts_with(self.expander.terms, p)
-            idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            idxs = self._expand(self._normalize(row["prefix"]))
             terms = sorted(self.expander.term_at(i) for i in idxs)
             docs, scores = self._score_taat(terms, self.topk)
             for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), start=1):
@@ -724,6 +802,21 @@ class PrefixTopkExecutor(QueryExecutor):
                 "score": pa.array(out_s, type=pa.float64()),
             }
         )
+
+
+class WildcardTopkExecutor(PrefixTopkExecutor):
+    """BM25 over the OR of the wildcard-expanded term set — same shared
+    TAAT scorer as prefix/fuzzy/synonym retrieval, so all expansion
+    flavors stay bit-comparable under one oracle formula."""
+
+    def _normalize(self, raw: str) -> str:
+        return wildcard_to_like(raw)
+
+    def _expand(self, like: str) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        mask = pc.match_like(self.expander.terms, like)
+        return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
 
 
 def prefix_search_topk(

@@ -128,3 +128,13 @@ def test_cli_delete_then_compact(cli_env, tmp_path, capsys):
     assert rep["complete"] is True
     assert main(["search", out, "def tokenize", "--topk", "3"]) in (0, None)
     assert all(ln.split("\t")[2] != victim for ln in _lines(capsys))
+
+
+def test_cli_wildcard_stats_and_topk(cli_env, capsys):
+    _, index_dir = cli_env
+    assert main(["wildcard", index_dir, "d?f", "tok*n*"]) in (0, None)
+    lines = _lines(capsys)
+    assert len(lines) == 2 and all(len(ln.split("\t")) == 4 for ln in lines)
+    assert main(["wildcard", index_dir, "tok*n*", "--topk", "3"]) in (0, None)
+    lines = _lines(capsys)
+    assert lines and all(len(ln.split("\t")) == 4 for ln in lines)
