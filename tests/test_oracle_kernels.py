@@ -208,3 +208,35 @@ def test_bm25_rounded_score_matches_duckdb_formula(N, df, tf, dl, avgdl):
     got = float(score_postings(np.array([tf]), np.array([dl]), N, df, avgdl)[0])
     assert abs(got - want_raw) <= 4 * np.spacing(max(abs(got), abs(want_raw)))
     assert round_half_away(got, 6) == want_rounded, (N, df, tf, dl, avgdl)
+
+
+# ------------------------------- wildcard_to_like + match_like vs DuckDB LIKE
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="ab_%?*\\x1", max_size=10),
+    st.lists(st.text(alphabet="ab_x1", min_size=0, max_size=8), min_size=1, max_size=8),
+)
+def test_wildcard_like_matches_duckdb(pattern, terms):
+    """The wildcard gate's whole contract: for ANY pattern in the */?
+    syntax (including literal % _ \\ that must be escaped), Arrow
+    match_like over the engine's translated pattern selects exactly the
+    terms DuckDB's ``LIKE ... ESCAPE '\\'`` selects."""
+    import pyarrow.compute as pc
+
+    from distributed_text_search_ray.pipelines.search import wildcard_to_like
+
+    like = wildcard_to_like(pattern)
+    arr = pa.array(terms, type=pa.string())
+    mine = pc.match_like(arr, like).to_pylist()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in terms])
+    want_set = {
+        r[0]
+        for r in con.execute(
+            "SELECT s FROM t WHERE s LIKE ? ESCAPE '\\'", [like]
+        ).fetchall()
+    }
+    got = [t for t, m in zip(terms, mine) if m]
+    assert sorted(set(got)) == sorted(want_set)
