@@ -129,6 +129,7 @@ def run_suite() -> dict:
         "index_build", "bm25_topk", "bm25_topk_wand", "apm_counts",
         "exact_dedup", "near_dedup", "minhash_near_dup", "hybrid_topk",
         "curated_corpus", "ann_cosine_topk", "tpch_q3", "bigram_top20",
+        "dsir_weights", "bm25_topk_compacted", "wildcard_topk",
     ]
     out = {
         "metric": "index_build_plus_query_suite",
