@@ -516,6 +516,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def bm25_topk_page2(sf_dir):
+        # cursor-based deep pagination (search_after): page 1 = the bm25_topk
+        # result; each query's cursor is its LAST page-1 row, and page 2 is
+        # the next BM25_TOPK rows of the deterministic total order
+        # (round(score,6) DESC, doc_id ASC). The oracle checks page-2 rows
+        # against the global rank window (K, 2K] with page-local ranks.
+        p1 = _bm25(sf_dir, "taat")
+        qs = dict(BM25_QUERIES)
+        cur: dict[int, tuple[float, int]] = {}
+        for qid, d, s in zip(
+            p1.column("query_id").to_pylist(),
+            p1.column("doc_id").to_pylist(),
+            p1.column("score").to_pylist(),
+        ):
+            cur[qid] = (s, d)  # rows are rank-ascending per query: last wins
+        cursors = [(qid, qs[qid], s, d) for qid, (s, d) in sorted(cur.items())]
+        rows = search.search_topk_after(
+            _index_for(sf_dir), cursors, topk=BM25_TOPK
+        ).take_all()
+        rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+        return pa.table(
+            {
+                "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+                "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+                "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+                "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+            }
+        )
+
     def bm25_topk_rangefiltered(sf_dir):
         rows = search.search_topk_filtered_range(
             _index_for(sf_dir), BM25_QUERIES, "n_chars", lo=150, hi=350,
@@ -1116,7 +1145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_hard_negatives": ann_hard_negatives,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
-        "tpch_q1": tpch_q1,
+        # new in r4: search_after pagination — takes the first-50 slot of
+        # tpch_q1 (green r1+r3) so it gets a driver row immediately
+        "bm25_topk_page2": bm25_topk_page2,
         "tpch_q3": tpch_q3,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
@@ -1167,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of top_terms_nostop (green r2+r3) so it gets a driver row at once
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
+        "tpch_q1": tpch_q1,
         "events_window_1h": events_window_1h,
         "events_hopping": events_hopping,
         "user_moving_avg": user_moving_avg,
@@ -1324,6 +1356,17 @@ kfinal AS (
 
 def oracle_sql() -> dict[str, str]:
     bm25 = _BM25_SQL.format(queries=_values(BM25_QUERIES))
+
+    # page 2 of search_after pagination: identical ranked CTE, final select
+    # re-windowed to global ranks (K, 2K] with page-local rank numbers —
+    # exactly what SearchAfterExecutor emits from each query's rank-K cursor
+    _tail = f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}"
+    assert bm25.count(_tail) == 1
+    bm25_page2 = bm25.replace(
+        _tail,
+        f"SELECT query_id, rank - {BM25_TOPK} AS rank, doc_id, score FROM ranked "
+        f"WHERE rank > {BM25_TOPK} AND rank <= {2 * BM25_TOPK}",
+    )
 
     # hybrid RRF (sparse BM25 + dense hashed-vector cosine): both sides are
     # deterministic, so the WHOLE fusion is SQL-expressible. The dense side
@@ -2758,6 +2801,7 @@ FROM walk
 
     return {
         "bm25_topk": bm25,
+        "bm25_topk_page2": bm25_page2,
         "asof_purchase_click": asof,
         "range_join_1h": range_join,
         "bm25_topk_wand": bm25,

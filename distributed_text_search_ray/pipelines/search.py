@@ -1232,3 +1232,120 @@ def search_topk_filtered_range(
         batch_size=8,
         concurrency=resolve_concurrency(concurrency),
     )
+
+
+class SearchAfterExecutor(QueryExecutor):
+    """Deep pagination: per-query cursor -> next page, skipped prefix never
+    shipped.
+
+    Each query row carries ``(after_score, after_doc_id)`` — the LAST row of
+    the previous page in the engine's deterministic total order
+    ``(round(score, 6) DESC, doc_id ASC)`` — and the executor returns the
+    next ``topk`` rows strictly AFTER that cursor (Lucene/ES
+    ``search_after`` semantics). Unlike OFFSET pagination, the driver never
+    materializes page 1..n-1 to fetch page n, and the cursor is stable under
+    concurrent index growth of LOWER-ranked docs.
+
+    Exactness/escalation contract: ``round_half_away`` is monotone, so the
+    raw-score top-``f`` is a prefix of the rounded total order EXCEPT inside
+    the boundary tier (docs beyond the fetch can share the last fetched
+    rounded score and tie in earlier by doc_id). The fetch escalates (x4)
+    while the page is incomplete or its last kept row sits in the boundary
+    tier, until the scored universe is exhausted — the same contract as
+    ``hybrid_search_topk``. Typical cost is one fetch of ``4*topk + 16``;
+    a corpus where one 6-dp score tier spans the whole cut pays the
+    escalations.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        qids = batch.column("query_id").to_pylist()
+        qtexts = batch.column("query").to_pylist()
+        a_ss = batch.column("after_score").to_pylist()
+        a_ds = batch.column("after_doc_id").to_pylist()
+        ks = (
+            batch.column("topk").to_pylist()
+            if "topk" in batch.column_names
+            else [self.topk] * len(qids)
+        )
+        for qid, qtext, a_s, a_d, k in zip(qids, qtexts, a_ss, a_ds, ks):
+            terms = sorted(set(self.tokenizer.tokens(qtext)))
+            d_page, s_page = self._page_after(terms, int(k), float(a_s), int(a_d))
+            for r, (d, s) in enumerate(zip(d_page.tolist(), s_page.tolist()), start=1):
+                out_q.append(qid)
+                out_r.append(r)
+                out_d.append(d)
+                out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def _raw_topf(self, terms: list[str], f: int):
+        if self.mode == "wand":
+            return self._score_wand(terms, f)
+        if self.mode == "maxscore":
+            return self._score_maxscore(terms, f)
+        return self._score_taat(terms, f)
+
+    def _page_after(self, terms, k: int, a_s: float, a_d: int):
+        f = 4 * k + 16
+        while True:
+            docs, scores = self._raw_topf(terms, f)
+            exhausted = len(docs) < f
+            rs = round_half_away(scores, 6)
+            order = np.lexsort((docs, -rs))
+            d_o, s_o = docs[order], rs[order]
+            after = (s_o < a_s) | ((s_o == a_s) & (d_o > a_d))
+            kept = np.flatnonzero(after)[:k]
+            # rows beyond the raw fetch all have rounded score <= the tier of
+            # the LAST fetched row; only kept rows inside that tier can be
+            # displaced by a beyond-fetch doc_id tie
+            tier_min = s_o[-1] if len(s_o) else 0.0
+            page_full = len(kept) == k
+            if exhausted or (page_full and s_o[kept[-1]] > tier_min):
+                return d_o[kept], s_o[kept]
+            f *= 4
+
+
+def search_topk_after(
+    index_dir: str,
+    cursors: Iterable[tuple[int, str, float, int]] | ray.data.Dataset,
+    topk: int = 10,
+    mode: str = "taat",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Next page of BM25 results strictly after a per-query cursor.
+
+    ``cursors`` rows are ``(query_id, query, after_score, after_doc_id)``
+    with ``after_score`` already rounded to 6 dp (i.e. a row of a previous
+    page as the engine emitted it). Output is ``(query_id, rank, doc_id,
+    score)`` with PAGE-LOCAL rank 1..topk and 6-dp-rounded scores — row
+    ``rank=r`` here equals global rank ``cursor_rank + r`` of the full
+    ordering, which is what the SQL twin checks.
+    """
+    if isinstance(cursors, ray.data.Dataset):
+        qds = cursors
+    else:
+        rows = [(int(q), str(t), float(s), int(d)) for q, t, s, d in cursors]
+        qds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "query": pa.array([r[1] for r in rows], type=pa.string()),
+                    "after_score": pa.array([r[2] for r in rows], type=pa.float64()),
+                    "after_doc_id": pa.array([r[3] for r in rows], type=pa.int64()),
+                }
+            )
+        )
+    return qds.map_batches(
+        SearchAfterExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "topk": topk, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )

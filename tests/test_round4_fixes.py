@@ -542,3 +542,52 @@ def test_semantic_dedup_chunked_tiles_match_unchunked():
         for r in semantic_dedup(ds, chunk_rows=1 << 20, **kw).take_all()
     }
     assert small == big
+
+
+def test_search_after_pages_tile_the_full_ordering(built_index_r3):
+    """Paging with search_topk_after from successive cursors reproduces the
+    one-shot rounded total order, page by page, until exhaustion."""
+    import numpy as np
+
+    from distributed_text_search_ray.pipelines.search import (
+        search_topk,
+        search_topk_after,
+    )
+    from distributed_text_search_ray.util import round_half_away
+
+    _, index_dir = built_index_r3
+    queries = [(0, "def return value"), (1, "import numpy"), (2, "zzz_nohit")]
+    k = 5
+    # ground truth: one-shot full ordering (big k), reranked rounded
+    full = search_topk(index_dir, queries, topk=10_000).take_all()
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in full:
+        by_q.setdefault(r["query_id"], []).append(
+            (round_half_away(r["score"], 6), r["doc_id"])
+        )
+    for rows in by_q.values():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+    texts = dict(queries)
+    # page all queries in lockstep (one executor call per page round): each
+    # query stays active until it returns a short/empty page
+    cursor = {qid: (np.inf, -(2**62)) for qid, _ in queries}  # "after +inf"
+    got: dict[int, list[tuple[float, int]]] = {qid: [] for qid, _ in queries}
+    active = set(cursor)
+    for _page in range(1000):
+        if not active:
+            break
+        batch = [(q, texts[q], cursor[q][0], cursor[q][1]) for q in sorted(active)]
+        rows = search_topk_after(index_dir, batch, topk=k).take_all()
+        pages: dict[int, list] = {}
+        for r in rows:
+            pages.setdefault(r["query_id"], []).append(r)
+        for qid in list(active):
+            page = sorted(pages.get(qid, []), key=lambda r: r["rank"])
+            got[qid].extend((r["score"], r["doc_id"]) for r in page)
+            if len(page) < k:
+                active.discard(qid)
+            else:
+                cursor[qid] = (page[-1]["score"], page[-1]["doc_id"])
+    assert not active, "paging did not exhaust in 1000 pages"
+    for qid, _ in queries:
+        assert got[qid] == by_q.get(qid, []), f"query {qid}: paged ordering diverges"
