@@ -895,6 +895,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, budgets={"en": 20000, "fr": 8000}, salt="s"
         )
 
+    def stratified_sample(sf_dir):
+        import ray.data
+
+        # equalize languages: every lang downsampled (deterministically, by
+        # doc_id hash) to the smallest lang's size in expectation
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+        )
+        return textstats.stratified_sample(docs, "lang", salt="strat")
+
     def sample_10pct(sf_dir):
         return textstats.deterministic_sample(
             _docs_ds(sf_dir), percent=10, salt="s"
@@ -1149,7 +1159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tpch_q1 (green r1+r3) so it gets a driver row immediately
         "bm25_topk_page2": bm25_topk_page2,
         "tpch_q3": tpch_q3,
-        "tpch_q6": tpch_q6,
+        # new in r4: stratified language-equalizing sample — takes the
+        # first-50 slot of tpch_q6 (green r3) for an immediate driver row
+        "stratified_sample": stratified_sample,
         "user_event_gaps": user_event_gaps,
         "grouped_quantiles": grouped_quantiles,
         "value_quantiles_by_type": value_quantiles_by_type,
@@ -1199,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
         "tpch_q1": tpch_q1,
+        "tpch_q6": tpch_q6,
         "events_window_1h": events_window_1h,
         "events_hopping": events_hopping,
         "user_moving_avg": user_moving_avg,
@@ -2427,6 +2440,19 @@ SELECT doc_id FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || 's') % 100 < 10
 """
 
+    # stratified (language-equalizing) sample: rate_g = min_n / n_g, keep if
+    # md5(doc_id || ':strat') % 1e6 < floor(rate_g * 1e6) — float64 division
+    # and multiply in the same order as textstats.stratified_sample
+    stratified_sample_sql = """
+WITH cnt AS (SELECT lang, count(*) n FROM documents GROUP BY 1),
+mn AS (SELECT min(n) m FROM cnt),
+rates AS (SELECT lang, (SELECT m FROM mn)::DOUBLE / n::DOUBLE r FROM cnt)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates USING (lang)
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':strat') % 1000000
+      < floor(r * 1000000)
+"""
+
     # doc chunking: chunk i covers tokens [i*stride+1, i*stride+max] 1-based;
     # chunk count = 1 if nt <= max else ceil((nt-overlap)/stride)
     doc_chunks_sql = f"""
@@ -2860,6 +2886,7 @@ FROM walk
         "regex_counts_indexed": regex_sql,
         "facet_lang": facet_sql,
         "sample_10pct": sample_sql,
+        "stratified_sample": stratified_sample_sql,
         "token_budget_mix": token_budget_sql,
         "doc_chunks": doc_chunks_sql,
         "pack_sequences": pack_sql,

@@ -13,6 +13,8 @@ actor spin-up per call at interactive scales while starting at concurrency 1.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -112,6 +114,63 @@ def deterministic_sample(
         return batch.filter(keep)
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample(
+    docs: ray.data.Dataset,
+    group_col: str = "lang",
+    *,
+    rates: dict | None = None,
+    salt: str = "strat",
+    denom: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Deterministic per-group (stratified) sampling — the language-balancing
+    step of a training-data mix.
+
+    Two passes, neither a shuffle: (1) per-group row counts via
+    partial-aggregate ``map_batches`` (one (group, n) row per batch per
+    group — the driver merge is O(groups), a small value vocabulary by
+    contract); (2) a vectorized membership filter with the per-group keep
+    rate closed over (broadcast-by-capture, tiny):
+    ``md5(doc_id + ':' + salt) % denom < floor(rate_g * denom)``.
+
+    Default rates equalize: every group is downsampled in expectation to the
+    SMALLEST group's size (``rate_g = min_n / n_g``). Pass ``rates={value:
+    fraction}`` for an explicit mix (groups missing from the dict keep
+    everything). Membership is a pure function of the row — stable across
+    reruns, cluster sizes and block orders, like ``deterministic_sample``
+    (md5_u64 = DuckDB ``md5_number_lower``, so the oracle is exact).
+    """
+    from distributed_text_search_ray.functions.hashing import md5_u64
+
+    if rates is None:
+        def partial_counts(batch: pa.Table) -> pa.Table:
+            t = batch.select([group_col]).group_by(group_col).aggregate([([], "count_all")])
+            # columns selected BY NAME (util.agg_rename rationale)
+            return pa.table({"g": t.column(group_col), "n_part": t.column("count_all")})
+
+        merged: dict[str, int] = {}
+        for row in docs.map_batches(partial_counts, batch_format="pyarrow").take_all():
+            merged[row["g"]] = merged.get(row["g"], 0) + int(row["n_part"])
+        if not merged:
+            return docs
+        mn = min(merged.values())
+        rates = {g: mn / n for g, n in merged.items()}
+
+    thr = {g: math.floor(float(r) * denom) for g, r in rates.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        gs = batch.column(group_col).to_pylist()
+        mask = pa.array(
+            [
+                md5_u64(f"{d}:{salt}") % denom < thr.get(g, denom)
+                for d, g in zip(ids, gs)
+            ]
+        )
+        return batch.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow")
 
 
 def bigram_counts(

@@ -591,3 +591,43 @@ def test_search_after_pages_tile_the_full_ordering(built_index_r3):
     assert not active, "paging did not exhaust in 1000 pages"
     for qid, _ in queries:
         assert got[qid] == by_q.get(qid, []), f"query {qid}: paged ordering diverges"
+
+
+def test_stratified_sample_equalizes_and_is_stable(code_corpus):
+    """Equalize mode keeps each group near the smallest group's size in
+    expectation; membership is a pure row function (rerun-stable) and
+    explicit rates={} are honored (rate 0 drops, missing group keeps all)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from distributed_text_search_ray.pipelines.textstats import stratified_sample
+
+    rng = np.random.default_rng(11)
+    langs = ["py"] * 800 + ["go"] * 200 + ["rs"] * 50
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(langs)), type=pa.int64()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+    _ = rng  # sizes are fixed; no randomness needed beyond ids
+    ds = ray.data.from_arrow(t)
+    out1 = sorted(r["doc_id"] for r in stratified_sample(ds, "lang").take_all())
+    out2 = sorted(r["doc_id"] for r in stratified_sample(ds, "lang").take_all())
+    assert out1 == out2, "membership must be deterministic across runs"
+    rows = stratified_sample(ds, "lang").take_all()
+    by = {}
+    for r in rows:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    # every group lands near min-group size 50 (binomial, generous bounds)
+    assert by["rs"] == 50  # rate 1.0 keeps everything
+    assert 20 <= by["py"] <= 90 and 20 <= by["go"] <= 90, by
+    # explicit rates: drop go entirely, keep all rs, py at given rate
+    rows = stratified_sample(ds, "lang", rates={"go": 0.0, "py": 0.1}).take_all()
+    by = {}
+    for r in rows:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    assert "go" not in by
+    assert by["rs"] == 50  # missing from rates -> keep all
+    assert 30 <= by["py"] <= 160, by
