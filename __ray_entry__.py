@@ -130,6 +130,10 @@ DSIR_TARGET_LANG = "en"
 
 # tombstone-delete demo set: doc_id % DELETE_MOD == DELETE_REM (10% of docs)
 DELETE_MOD, DELETE_REM = 10, 7
+# upsert demo set: docs with doc_id % UPSERT_MOD == UPSERT_REM are REPLACED
+# with a modified version (suffix appended) through merge.upsert_docs
+UPSERT_MOD, UPSERT_REM = 23, 5
+UPSERT_SUFFIX = " upserted version two"
 
 _CACHE_ROOT = "/tmp/dts_ray_cache"
 
@@ -400,6 +404,62 @@ def _deleted_index_for(sf_dir: str) -> str:
     return del_dir
 
 
+def _upserted_index_for(sf_dir: str) -> str:
+    """Upsert a modified version of every doc with ``doc_id % UPSERT_MOD ==
+    UPSERT_REM`` (content + UPSERT_SUFFIX) through ``merge.upsert_docs`` —
+    tombstone + compact + extend on top of the shared cached index, which
+    stays untouched. The changeset shards are written once and keyed on the
+    same source signature as the index cache."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from distributed_text_search_ray.pipelines.merge import upsert_docs
+    from distributed_text_search_ray.sources.corpus import corpus_files
+
+    index_dir = _index_for(sf_dir)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_CACHE_ROOT, key)
+    out_dir = os.path.join(root, "index_upserted")
+    up_corpus = os.path.join(root, "upsert_shards")
+    marker = out_dir + ".json"
+    with open(os.path.join(root, "source.json")) as f:
+        sig = json.load(f)
+    sig = dict(sig, upsert=[UPSERT_MOD, UPSERT_REM, UPSERT_SUFFIX])
+    if os.path.exists(marker) and os.path.isdir(out_dir):
+        with open(marker) as f:
+            if json.load(f) == sig:
+                return out_dir
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    for d in (up_corpus, out_dir, out_dir + ".tombstoned", out_dir + ".compacted",
+              out_dir + ".delta"):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def changeset(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        t = t.filter(pa.array(ids % UPSERT_MOD == UPSERT_REM))
+        content = pc.binary_join_element_wise(
+            t.column("content"), pa.array([UPSERT_SUFFIX] * len(t)), ""
+        )
+        n_chars_type = t.schema.field("n_chars").type
+        t = t.drop_columns(["content", "n_chars"])
+        return t.append_column(
+            "n_chars", pc.cast(pc.utf8_length(content), n_chars_type)
+        ).append_column("content", content)
+
+    ray.data.read_parquet(corpus_files(os.path.join(root, "corpus"))).map_batches(
+        changeset, batch_format="pyarrow"
+    ).write_parquet(up_corpus)
+    upsert_docs(index_dir, up_corpus, out_dir)
+    with open(marker, "w") as f:
+        json.dump(sig, f)
+    return out_dir
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -445,6 +505,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = os.path.join(os.path.dirname(del_dir), "index_compacted")
         compact_index(del_dir, out)
         rows = search_topk(out, BM25_QUERIES, topk=BM25_TOPK + 10).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
+    def bm25_topk_upserted(sf_dir):
+        # full upsert lifecycle (tombstone + compact + extend): BM25 over the
+        # upserted index == BM25 over the corpus with the changeset applied
+        from distributed_text_search_ray.pipelines.search import search_topk
+
+        rows = search_topk(
+            _upserted_index_for(sf_dir), BM25_QUERIES, topk=BM25_TOPK + 10
+        ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
     def dsir_weights(sf_dir):
@@ -1162,7 +1232,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in r4: stratified language-equalizing sample — takes the
         # first-50 slot of tpch_q6 (green r3) for an immediate driver row
         "stratified_sample": stratified_sample,
-        "user_event_gaps": user_event_gaps,
         "grouped_quantiles": grouped_quantiles,
         "value_quantiles_by_type": value_quantiles_by_type,
         # new in r4: tombstone deletes + DSIR importance weighting — take
@@ -1170,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r1-r3) so each gets a driver row immediately
         "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_topk_compacted": bm25_topk_compacted,
+        "bm25_topk_upserted": bm25_topk_upserted,
         "dsir_weights": dsir_weights,
         "wildcard_stats": wildcard_stats,
         "wildcard_topk": wildcard_topk,
@@ -1212,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- position 51+ (driver budget permitting) ---------
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
+        "user_event_gaps": user_event_gaps,
         "events_window_1h": events_window_1h,
         "events_hopping": events_hopping,
         "user_moving_avg": user_moving_avg,
@@ -1379,6 +1450,19 @@ def oracle_sql() -> dict[str, str]:
         _tail,
         f"SELECT query_id, rank - {BM25_TOPK} AS rank, doc_id, score FROM ranked "
         f"WHERE rank > {BM25_TOPK} AND rank <= {2 * BM25_TOPK}",
+    )
+
+    # upsert twin: the SAME BM25 query over documents-with-the-changeset-
+    # applied — a shadowing CTE named `documents` (DuckDB binds the rest of
+    # the WITH list to it; the base view stays reachable as main.documents)
+    assert bm25.lstrip().startswith("WITH ")
+    bm25_upserted = bm25.replace(
+        "WITH ",
+        "WITH documents AS (\n"
+        f"  SELECT * REPLACE (CASE WHEN doc_id % {UPSERT_MOD} = {UPSERT_REM}"
+        f" THEN text || '{UPSERT_SUFFIX}' ELSE text END AS text)\n"
+        "  FROM main.documents\n), ",
+        1,
     )
 
     # hybrid RRF (sparse BM25 + dense hashed-vector cosine): both sides are
@@ -2834,6 +2918,7 @@ FROM walk
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_deleted": bm25_deleted,
         "bm25_topk_compacted": bm25_compacted,
+        "bm25_topk_upserted": bm25_upserted,
         "dsir_weights": dsir_sql,
         "bm25_topk_merged": bm25,
         "revenue_by_nation": revenue_nation,

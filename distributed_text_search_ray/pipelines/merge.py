@@ -777,3 +777,75 @@ def extend_index(
     report = merge_indexes([index_dir, delta_dir], out_dir)
     report["delta_dir"] = delta_dir
     return report
+
+
+def upsert_docs(
+    index_dir: str,
+    new_corpus_path: str,
+    out_dir: str,
+    *,
+    concurrency: int | None = None,
+) -> dict:
+    """Replace-or-add a batch of documents in one lifecycle operation.
+
+    The missing third verb after delete (``build.delete_docs``) and append
+    (``extend_index``): the new shards may carry doc ids that ALREADY exist
+    in the base index (replacements) alongside brand-new ids (inserts).
+    Composition, all existing resumable primitives:
+
+    1. read the new shards' doc ids (bounded by the upsert batch — deletes/
+       refreshes arrive as an id-sized changeset, not a corpus scan);
+    2. tombstone those ids on a hardlink clone of the base (ids with no
+       postings — pure inserts — are no-ops by the delete contract);
+    3. ``compact_index`` the clone: old versions drop out of the segments
+       and N/avgdl/df are recomputed without re-tokenizing the base corpus;
+    4. ``extend_index`` with the new shards (delta build + segment merge —
+       the merge's doc-id disjointness holds because step 3 removed every
+       colliding id).
+
+    Search over ``out_dir`` is rank- AND score-identical to a from-scratch
+    build over (base corpus minus upserted ids) + new docs (pinned by
+    tests/test_round4_fixes.py and the ``bm25_topk_upserted`` SQL twin).
+    Cost is O(segments) rewrite + O(new docs) tokenize; the corpus is never
+    re-read. Steps 3 and 4 resume via their lineage manifests; the clone is
+    re-created when the tombstone set changes (cheap: hardlinks).
+    """
+    from distributed_text_search_ray.pipelines.build import delete_docs
+    from distributed_text_search_ray.sources.corpus import read_corpus
+
+    ids = np.sort(
+        np.asarray(
+            [
+                r["doc_id"]
+                for r in read_corpus(new_corpus_path, columns=["doc_id"]).take_all()
+            ],
+            dtype=np.int64,
+        )
+    )
+    base_meta = load_meta(index_dir)
+    if not base_meta.get("complete"):
+        raise ValueError(f"base index {index_dir} is not complete")
+
+    clone = out_dir.rstrip("/") + ".tombstoned"
+    sig_path = os.path.join(clone, "upsert_clone.json")
+    sig = {
+        "base": base_meta["fingerprint"],
+        "ids": hashlib.sha256(ids.tobytes()).hexdigest()[:16],
+    }
+    have = None
+    if os.path.exists(sig_path):
+        with open(sig_path) as f:
+            have = json.load(f)
+    if have != sig:
+        shutil.rmtree(clone, ignore_errors=True)
+        shutil.copytree(index_dir, clone, copy_function=os.link)
+        delete_docs(clone, ids)
+        with open(sig_path, "w") as f:
+            json.dump(sig, f)
+
+    compacted = out_dir.rstrip("/") + ".compacted"
+    report_c = compact_index(clone, compacted)
+    report = extend_index(compacted, new_corpus_path, out_dir, concurrency=concurrency)
+    report["n_upserted"] = int(len(ids))
+    report["compact"] = {k: report_c[k] for k in ("fingerprint",) if k in report_c}
+    return report

@@ -631,3 +631,77 @@ def test_stratified_sample_equalizes_and_is_stable(code_corpus):
     assert "go" not in by
     assert by["rs"] == 50  # missing from rates -> keep all
     assert 30 <= by["py"] <= 160, by
+
+
+def test_upsert_equals_fresh_build(code_corpus, tmp_path):
+    """upsert_docs (tombstone + compact + extend) is rank- AND score-
+    identical to a from-scratch build over the post-upsert corpus, for a
+    changeset mixing REPLACED docs (existing (repo, path) -> same
+    fingerprint id, new content) with pure INSERTS (new paths)."""
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.functions.hashing import doc_fingerprint
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.merge import upsert_docs
+    from distributed_text_search_ray.pipelines.search import search_topk
+    from distributed_text_search_ray.sources.corpus import corpus_files
+
+    corpus_dir, _ = code_corpus
+    base_idx = str(tmp_path / "base")
+    build_index(corpus_dir, base_idx, IndexConfig(num_partitions=4))
+
+    raw = []
+    for f in corpus_files(corpus_dir):
+        raw.extend(pq.read_table(f).to_pylist())
+    names = list(raw[0].keys())
+    replaced_keys = {(r["repo"], r["path"]) for r in raw[::7]}
+
+    rows = []
+    for r in raw:
+        if (r["repo"], r["path"]) in replaced_keys:
+            rows.append(dict(r, content=r["content"] + " upserted fresh tokens"))
+    for i in range(3):
+        rows.append(
+            dict(
+                raw[0],
+                path=f"new/ins{i}.py",
+                content=f"brand new inserted document number {i} with spark table",
+            )
+        )
+    insert_ids = {doc_fingerprint(r["repo"], r["path"]) for r in rows[-3:]}
+    delta_dir = tmp_path / "delta"
+    delta_dir.mkdir()
+    pq.write_table(
+        pa.table({c: [r[c] for r in rows] for c in names}), delta_dir / "part0.parquet"
+    )
+
+    up_idx = str(tmp_path / "upserted")
+    rep = upsert_docs(base_idx, str(delta_dir), up_idx)
+    assert rep["n_upserted"] == len(rows)
+
+    # fresh build over the post-upsert corpus
+    merged_dir = tmp_path / "postcorpus"
+    merged_dir.mkdir()
+    by_key = {(r["repo"], r["path"]): r for r in rows}
+    post = [by_key.get((r["repo"], r["path"]), r) for r in raw] + rows[-3:]
+    pq.write_table(
+        pa.table({c: [r[c] for r in post] for c in names}),
+        merged_dir / "part0.parquet",
+    )
+    fresh_idx = str(tmp_path / "fresh")
+    build_index(str(merged_dir), fresh_idx, IndexConfig(num_partitions=4))
+
+    qs = [(0, "spark table join"), (1, "upserted fresh tokens"), (2, "inserted document")]
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search_topk(up_idx, qs, topk=12).take_all()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in search_topk(fresh_idx, qs, topk=12).take_all()
+    )
+    assert got == want
+    # the replaced docs' NEW tokens are findable, and inserts rank
+    assert any(r[0] == 1 for r in got)
+    assert any(r[2] in insert_ids for r in got if r[0] == 2)
