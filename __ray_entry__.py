@@ -507,6 +507,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rows = search_topk(out, BM25_QUERIES, topk=BM25_TOPK + 10).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def bm25_topk_collapsed(sf_dir):
+        # field collapsing: at most one result per lang per query (the ES
+        # `collapse` shape); executor emits rounded page-ranked rows directly
+        rows = search.search_topk_collapsed(
+            _index_for(sf_dir), BM25_QUERIES, attr="lang", topk=BM25_TOPK
+        ).take_all()
+        rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+        return pa.table(
+            {
+                "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+                "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+                "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+                "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+            }
+        )
+
     def bm25_topk_upserted(sf_dir):
         # full upsert lifecycle (tombstone + compact + extend): BM25 over the
         # upserted index == BM25 over the corpus with the changeset applied
@@ -1240,6 +1256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_topk_compacted": bm25_topk_compacted,
         "bm25_topk_upserted": bm25_topk_upserted,
+        "bm25_topk_collapsed": bm25_topk_collapsed,
         "dsir_weights": dsir_weights,
         "wildcard_stats": wildcard_stats,
         "wildcard_topk": wildcard_topk,
@@ -1250,14 +1267,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_merged": bm25_topk_merged,
         "apm_counts": apm_counts,
         "apm_counts_concat": apm_counts_concat,
-        "fuzzy_term_stats": fuzzy_term_stats,
         "prefix_stats": prefix_stats,
         "prefix_topk": prefix_topk,
         "bm25_topk_boolfiltered": bm25_topk_boolfiltered,
         "bm25_topk_rangefiltered": bm25_topk_rangefiltered,
         "synonym_topk": synonym_topk,
         "fuzzy_topk": fuzzy_topk,
-        "term_dictionary": term_dictionary,
         "term_dictionary_stemmed": term_dictionary_stemmed,
         # --- never-driver-checked through r3, oracle-gated (VERDICT item 1)
         "dup_span_edited": dup_span_edited,
@@ -1283,6 +1298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
+        "fuzzy_term_stats": fuzzy_term_stats,
+        "term_dictionary": term_dictionary,
         "events_window_1h": events_window_1h,
         "events_hopping": events_hopping,
         "user_moving_avg": user_moving_avg,
@@ -1450,6 +1467,23 @@ def oracle_sql() -> dict[str, str]:
         _tail,
         f"SELECT query_id, rank - {BM25_TOPK} AS rank, doc_id, score FROM ranked "
         f"WHERE rank > {BM25_TOPK} AND rank <= {2 * BM25_TOPK}",
+    )
+
+    # field-collapse twin: first row per (query, lang) of the full ranked
+    # ordering, re-numbered — identical walk to CollapseTopkExecutor
+    bm25_collapsed = bm25.replace(
+        _tail,
+        f""", collapsed AS (
+  SELECT r.query_id, r.rank, r.doc_id, r.score,
+         row_number() OVER (PARTITION BY r.query_id, d.lang ORDER BY r.rank) g_rn
+  FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+)
+SELECT query_id, new_rank AS rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank) new_rank
+  FROM collapsed WHERE g_rn = 1
+) WHERE new_rank <= {BM25_TOPK}""",
+        1,
     )
 
     # upsert twin: the SAME BM25 query over documents-with-the-changeset-
@@ -2919,6 +2953,7 @@ FROM walk
         "bm25_topk_deleted": bm25_deleted,
         "bm25_topk_compacted": bm25_compacted,
         "bm25_topk_upserted": bm25_upserted,
+        "bm25_topk_collapsed": bm25_collapsed,
         "dsir_weights": dsir_sql,
         "bm25_topk_merged": bm25,
         "revenue_by_nation": revenue_nation,

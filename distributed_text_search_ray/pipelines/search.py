@@ -1349,3 +1349,135 @@ def search_topk_after(
         batch_size=8,
         concurrency=resolve_concurrency(concurrency),
     )
+
+
+class CollapseTopkExecutor(SearchAfterExecutor):
+    """Field-collapsed top-k: at most ONE doc per attribute value (the ES
+    ``collapse`` / Google one-result-per-site shape), scored and ordered by
+    plain BM25.
+
+    Semantics: walk the deterministic total order (round(score,6) DESC,
+    doc_id ASC) and keep a row iff its collapse-attribute value has not
+    appeared yet, until ``topk`` rows are kept. The doc_id -> value map
+    loads once per actor from the build-time attribute sidecar (same source
+    as ``FilteredQueryExecutor``); docs absent from the sidecar each form
+    their own singleton group (they are kept, never collapsed together).
+
+    Exactness: kept rows are final as long as the LAST kept row's rounded
+    score sits strictly above the boundary tier — a beyond-fetch doc can
+    only enter AT the boundary tier, which lies after every kept row, and
+    group-seen state at any kept row depends only on rows before it. The
+    fetch escalates (x4) until that holds or postings are exhausted — the
+    same contract as ``SearchAfterExecutor``/``hybrid_search_topk``.
+    """
+
+    def __init__(self, index_dir: str, attr: str, topk: int = 10, mode: str = "taat"):
+        super().__init__(index_dir, topk=topk, mode=mode)
+        import glob as _glob
+
+        import pyarrow.compute as pc
+
+        attr_dir = os.path.join(index_dir, "attributes")
+        files = sorted(_glob.glob(os.path.join(attr_dir, "*.attrs.parquet")))
+        if not files:
+            raise FileNotFoundError(
+                f"no attribute sidecar under {attr_dir}; build with "
+                f"IndexConfig(attribute_columns=({attr!r},))"
+            )
+        ids_chunks, val_chunks = [], []
+        for f in files:
+            if attr not in pq.read_schema(f).names:
+                continue
+            t = pq.read_table(f, columns=["doc_id", attr])
+            t = t.filter(pc.is_valid(t.column(attr)))
+            ids_chunks.append(t.column("doc_id").to_numpy())
+            val_chunks.append(np.asarray(t.column(attr).to_pylist(), dtype=object))
+        ids = np.concatenate(ids_chunks) if ids_chunks else np.empty(0, np.int64)
+        vals = np.concatenate(val_chunks) if val_chunks else np.empty(0, object)
+        order = np.argsort(ids)
+        self._attr_ids = ids[order]
+        self._attr_vals = vals[order]
+
+    def _values_of(self, docs: np.ndarray) -> list:
+        """Collapse key per doc; docs missing from the sidecar get a unique
+        per-doc sentinel (singleton groups)."""
+        if not len(self._attr_ids):
+            return [("__missing__", int(d)) for d in docs]
+        pos = np.searchsorted(self._attr_ids, docs)
+        pos_c = np.minimum(pos, len(self._attr_ids) - 1)
+        hit = self._attr_ids[pos_c] == docs
+        return [
+            self._attr_vals[p] if h else ("__missing__", int(d))
+            for p, h, d in zip(pos_c, hit, docs)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        qids = batch.column("query_id").to_pylist()
+        qtexts = batch.column("query").to_pylist()
+        ks = (
+            batch.column("topk").to_pylist()
+            if "topk" in batch.column_names
+            else [self.topk] * len(qids)
+        )
+        for qid, qtext, k in zip(qids, qtexts, ks):
+            terms = sorted(set(self.tokenizer.tokens(qtext)))
+            d_page, s_page = self._collapse_topk(terms, int(k))
+            for r, (d, s) in enumerate(zip(d_page, s_page), start=1):
+                out_q.append(qid)
+                out_r.append(r)
+                out_d.append(d)
+                out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def _collapse_topk(self, terms: list[str], k: int):
+        f = 4 * k + 16
+        while True:
+            docs, scores = self._raw_topf(terms, f)
+            exhausted = len(docs) < f
+            rs = round_half_away(scores, 6)
+            order = np.lexsort((docs, -rs))
+            d_o, s_o = docs[order], rs[order]
+            vals = self._values_of(d_o)
+            seen: set = set()
+            kept_d, kept_s = [], []
+            for d, s, v in zip(d_o.tolist(), s_o.tolist(), vals):
+                if v in seen:
+                    continue
+                seen.add(v)
+                kept_d.append(d)
+                kept_s.append(s)
+                if len(kept_d) == k:
+                    break
+            tier_min = s_o[-1] if len(s_o) else 0.0
+            if exhausted or (len(kept_d) == k and kept_s[-1] > tier_min):
+                return kept_d, kept_s
+            f *= 4
+
+
+def search_topk_collapsed(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    attr: str,
+    topk: int = 10,
+    mode: str = "taat",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k BM25 with at most one result per ``attr`` value per query
+    (field collapsing). Output (query_id, rank, doc_id, score) with rank
+    1..topk over the COLLAPSED list and 6-dp-rounded scores."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        CollapseTopkExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "attr": attr, "topk": topk, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )

@@ -705,3 +705,58 @@ def test_upsert_equals_fresh_build(code_corpus, tmp_path):
     # the replaced docs' NEW tokens are findable, and inserts rank
     assert any(r[0] == 1 for r in got)
     assert any(r[2] in insert_ids for r in got if r[0] == 2)
+
+
+def test_collapsed_topk_matches_bruteforce_collapse(code_corpus, tmp_path_factory):
+    """Collapsed top-k equals a brute-force walk of the full rounded
+    ordering keeping the first doc per lang — small k forces the fetch
+    escalation path."""
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import (
+        search_topk,
+        search_topk_collapsed,
+    )
+    from distributed_text_search_ray.sources.corpus import corpus_files
+    from distributed_text_search_ray.util import round_half_away
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path_factory.mktemp("idx_collapse") / "idx")
+    build_index(
+        corpus_dir, idx, IndexConfig(num_partitions=4, attribute_columns=("lang",))
+    )
+    from distributed_text_search_ray.functions.hashing import doc_fingerprint
+
+    lang = {}
+    for f in corpus_files(corpus_dir):
+        for r in pq.read_table(f).to_pylist():
+            d = r.get("doc_id") or doc_fingerprint(r["repo"], r["path"])
+            lang[d] = r["lang"]
+
+    queries = [(0, "def return value"), (1, "import numpy"), (2, "zzz_nohit")]
+    for k in (1, 2, 5):
+        got = {}
+        for r in search_topk_collapsed(idx, queries, attr="lang", topk=k).take_all():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"])
+            )
+        full = search_topk(idx, queries, topk=10_000).take_all()
+        by_q = {}
+        for r in full:
+            by_q.setdefault(r["query_id"], []).append(
+                (round_half_away(r["score"], 6), r["doc_id"])
+            )
+        for qid, _ in queries:
+            rows = sorted(by_q.get(qid, []), key=lambda t: (-t[0], t[1]))
+            seen, want = set(), []
+            for s, d in rows:
+                v = lang[d]
+                if v in seen:
+                    continue
+                seen.add(v)
+                want.append((len(want) + 1, d, s))
+                if len(want) == k:
+                    break
+            assert sorted(got.get(qid, [])) == sorted(want), (qid, k)
