@@ -157,6 +157,15 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("new_corpus_dir")
     ex.add_argument("out_dir")
 
+    up = sub.add_parser(
+        "upsert",
+        help="replace-or-add a changeset of docs (tombstone + compact + "
+        "extend; score-identical to a fresh build over the merged corpus)",
+    )
+    up.add_argument("index_dir")
+    up.add_argument("changeset_corpus_dir")
+    up.add_argument("out_dir")
+
     mt = sub.add_parser(
         "materialize",
         help="resumable per-shard corpus copy (optionally curated): killed "
@@ -364,6 +373,15 @@ def main(argv: list[str] | None = None) -> int:
 
         report = extend_index(args.index_dir, args.new_corpus_dir, args.out_dir)
         print(json.dumps({k: report[k] for k in ("fingerprint", "N", "complete")}))
+    elif args.cmd == "upsert":
+        from distributed_text_search_ray.pipelines.merge import upsert_docs
+
+        report = upsert_docs(args.index_dir, args.changeset_corpus_dir, args.out_dir)
+        print(
+            json.dumps(
+                {k: report[k] for k in ("fingerprint", "N", "complete", "n_upserted")}
+            )
+        )
     elif args.cmd == "materialize":
         from distributed_text_search_ray.sources.sink import write_corpus_resumable
 

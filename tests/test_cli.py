@@ -138,3 +138,28 @@ def test_cli_wildcard_stats_and_topk(cli_env, capsys):
     assert main(["wildcard", index_dir, "tok*n*", "--topk", "3"]) in (0, None)
     lines = _lines(capsys)
     assert lines and all(len(ln.split("\t")) == 4 for ln in lines)
+
+
+def test_cli_upsert(cli_env, tmp_path, capsys):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus_dir, index_dir = cli_env
+    from distributed_text_search_ray.sources.corpus import corpus_files
+
+    # changeset: replace the first doc with new content
+    first = pq.read_table(corpus_files(corpus_dir)[0]).slice(0, 1).to_pylist()[0]
+    first["content"] = "upserted cli changeset content with unique zebra tokens"
+    delta = tmp_path / "delta"
+    delta.mkdir()
+    pq.write_table(
+        pa.table({k: [v] for k, v in first.items()}), delta / "part0.parquet"
+    )
+    out = str(tmp_path / "upserted")
+    assert main(["upsert", index_dir, str(delta), out]) in (0, None)
+    rep = _json.loads(_lines(capsys)[-1])
+    assert rep["complete"] is True and rep["n_upserted"] == 1
+    assert main(["search", out, "unique zebra tokens", "--topk", "1"]) in (0, None)
+    assert len(_lines(capsys)) == 1  # the replaced doc is findable by new text
