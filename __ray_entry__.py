@@ -404,6 +404,61 @@ def _deleted_index_for(sf_dir: str) -> str:
     return del_dir
 
 
+TITLE_TOKENS = 10  # "title" field = first 10 analyzer tokens of the text
+
+
+def _title_index_for(sf_dir: str) -> str:
+    """Second-field index for fielded search: a derived corpus whose content
+    is each doc's first TITLE_TOKENS analyzer tokens (same doc ids), built
+    with the same default analyzer — the title side of ``bm25f_topk``.
+    Cached beside the main index, keyed on the same source signature."""
+    import shutil
+
+    from distributed_text_search_ray.config import IndexConfig
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.sources.corpus import corpus_files
+
+    index_dir = _index_for(sf_dir)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_CACHE_ROOT, key)
+    title_corpus = os.path.join(root, "title_shards")
+    title_idx = os.path.join(root, "index_title")
+    marker = title_idx + ".json"
+    with open(os.path.join(root, "source.json")) as f:
+        sig = json.load(f)
+    sig = dict(sig, title_tokens=TITLE_TOKENS)
+    if os.path.exists(marker) and os.path.isdir(title_idx):
+        with open(marker) as f:
+            if json.load(f) == sig:
+                return title_idx
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    shutil.rmtree(title_corpus, ignore_errors=True)
+    shutil.rmtree(title_idx, ignore_errors=True)
+
+    def to_title(t: pa.Table) -> pa.Table:
+        tk = Tokenizer()
+        titles = [
+            " ".join(tk.tokens(c)[:TITLE_TOKENS])
+            for c in t.column("content").to_pylist()
+        ]
+        t = t.drop_columns(["content"])
+        return t.append_column("content", pa.array(titles, type=pa.string()))
+
+    import ray.data
+
+    ray.data.read_parquet(corpus_files(os.path.join(root, "corpus"))).map_batches(
+        to_title, batch_format="pyarrow"
+    ).write_parquet(title_corpus)
+    build_index(title_corpus, title_idx, IndexConfig(num_partitions=8))
+    with open(marker, "w") as f:
+        json.dump(sig, f)
+    return title_idx
+
+
 def _upserted_index_for(sf_dir: str) -> str:
     """Upsert a modified version of every doc with ``doc_id % UPSERT_MOD ==
     UPSERT_REM`` (content + UPSERT_SUFFIX) through ``merge.upsert_docs`` —
@@ -512,6 +567,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # `collapse` shape); executor emits rounded page-ranked rows directly
         rows = search.search_topk_collapsed(
             _index_for(sf_dir), BM25_QUERIES, attr="lang", topk=BM25_TOPK
+        ).take_all()
+        rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+        return pa.table(
+            {
+                "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+                "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+                "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+                "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+            }
+        )
+
+    def bm25f_topk(sf_dir):
+        # field-weighted search: content + 2x-boosted title (first 10
+        # tokens), each field scored against its own index's stats
+        rows = search.search_topk_fielded(
+            {"content": _index_for(sf_dir), "title": _title_index_for(sf_dir)},
+            {"content": 1.0, "title": 2.0},
+            BM25_QUERIES,
+            topk=BM25_TOPK,
         ).take_all()
         rows.sort(key=lambda r: (r["query_id"], r["rank"]))
         return pa.table(
@@ -1248,7 +1322,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in r4: stratified language-equalizing sample — takes the
         # first-50 slot of tpch_q6 (green r3) for an immediate driver row
         "stratified_sample": stratified_sample,
-        "grouped_quantiles": grouped_quantiles,
         "value_quantiles_by_type": value_quantiles_by_type,
         # new in r4: tombstone deletes + DSIR importance weighting — take
         # the first-50 slots of value_quantiles / corpus_rollup (both green
@@ -1256,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_topk_compacted": bm25_topk_compacted,
         "bm25_topk_upserted": bm25_topk_upserted,
+        "bm25f_topk": bm25f_topk,
         "bm25_topk_collapsed": bm25_topk_collapsed,
         "dsir_weights": dsir_weights,
         "wildcard_stats": wildcard_stats,
@@ -1298,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
+        "grouped_quantiles": grouped_quantiles,
         "fuzzy_term_stats": fuzzy_term_stats,
         "term_dictionary": term_dictionary,
         "events_window_1h": events_window_1h,
@@ -1485,6 +1560,69 @@ SELECT query_id, new_rank AS rank, doc_id, score FROM (
 ) WHERE new_rank <= {BM25_TOPK}""",
         1,
     )
+
+    # fielded (BM25F-linear) twin: per-field BM25 score CTEs — content over
+    # the full token list, title over its first TITLE_TOKENS tokens, each
+    # with its OWN df/dl/avgdl — combined 1.0*content + 2.0*title via FULL
+    # JOIN + coalesce (the executor's missing-field contribution is +0.0)
+    bm25f = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({TOK_SQL.format(col="text")}) AS t(term)
+),
+tokt AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(list_slice({TOK_SQL.format(col="text")}, 1, {TITLE_TOKENS})) AS t(term)
+),
+n AS (SELECT count(*)::DOUBLE N FROM documents),
+q(query_id, qtext) AS (VALUES {_values(BM25_QUERIES)}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)
+),
+tf1 AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl1 AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+s1 AS (SELECT (SELECT sum(dl) FROM dl1) / (SELECT N FROM n) avgdl),
+df1 AS (SELECT term, count(*)::DOUBLE df FROM tf1 GROUP BY 1),
+sc1 AS (
+  SELECT qt.query_id, tf1.doc_id,
+         sum(ln(1 + ((SELECT N FROM n) - df1.df + 0.5) / (df1.df + 0.5))
+             * tf1.tf * (1.2 + 1) / (tf1.tf + 1.2 * (1 - 0.75 + 0.75 * dl1.dl / s1.avgdl))) score
+  FROM qterms qt
+  JOIN tf1 ON tf1.term = qt.term
+  JOIN df1 ON df1.term = qt.term
+  JOIN dl1 ON dl1.doc_id = tf1.doc_id, s1
+  GROUP BY 1, 2
+),
+tf2 AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tokt GROUP BY 1, 2),
+dl2 AS (SELECT doc_id, count(*)::DOUBLE dl FROM tokt GROUP BY 1),
+s2 AS (SELECT (SELECT sum(dl) FROM dl2) / (SELECT N FROM n) avgdl),
+df2 AS (SELECT term, count(*)::DOUBLE df FROM tf2 GROUP BY 1),
+sc2 AS (
+  SELECT qt.query_id, tf2.doc_id,
+         sum(ln(1 + ((SELECT N FROM n) - df2.df + 0.5) / (df2.df + 0.5))
+             * tf2.tf * (1.2 + 1) / (tf2.tf + 1.2 * (1 - 0.75 + 0.75 * dl2.dl / s2.avgdl))) score
+  FROM qterms qt
+  JOIN tf2 ON tf2.term = qt.term
+  JOIN df2 ON df2.term = qt.term
+  JOIN dl2 ON dl2.doc_id = tf2.doc_id, s2
+  GROUP BY 1, 2
+),
+comb AS (
+  SELECT coalesce(sc1.query_id, sc2.query_id) query_id,
+         coalesce(sc1.doc_id, sc2.doc_id) doc_id,
+         1.0 * coalesce(sc1.score, 0) + 2.0 * coalesce(sc2.score, 0) score
+  FROM sc1 FULL JOIN sc2
+    ON sc1.query_id = sc2.query_id AND sc1.doc_id = sc2.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM comb
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+"""
 
     # upsert twin: the SAME BM25 query over documents-with-the-changeset-
     # applied — a shadowing CTE named `documents` (DuckDB binds the rest of
@@ -2953,6 +3091,7 @@ FROM walk
         "bm25_topk_deleted": bm25_deleted,
         "bm25_topk_compacted": bm25_compacted,
         "bm25_topk_upserted": bm25_upserted,
+        "bm25f_topk": bm25f,
         "bm25_topk_collapsed": bm25_collapsed,
         "dsir_weights": dsir_sql,
         "bm25_topk_merged": bm25,

@@ -130,6 +130,7 @@ def run_suite() -> dict:
         "exact_dedup", "near_dedup", "minhash_near_dup", "hybrid_topk",
         "curated_corpus", "ann_cosine_topk", "tpch_q3", "bigram_top20",
         "dsir_weights", "bm25_topk_compacted", "wildcard_topk",
+        "bm25_topk_upserted", "bm25_topk_collapsed", "bm25_topk_page2",
     ]
     out = {
         "metric": "index_build_plus_query_suite",

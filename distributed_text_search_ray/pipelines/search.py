@@ -1481,3 +1481,107 @@ def search_topk_collapsed(
         batch_size=8,
         concurrency=resolve_concurrency(concurrency),
     )
+
+
+class FieldedQueryExecutor:
+    """Field-weighted search: ``score(d) = sum_f w_f * bm25_f(d)`` — a
+    linear combination of PER-FIELD BM25 scores, each field backed by its
+    own index over that field's text (title/content/path...), all sharing
+    one analyzer. The per-field indexes carry their own N/avgdl/df, so a
+    match in a short title field is worth more than the same match buried
+    in a long body — the practical "title boost" shape (the simple linear
+    variant of BM25F; true BM25F folds weights into tf before saturation).
+
+    Exact, not fetch-escalated: each field's TAAT traversal returns its FULL
+    scored set (every doc containing >= 1 query term in that field — the
+    same postings any exact engine walks), fields are concatenated in
+    sorted-field-name order and segment-summed per doc (stable order ->
+    float64 accumulation order is fixed), giving ``w_1*s_1 + w_2*s_2``
+    exactly as the SQL twin's expression evaluates. Rounded-6dp rank order,
+    ties by doc_id.
+    """
+
+    _ALL = 1 << 60  # k larger than any posting universe -> full scored set
+
+    def __init__(
+        self,
+        index_dirs: dict[str, str],
+        weights: dict[str, float],
+        topk: int = 10,
+    ):
+        if set(index_dirs) != set(weights):
+            raise ValueError("index_dirs and weights must share field names")
+        self.fields = sorted(index_dirs)
+        self.execs = {f: QueryExecutor(index_dirs[f], topk=topk) for f in self.fields}
+        self.weights = {f: float(weights[f]) for f in self.fields}
+        self.topk = topk
+        self.tokenizer = self.execs[self.fields[0]].tokenizer
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        qids = batch.column("query_id").to_pylist()
+        qtexts = batch.column("query").to_pylist()
+        ks = (
+            batch.column("topk").to_pylist()
+            if "topk" in batch.column_names
+            else [self.topk] * len(qids)
+        )
+        for qid, qtext, k in zip(qids, qtexts, ks):
+            terms = sorted(set(self.tokenizer.tokens(qtext)))
+            docs_all, contrib_all = [], []
+            for f in self.fields:
+                docs, scores = self.execs[f]._score_taat(terms, self._ALL)
+                if len(docs):
+                    docs_all.append(docs)
+                    contrib_all.append(self.weights[f] * scores)
+            if not docs_all:
+                continue
+            docs = np.concatenate(docs_all)
+            contrib = np.concatenate(contrib_all)
+            order = np.argsort(docs, kind="stable")  # field order kept per doc
+            sdocs, scontrib = docs[order], contrib[order]
+            is_start = np.empty(len(sdocs), dtype=bool)
+            is_start[0] = True
+            np.not_equal(sdocs[1:], sdocs[:-1], out=is_start[1:])
+            seg = np.cumsum(is_start) - 1
+            uniq = sdocs[is_start]
+            total = np.bincount(seg, weights=scontrib, minlength=len(uniq))
+            rs = round_half_away(total, 6)
+            cut = np.lexsort((uniq, -rs))[: int(k)]
+            for r, i in enumerate(cut, start=1):
+                out_q.append(qid)
+                out_r.append(r)
+                out_d.append(int(uniq[i]))
+                out_s.append(float(rs[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def search_topk_fielded(
+    index_dirs: dict[str, str],
+    weights: dict[str, float],
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    topk: int = 10,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Field-weighted BM25 top-k over per-field indexes (e.g. a boosted
+    title index beside the content index). Output (query_id, rank, doc_id,
+    score) with 6-dp-rounded scores, ties by doc_id."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        FieldedQueryExecutor,
+        fn_constructor_kwargs={
+            "index_dirs": index_dirs,
+            "weights": weights,
+            "topk": topk,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )

@@ -760,3 +760,76 @@ def test_collapsed_topk_matches_bruteforce_collapse(code_corpus, tmp_path_factor
                 if len(want) == k:
                     break
             assert sorted(got.get(qid, [])) == sorted(want), (qid, k)
+
+
+def test_fielded_search_degenerate_and_boost(code_corpus, tmp_path_factory):
+    """Weights (content=1, title=0) reproduce plain BM25 exactly (rounded
+    order); a positive title weight changes scores by exactly the weighted
+    title-field score."""
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import (
+        search_topk,
+        search_topk_fielded,
+    )
+    from distributed_text_search_ray.sources.corpus import corpus_files
+    from distributed_text_search_ray.util import round_half_away
+
+    corpus_dir, _ = code_corpus
+    base = tmp_path_factory.mktemp("fielded")
+    idx_c = str(base / "content")
+    build_index(corpus_dir, idx_c, IndexConfig(num_partitions=4))
+
+    # derived title corpus: first 5 analyzer tokens
+    tk = Tokenizer()
+    tdir = base / "title_corpus"
+    tdir.mkdir()
+    for i, f in enumerate(corpus_files(corpus_dir)):
+        t = pq.read_table(f)
+        titles = [" ".join(tk.tokens(c)[:5]) for c in t.column("content").to_pylist()]
+        t = t.drop_columns(["content"]).append_column(
+            "content", pa.array(titles, type=pa.string())
+        )
+        pq.write_table(t, tdir / f"part{i}.parquet")
+    idx_t = str(base / "title")
+    build_index(str(tdir), idx_t, IndexConfig(num_partitions=4))
+
+    queries = [(0, "def return value"), (1, "import numpy")]
+    dirs = {"content": idx_c, "title": idx_t}
+
+    plain = search_topk(idx_c, queries, topk=10_000).take_all()
+    by_q = {}
+    for r in plain:
+        by_q.setdefault(r["query_id"], []).append(
+            (round_half_away(r["score"], 6), r["doc_id"])
+        )
+    got0 = {}
+    for r in search_topk_fielded(dirs, {"content": 1.0, "title": 0.0}, queries, topk=8).take_all():
+        got0.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid in by_q:
+        want = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:8]
+        have = [(d, s) for _, d, s in sorted(got0.get(qid, []))]
+        assert have == [(d, s) for s, d in want], qid
+
+    # boosted: combined score == 1*content + 3*title for every emitted row
+    title_scores = {}
+    for r in search_topk(idx_t, queries, topk=10_000).take_all():
+        title_scores[(r["query_id"], r["doc_id"])] = r["score"]
+    content_scores = {}
+    for r in plain:
+        content_scores[(r["query_id"], r["doc_id"])] = r["score"]
+    boosted = search_topk_fielded(dirs, {"content": 1.0, "title": 3.0}, queries, topk=8).take_all()
+    assert boosted
+    changed = False
+    for r in boosted:
+        k = (r["query_id"], r["doc_id"])
+        want = round_half_away(
+            1.0 * content_scores.get(k, 0.0) + 3.0 * title_scores.get(k, 0.0), 6
+        )
+        assert r["score"] == want, (k, r["score"], want)
+        if k in title_scores:
+            changed = True
+    assert changed, "boost never touched a title match — degenerate fixture"
