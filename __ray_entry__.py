@@ -406,6 +406,53 @@ def _deleted_index_for(sf_dir: str) -> str:
 
 TITLE_TOKENS = 10  # "title" field = first 10 analyzer tokens of the text
 
+# incremental-dedup demo split: base corpus = even doc ids (fingerprinted
+# once into a frozen band index), incoming shard = odd doc ids
+INC_DEDUP_CFG = {"num_perm": 126, "bands": 42, "shingle_n": 3}
+
+
+def _docs_side(sf_dir: str, rem: int):
+    """(doc_id, content) restricted to doc_id % 2 == rem."""
+    docs = _docs_ds(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % 2 == rem))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _band_index_for(sf_dir: str) -> str:
+    """Frozen LSH fingerprint index (minhash_band_rows parquet) of the BASE
+    (even-id) half of the corpus — the artifact a continuous-ingestion
+    pipeline keeps beside a 100 TB corpus so each incoming shard dedups
+    against fingerprints, never against the corpus text."""
+    import shutil
+
+    from distributed_text_search_ray.pipelines.dedup import minhash_band_rows
+
+    _index_for(sf_dir)  # ensures the corpus cache + source.json exist
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_CACHE_ROOT, key)
+    band_dir = os.path.join(root, "band_index")
+    marker = band_dir + ".json"
+    with open(os.path.join(root, "source.json")) as f:
+        sig = json.load(f)
+    sig = dict(sig, side="even", **INC_DEDUP_CFG)
+    if os.path.exists(marker) and os.path.isdir(band_dir):
+        with open(marker) as f:
+            if json.load(f) == sig:
+                return band_dir
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    shutil.rmtree(band_dir, ignore_errors=True)
+    minhash_band_rows(_docs_side(sf_dir, 0), **INC_DEDUP_CFG).write_parquet(band_dir)
+    with open(marker, "w") as f:
+        json.dump(sig, f)
+    return band_dir
+
 
 def _title_index_for(sf_dir: str) -> str:
     """Second-field index for fielded search: a derived corpus whose content
@@ -912,6 +959,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf_dir), threshold=0.5, num_perm=126, bands=42
         )
 
+    def incremental_dedup(sf_dir):
+        # continuous ingestion: odd-id shard vs the FROZEN band index of the
+        # even-id base — same oracle-robust banding as minhash_near_dup
+        # (r=3/b=42: per-pair miss 0.4% at exactly j=0.5, ~0 above)
+        import ray.data
+
+        return dedup.incremental_near_dup(
+            ray.data.read_parquet(_band_index_for(sf_dir)),
+            _docs_side(sf_dir, 0),
+            _docs_side(sf_dir, 1),
+            threshold=0.5,
+            **INC_DEDUP_CFG,
+        )
+
     def ngram_jaccard_dup(sf_dir):
         return dedup.ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.35)
 
@@ -1322,7 +1383,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in r4: stratified language-equalizing sample — takes the
         # first-50 slot of tpch_q6 (green r3) for an immediate driver row
         "stratified_sample": stratified_sample,
-        "value_quantiles_by_type": value_quantiles_by_type,
         # new in r4: tombstone deletes + DSIR importance weighting — take
         # the first-50 slots of value_quantiles / corpus_rollup (both green
         # r1-r3) so each gets a driver row immediately
@@ -1330,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_compacted": bm25_topk_compacted,
         "bm25_topk_upserted": bm25_topk_upserted,
         "bm25f_topk": bm25f_topk,
+        "incremental_dedup": incremental_dedup,
         "bm25_topk_collapsed": bm25_topk_collapsed,
         "dsir_weights": dsir_weights,
         "wildcard_stats": wildcard_stats,
@@ -1373,6 +1434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
         "grouped_quantiles": grouped_quantiles,
+        "value_quantiles_by_type": value_quantiles_by_type,
         "fuzzy_term_stats": fuzzy_term_stats,
         "term_dictionary": term_dictionary,
         "events_window_1h": events_window_1h,
@@ -2342,6 +2404,36 @@ WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= {threshold}
     minhash = jaccard_pairs_sql(0.5)
     ngram_jaccard = jaccard_pairs_sql(0.35)
 
+    # incremental (frozen-fingerprint) dedup twin: exact cross-side Jaccard
+    # — new (odd-id) docs against base (even-id) docs, same shingle CTEs
+    incremental_dedup_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+sh AS (
+  SELECT doc_id, CASE WHEN len(l) >= 3 THEN
+           list_transform(generate_series(1, len(l) - 2),
+                          i -> concat(l[i], chr(31), l[i+1], chr(31), l[i+2]))
+         WHEN len(l) >= 1 THEN [array_to_string(l, chr(31))]
+         ELSE [] END shingles
+  FROM toks
+),
+ds AS (SELECT DISTINCT doc_id, s.shingle FROM sh, unnest(shingles) AS s(shingle)),
+sizes AS (SELECT doc_id, count(*) sz FROM ds GROUP BY 1),
+inter AS (
+  SELECT n.doc_id AS doc_id, b.doc_id AS base_doc_id, count(*) i
+  FROM ds n JOIN ds b ON n.shingle = b.shingle
+  WHERE n.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT inter.doc_id, inter.base_doc_id,
+       round(i / (sn.sz + sb.sz - i)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sn ON sn.doc_id = inter.doc_id
+JOIN sizes sb ON sb.doc_id = inter.base_doc_id
+WHERE i / (sn.sz + sb.sz - i)::DOUBLE >= 0.5
+"""
+
     _SHINGLE_CASE = """CASE WHEN len({l}) >= 3 THEN
            list_transform(generate_series(1, len({l}) - 2),
                           i -> concat({l}[i], chr(31), {l}[i+1], chr(31), {l}[i+2]))
@@ -3127,6 +3219,7 @@ FROM walk
         "dedup_filter": dedup_filter_sql,
         "top_terms": top_terms_sql,
         "minhash_near_dup": minhash,
+        "incremental_dedup": incremental_dedup_sql,
         "ngram_jaccard_dup": ngram_jaccard,
         "dup_spans": dup_spans_sql,
         "dup_span_filtered": dup_span_filtered_sql,

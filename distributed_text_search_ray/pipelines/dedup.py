@@ -1459,3 +1459,150 @@ def dup_span_edit(
         )
 
     return tagged.union(dup_rows).groupby("dp").map_groups(edit, batch_format="pyarrow")
+
+
+def minhash_band_rows(
+    docs: ray.data.Dataset,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    analyzer: AnalyzerConfig | None = None,
+    pair_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Persistable LSH fingerprint index of a corpus: (part, band_hash,
+    doc_id) rows — exactly the band stage of ``minhash_lsh_pairs``, exposed
+    so a 100 TB base corpus is fingerprinted ONCE (``write_parquet`` the
+    result next to the corpus). ``incremental_near_dup`` then joins each
+    incoming shard against the frozen rows without re-reading the base
+    corpus; after ingestion, append the shard's own band rows to keep the
+    index current. All parameters are part of the artifact's identity —
+    record them beside it (a band row set is only joinable against rows
+    produced with the same (num_perm, bands, shingle_n, analyzer))."""
+    analyzer = analyzer or AnalyzerConfig()
+    bander = _MinhashBands(
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        analyzer=analyzer,
+        pair_partitions=pair_partitions,
+    )
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        return bander(batch)
+
+    return docs.map_batches(band_stage, batch_format="pyarrow")
+
+
+def incremental_near_dup(
+    base_bands: ray.data.Dataset,
+    base_docs: ray.data.Dataset,
+    new_docs: ray.data.Dataset,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    analyzer: AnalyzerConfig | None = None,
+    pair_partitions: int = 64,
+    max_bucket_size: int = 4096,
+    join_partitions: int = 4,
+) -> ray.data.Dataset:
+    """Continuous-ingestion near-dup check: which NEW docs duplicate the
+    EXISTING corpus? Returns verified cross pairs (doc_id = new doc,
+    base_doc_id, jaccard >= threshold), exact-Jaccard precision.
+
+    The base side is represented by its FROZEN fingerprint index
+    (``minhash_band_rows`` output read back from parquet) — the base corpus
+    is touched only to fetch the shingle sets of verification candidates
+    (a column-pruned pass filtered to candidate ids, the same shape as
+    ``_verify_pairs``; candidates are band-collision-sized, not corpus-
+    sized). Only the new shard is fingerprinted. Recall matches
+    ``minhash_lsh_pairs`` banding (tune (bands, num_perm) for the
+    threshold); doc ids must be disjoint across sides.
+
+    Scale shape: band rows co-partition by ``part`` (hash of band_hash), so
+    the cross-side bucket mining is a per-part groupby over
+    O(base_bands + new_bands / pair_partitions) rows per group, never an
+    all-to-all of the corpus."""
+    analyzer = analyzer or AnalyzerConfig()
+    new_bands = minhash_band_rows(
+        new_docs,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        analyzer=analyzer,
+        pair_partitions=pair_partitions,
+    )
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(len(batch), side, dtype=np.uint64))
+            )
+
+        return f
+
+    both = base_bands.map_batches(tag(0), batch_format="pyarrow").union(
+        new_bands.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def mine_cross(group: pa.Table) -> pa.Table:
+        a, b, pa_, pb_ = _mine_bucket_pairs(
+            group.column("band_hash").to_numpy(),
+            group.column("doc_id").to_numpy(),
+            group.column("side").to_numpy().astype(np.uint64),
+            max_bucket_size,
+        )
+        if len(a):
+            cross = pa_ != pb_
+            a, b, pa_, pb_ = a[cross], b[cross], pa_[cross], pb_[cross]
+        if len(a):
+            # orient: doc_a = the NEW doc, doc_b = the base doc
+            new_id = np.where(pa_ == 1, a, b)
+            base_id = np.where(pa_ == 1, b, a)
+            packed = np.unique(np.stack([new_id, base_id], axis=1), axis=0)
+            a, b = packed[:, 0], packed[:, 1]
+        pp = (
+            (splitmix64(a.astype(np.uint64)) ^ splitmix64(b.astype(np.uint64)))
+            % np.uint64(32)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "pp": pa.array(pp, type=pa.int32()),
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    mined = both.groupby("part").map_groups(mine_cross, batch_format="pyarrow")
+
+    def distinct_pairs(group: pa.Table) -> pa.Table:
+        a = group.column("doc_a").to_numpy()
+        b = group.column("doc_b").to_numpy()
+        if len(a):
+            packed = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = packed[:, 0], packed[:, 1]
+        return pa.table(
+            {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+        )
+
+    pairs = (
+        mined.groupby("pp")
+        .map_groups(distinct_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    if pairs.count() == 0:
+        return ray.data.from_arrow(_empty_pairs_table())
+
+    verified = _verify_pairs(
+        pairs,
+        base_docs.union(new_docs),
+        analyzer,
+        shingle_n,
+        threshold,
+        join_partitions,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "base_doc_id", "jaccard"])
+
+    return verified.map_batches(rename, batch_format="pyarrow")

@@ -833,3 +833,66 @@ def test_fielded_search_degenerate_and_boost(code_corpus, tmp_path_factory):
         if k in title_scores:
             changed = True
     assert changed, "boost never touched a title match — degenerate fixture"
+
+
+def test_incremental_near_dup_matches_full_cross_pairs(code_corpus):
+    """Incremental (frozen-band-index) dedup finds exactly the cross-side
+    pairs that the full minhash_lsh_pairs run finds between the same two
+    halves — fingerprinting only the new side."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from distributed_text_search_ray.pipelines.dedup import (
+        incremental_near_dup,
+        minhash_band_rows,
+        minhash_lsh_pairs,
+    )
+    from distributed_text_search_ray.sources.corpus import corpus_files, read_corpus
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    docs = corpus_docs(corpus_dir)
+    # plant cross-side near-dups: copy 4 even-side docs into odd-side ids
+    rows = [{"doc_id": d, "content": t} for d, t in docs]
+    base = [r for r in rows if r["doc_id"] % 2 == 0]
+    new = [r for r in rows if r["doc_id"] % 2 == 1]
+    for i, r in enumerate(base[:4]):
+        new.append({"doc_id": 2 * i + 1_000_001, "content": r["content"] + " tail"})
+
+    t_base = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in base], type=pa.int64()),
+            "content": pa.array([r["content"] for r in base], type=pa.string()),
+        }
+    )
+    t_new = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in new], type=pa.int64()),
+            "content": pa.array([r["content"] for r in new], type=pa.string()),
+        }
+    )
+    ds_base = ray.data.from_arrow(t_base)
+    ds_new = ray.data.from_arrow(t_new)
+    cfg = dict(num_perm=126, bands=42, shingle_n=3)
+
+    bands = minhash_band_rows(ds_base, **cfg)
+    got = sorted(
+        (r["doc_id"], r["base_doc_id"], r["jaccard"])
+        for r in incremental_near_dup(
+            bands, ds_base, ds_new, threshold=0.5, **cfg
+        ).take_all()
+    )
+
+    full = minhash_lsh_pairs(
+        ds_base.union(ds_new), threshold=0.5, **cfg
+    ).take_all()
+    want = sorted(
+        (max(r["doc_a"], r["doc_b"]) if (r["doc_a"] % 2 == 0) else r["doc_a"],
+         r["doc_b"] if (r["doc_a"] % 2 == 1) else r["doc_a"],
+         r["jaccard"])
+        for r in full
+        # cross pairs only: one side even (base), one side odd (new)
+        if (r["doc_a"] % 2) != (r["doc_b"] % 2)
+    )
+    assert got == want
+    assert len(got) >= 4  # the planted near-dups are all found
