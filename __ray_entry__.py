@@ -959,6 +959,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf_dir), threshold=0.5, num_perm=126, bands=42
         )
 
+    def percolate_matches(sf_dir):
+        # reverse search: the stored boolean query set is actor state, the
+        # corpus streams through — (doc_id, query_id) per match
+        from distributed_text_search_ray.pipelines.boolquery import percolate
+
+        return percolate(_docs_ds(sf_dir), BOOLEAN_QUERIES)
+
     def incremental_dedup(sf_dir):
         # continuous ingestion: odd-id shard vs the FROZEN band index of the
         # even-id base — same oracle-robust banding as minhash_near_dup
@@ -1391,11 +1398,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_upserted": bm25_topk_upserted,
         "bm25f_topk": bm25f_topk,
         "incremental_dedup": incremental_dedup,
+        "percolate_matches": percolate_matches,
         "bm25_topk_collapsed": bm25_topk_collapsed,
         "dsir_weights": dsir_weights,
         "wildcard_stats": wildcard_stats,
         "wildcard_topk": wildcard_topk,
-        "asof_purchase_click": asof_purchase_click,
         "range_join_1h": range_join_1h,
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_filtered": bm25_topk_filtered,
@@ -1435,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": user_event_gaps,
         "grouped_quantiles": grouped_quantiles,
         "value_quantiles_by_type": value_quantiles_by_type,
+        "asof_purchase_click": asof_purchase_click,
         "fuzzy_term_stats": fuzzy_term_stats,
         "term_dictionary": term_dictionary,
         "events_window_1h": events_window_1h,
@@ -2401,6 +2409,10 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= {threshold}
 """
 
+    from distributed_text_search_ray.pipelines.boolquery import percolate_sql
+
+    percolate_matches_sql = percolate_sql(BOOLEAN_QUERIES, TOK_SQL)
+
     minhash = jaccard_pairs_sql(0.5)
     ngram_jaccard = jaccard_pairs_sql(0.35)
 
@@ -3220,6 +3232,7 @@ FROM walk
         "top_terms": top_terms_sql,
         "minhash_near_dup": minhash,
         "incremental_dedup": incremental_dedup_sql,
+        "percolate_matches": percolate_matches_sql,
         "ngram_jaccard_dup": ngram_jaccard,
         "dup_spans": dup_spans_sql,
         "dup_span_filtered": dup_span_filtered_sql,

@@ -261,3 +261,105 @@ def boolean_query_sql(
     return (
         f"SELECT {query_id}::BIGINT query_id, d.doc_id FROM documents d WHERE {expr}"
     )
+
+
+class _PercolateExecutor:
+    """Reverse search (percolator): the STORED QUERY SET is the state,
+    documents are the stream — the alerting/routing shape (match each
+    incoming doc against every saved query; Lucene/ES ``percolate``).
+
+    Queries parse and analyze ONCE per actor into DNF literal sets; each
+    doc's token set is built once and every query evaluates by frozenset
+    algebra (positive literals subset-of doc tokens, negated disjoint).
+    Per-doc matching is O(query terms), independent of corpus size, and the
+    stage is embarrassingly parallel — no index, no shuffle; at 100 TB this
+    runs as a plain streaming map over the ingest."""
+
+    def __init__(self, queries, analyzer=None):
+        from distributed_text_search_ray.config import AnalyzerConfig
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+        self.tokenizer = Tokenizer(analyzer or AnalyzerConfig())
+        self.compiled: list[tuple[int, list[tuple[frozenset, frozenset]]]] = []
+        for qid, q in queries:
+            groups = parse_boolean_query(q)
+            cg = []
+            for g in groups:
+                pos, neg = [], []
+                for lit in g:
+                    toks = self.tokenizer.tokens(lit.term)
+                    if len(toks) != 1:
+                        raise ValueError(
+                            f"percolator literal {lit.term!r} is not a single term"
+                        )
+                    (neg if lit.negated else pos).append(toks[0])
+                cg.append((frozenset(pos), frozenset(neg)))
+            self.compiled.append((int(qid), cg))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_d, out_q = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
+        ):
+            toks = frozenset(self.tokenizer.tokens(text))
+            for qid, cg in self.compiled:
+                if any(pos <= toks and not (neg & toks) for pos, neg in cg):
+                    out_d.append(doc_id)
+                    out_q.append(qid)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "query_id": pa.array(out_q, type=pa.int64()),
+            }
+        )
+
+
+def percolate(
+    docs: ray.data.Dataset,
+    queries: Iterable[tuple[int, str]],
+    analyzer=None,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, query_id) for every (document, stored boolean query) match —
+    reverse search over a document stream."""
+    return docs.map_batches(
+        _PercolateExecutor,
+        fn_constructor_kwargs={
+            "queries": [(int(q), str(s)) for q, s in queries],
+            "analyzer": analyzer,
+        },
+        batch_format="pyarrow",
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+def percolate_sql(
+    queries: Iterable[tuple[int, str]], tok_sql: str, analyzer=None
+) -> str:
+    """DuckDB twin of ``percolate``: per-doc token-list membership, one
+    UNION ALL branch per stored query, generated from the SAME parse."""
+    from distributed_text_search_ray.config import AnalyzerConfig
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+    tk = Tokenizer(analyzer or AnalyzerConfig())
+
+    def pred(lit: Lit) -> str:
+        toks = tk.tokens(lit.term)
+        assert len(toks) == 1
+        base = f"list_contains(toks.l, '{toks[0]}')"
+        return f"NOT {base}" if lit.negated else base
+
+    branches = []
+    for qid, q in queries:
+        groups = parse_boolean_query(q)
+        expr = " OR ".join(
+            "(" + " AND ".join(pred(l) for l in g) + ")" for g in groups
+        )
+        branches.append(
+            f"SELECT toks.doc_id, {int(qid)}::BIGINT query_id FROM toks WHERE {expr}"
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return (
+        f"WITH toks AS (SELECT doc_id, {tok_sql.format(col='text')} l FROM documents)\n"
+        + body
+    )

@@ -896,3 +896,45 @@ def test_incremental_near_dup_matches_full_cross_pairs(code_corpus):
     )
     assert got == want
     assert len(got) >= 4  # the planted near-dups are all found
+
+
+def test_percolate_matches_boolean_search(built_index_r3):
+    """Percolation (queries as state, docs as stream) agrees doc-for-doc
+    with index-backed boolean_search over the same corpus and query set."""
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray.pipelines.boolquery import (
+        boolean_search,
+        percolate,
+    )
+    from distributed_text_search_ray.sources.corpus import corpus_files
+    from distributed_text_search_ray.functions.hashing import doc_fingerprint
+
+    corpus_dir, index_dir = built_index_r3
+    rows = []
+    for f in corpus_files(corpus_dir):
+        for r in pq.read_table(f).to_pylist():
+            d = r.get("doc_id") or doc_fingerprint(r["repo"], r["path"])
+            rows.append((d, r["content"]))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+                "content": pa.array([t for _, t in rows], type=pa.string()),
+            }
+        )
+    )
+    queries = [
+        (0, "def AND return"),
+        (1, "import OR class"),
+        (2, "def AND NOT class"),
+        (3, "zzznothing OR def AND value"),
+    ]
+    got = sorted(
+        (r["query_id"], r["doc_id"]) for r in percolate(ds, queries).take_all()
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in boolean_search(index_dir, queries).take_all()
+    )
+    assert got == want and got
