@@ -1518,6 +1518,13 @@ class FieldedQueryExecutor:
             raise ValueError("index_dirs and weights must share field names")
         self.fields = sorted(index_dirs)
         self.execs = {f: QueryExecutor(index_dirs[f], topk=topk) for f in self.fields}
+        fps = {
+            f: e.view.cfg.analyzer.fingerprint() for f, e in self.execs.items()
+        }
+        if len(set(fps.values())) != 1:
+            raise ValueError(
+                f"fielded search needs one analyzer across fields, got {fps}"
+            )
         self.weights = {f: float(weights[f]) for f in self.fields}
         self.topk = topk
         self.tokenizer = self.execs[self.fields[0]].tokenizer
