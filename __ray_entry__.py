@@ -79,6 +79,9 @@ SYNONYMS = {
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_TOPK = 10
+# per-query label filter ranges for ann_filtered_topk (the knn+filter
+# shape): query i may only match candidates with label in [lo, hi]
+ANN_FILTER_RANGES = [(2 * i, 2 * i + 3) for i in range(len(ANN_QUERY_IDS))]
 
 PHRASE_QUERIES = [
     (0, "customer value"),
@@ -1206,6 +1209,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return ann.ann_hard_negatives(ds, _ann_label_queries(sf_dir), k=ANN_TOPK)
 
+    def ann_filtered(sf_dir):
+        # knn + filter: query i ranks only candidates whose label falls in
+        # ANN_FILTER_RANGES[i] — pre-filter semantics (mask before top-k)
+        import ray.data
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qs = [
+            (qid, vec, lo, hi)
+            for (qid, vec), (lo, hi) in zip(_ann_queries(sf_dir), ANN_FILTER_RANGES)
+        ]
+        return ann.ann_filtered_topk(ds, qs, k=ANN_TOPK)
+
     def ann_lsh(sf_dir):
         # probe_all: the exactness-forcing configuration (VERDICT r2 item 5)
         # — every bucket probed, so output provably equals brute force and
@@ -1383,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_hard_negatives": ann_hard_negatives,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
+        "ann_filtered_topk": ann_filtered,
         # new in r4: search_after pagination — takes the first-50 slot of
         # tpch_q1 (green r1+r3) so it gets a driver row immediately
         "bm25_topk_page2": bm25_topk_page2,
@@ -2934,6 +2950,31 @@ ranked AS (
 SELECT query_vec_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_TOPK}
 """
 
+    _flt_values = ", ".join(
+        f"({qid}, {lo}, {hi})"
+        for qid, (lo, hi) in zip(ANN_QUERY_IDS, ANN_FILTER_RANGES)
+    )
+    ann_filtered_sql = f"""
+WITH qf(qid, lo, hi) AS (VALUES {_flt_values}),
+q AS (
+  SELECT qf.qid, qf.lo, qf.hi, CAST(e.embedding AS DOUBLE[]) qv
+  FROM qf JOIN embeddings e ON e.vec_id = qf.qid
+),
+sims AS (
+  SELECT q.qid query_vec_id, e.vec_id,
+         round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) cosine
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid AND e.label BETWEEN q.lo AND q.hi
+),
+ranked AS (
+  SELECT query_vec_id,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id) rank,
+         vec_id, cosine
+  FROM sims
+)
+SELECT query_vec_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_TOPK}
+"""
+
     q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) sum_qty,
@@ -3267,6 +3308,7 @@ FROM walk
         # variants share one oracle); approximate configs are recall-tested
         "ann_lsh_topk": ann,
         "ann_ivf_topk": ann,
+        "ann_filtered_topk": ann_filtered_sql,
         "fingerprints": fingerprints_sql,
         "tpch_q1": q1,
         "tpch_q3": q3,

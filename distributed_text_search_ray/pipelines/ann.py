@@ -109,6 +109,101 @@ def ann_brute_topk(
     )
 
 
+class _FilteredScorer:
+    """Actor-pool stage for per-query filtered search: each query scores
+    only the candidates whose ``label`` falls inside ITS [lo, hi] range.
+    One matmul per batch covers all queries; the per-query filter is a
+    boolean mask applied before the partial top-k cut, so a batch never
+    emits a row the query's filter would reject."""
+
+    def __init__(
+        self,
+        queries: list[tuple[int, list[float], int, int]],
+        k: int,
+        column: str,
+        label_column: str,
+    ):
+        self.qids = np.array([q[0] for q in queries], dtype=np.int64)
+        Q = np.array([q[1] for q in queries], dtype=np.float64)
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.lo = np.array([q[2] for q in queries], dtype=np.int64)
+        self.hi = np.array([q[3] for q in queries], dtype=np.int64)
+        self.k = k
+        self.column = column
+        self.label_column = label_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _batch_matrix(batch, self.column)
+        ids = batch.column("vec_id").to_numpy()
+        labels = batch.column(self.label_column).to_numpy().astype(np.int64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        sims = Xn @ self.Qn.T  # (n, q)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            allowed = np.flatnonzero(
+                (labels >= self.lo[qi]) & (labels <= self.hi[qi])
+            )
+            if len(allowed) == 0:
+                continue
+            s = sims[allowed, qi]
+            kk = min(self.k, len(allowed))
+            if len(allowed) > kk:
+                # same rounding-step tie guard as _BruteScorer: final rank is
+                # by round(cosine, 6) desc, vec_id asc
+                cut = np.partition(s, len(s) - kk)[len(s) - kk]
+                part = allowed[np.flatnonzero(s >= cut - 1e-6)]
+            else:
+                part = allowed
+            out_q.extend([self.qids[qi]] * len(part))
+            out_v.extend(ids[part].tolist())
+            out_s.extend(sims[part, qi].tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def ann_filtered_topk(
+    embeddings: ray.data.Dataset,
+    queries: list[tuple[int, list[float], int, int]],
+    k: int = 10,
+    column: str = "embedding",
+    label_column: str = "label",
+    exclude_self: bool = True,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Pre-filtered exact cosine top-k: the Elasticsearch ``knn`` +
+    ``filter`` shape. ``queries`` rows are ``(query_vec_id, vector, lo,
+    hi)`` — each query ranks only candidates with ``label BETWEEN lo AND
+    hi``, so two queries in the same batch can search disjoint slices of
+    the corpus in one pass (one matmul per batch for ALL queries; the
+    filter is a mask, not a second scan).
+
+    This is pre-filtering (mask before the top-k cut), not post-filtering:
+    every query returns its true filtered top-k even when the filter is
+    selective — a post-filter over an unfiltered top-k would come up short.
+    Exact over the full corpus; at scale compose with a label-partitioned
+    read (predicate pushdown) when all queries share one filter.
+    """
+    partials = embeddings.map_batches(
+        _FilteredScorer,
+        fn_constructor_kwargs={
+            "queries": queries,
+            "k": k,
+            "column": column,
+            "label_column": label_column,
+        },
+        batch_format="pyarrow",
+        concurrency=resolve_concurrency(concurrency),
+    )
+    return partials.groupby("query_vec_id").map_groups(
+        _merge_topk_factory(k, exclude_self), batch_format="pyarrow"
+    )
+
+
 _TILE_ROWS_PER_BLOCK = 100_000
 
 

@@ -1354,3 +1354,38 @@ def test_embedding_dedup_filter_keeps_cluster_min():
     )
     want = sorted([g * 10 for g in range(5)] + [1000 + s for s in range(6)])
     assert kept == want
+
+
+def test_ann_filtered_topk_matches_numpy_prefilter():
+    """Pre-filter semantics: each query's top-k is computed over ONLY its
+    label range — identical to masking the candidate set before ranking,
+    and different from post-filtering an unfiltered top-k."""
+    from distributed_text_search_ray.pipelines.ann import ann_filtered_topk
+
+    t = _emb_table()
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = t.column("vec_id").to_numpy()
+    labels = t.column("label").to_numpy()
+    ranges = [(0, 3), (4, 7), (8, 9)]
+    queries = [
+        (int(ids[i]), X[i].tolist(), lo, hi) for i, (lo, hi) in enumerate(ranges)
+    ]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    got = ann_filtered_topk(ds, queries, k=5).take_all()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for qid, qv, lo, hi in queries:
+        qn = np.array(qv) / np.linalg.norm(qv)
+        sims = np.round(Xn @ qn, 6)
+        mask = (ids != qid) & (labels >= lo) & (labels <= hi)
+        order = np.lexsort((ids[mask], -sims[mask]))[:5]
+        want = list(zip(ids[mask][order].tolist(), sims[mask][order].tolist()))
+        mine = [
+            (r["vec_id"], r["cosine"])
+            for r in sorted(
+                (x for x in got if x["query_vec_id"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        assert mine == want
+        # every returned neighbor honors the filter
+        by_id = dict(zip(ids.tolist(), labels.tolist()))
+        assert all(lo <= by_id[v] <= hi for v, _ in mine)
