@@ -1103,6 +1103,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return facet_counts(_index_for(sf_dir), BOOLEAN_QUERIES, attr="lang")
 
+    def significant_terms_q(sf_dir):
+        # ES significant_terms: lift of term df inside each boolean query's
+        # hit set vs the corpus; fg from postings, bg from the dictionary
+        from distributed_text_search_ray.pipelines.significant import (
+            significant_terms,
+        )
+
+        return significant_terms(_index_for(sf_dir), BOOLEAN_QUERIES, topn=10)
+
     def doc_chunks(sf_dir):
         return textstats.chunk_documents(_docs_ds(sf_dir), max_tokens=64, overlap=16)
 
@@ -1399,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
         "ann_filtered_topk": ann_filtered,
+        "significant_terms": significant_terms_q,
         # new in r4: search_after pagination — takes the first-50 slot of
         # tpch_q1 (green r1+r3) so it gets a driver row immediately
         "bm25_topk_page2": bm25_topk_page2,
@@ -2738,6 +2748,35 @@ FROM matches m JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """
 
+    significant_sql = f"""
+WITH matches AS (
+{boolean_sql}
+),
+counts AS (SELECT query_id, count(*) n_fg FROM matches GROUP BY 1),
+toks AS (
+  SELECT doc_id, unnest(list_distinct({TOK_SQL.format(col="text")})) term
+  FROM documents
+),
+bg AS (SELECT term, count(*)::BIGINT bg_df FROM toks GROUP BY 1),
+fg AS (
+  SELECT m.query_id, t.term, count(*)::BIGINT fg_df
+  FROM matches m JOIN toks t USING (doc_id) GROUP BY 1, 2
+),
+n AS (SELECT count(*) n_docs FROM documents),
+scored AS (
+  SELECT f.query_id, f.term, f.fg_df, b.bg_df,
+         round((f.fg_df::DOUBLE / c.n_fg) / (b.bg_df::DOUBLE / n.n_docs), 6) lift
+  FROM fg f JOIN bg b USING (term) JOIN counts c USING (query_id), n
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY lift DESC, fg_df DESC, term) rank,
+         term, fg_df, bg_df, lift
+  FROM scored
+)
+SELECT query_id, rank, term, fg_df, bg_df, lift FROM ranked WHERE rank <= 10
+"""
+
     keywords_sql = f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
@@ -3309,6 +3348,7 @@ FROM walk
         "ann_lsh_topk": ann,
         "ann_ivf_topk": ann,
         "ann_filtered_topk": ann_filtered_sql,
+        "significant_terms": significant_sql,
         "fingerprints": fingerprints_sql,
         "tpch_q1": q1,
         "tpch_q3": q3,

@@ -123,3 +123,59 @@ def test_boolean_search_analyzer_folds_case(code_corpus, tmp_path):
     assert lower and sorted(map(tuple, (r.values() for r in lower))) == sorted(
         map(tuple, (r.values() for r in upper))
     )
+
+
+def test_significant_terms_matches_python_oracle(code_corpus, tmp_path):
+    """Lift math + salted-term fg re-aggregation vs a brute-force oracle.
+    salt_df_threshold=0.5 forces hot terms to split across partitions, so the
+    per-term groupby sum (not any single partition's partial) must produce
+    the foreground df."""
+    import re as _re
+    from collections import Counter
+
+    import numpy as np
+
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.significant import significant_terms
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idx")
+    build_index(
+        corpus_dir,
+        idx,
+        IndexConfig(num_partitions=4, salt_buckets=2, salt_df_threshold=0.5),
+    )
+    docs = corpus_docs(corpus_dir)
+    toksets = {d: set(_re.findall(r"[a-z0-9_]+", c.lower())) for d, c in docs}
+    df = Counter(t for s in toksets.values() for t in s)
+    terms = [t for t, _ in df.most_common()]
+    a, b = terms[0], terms[len(terms) // 2]
+    queries = [(0, f"{a} AND {b}"), (1, f"{a} AND NOT {b}")]
+
+    got = significant_terms(idx, queries, topn=8).take_all()
+    N = len(toksets)
+    for qid, pred in ((0, lambda s: a in s and b in s), (1, lambda s: a in s and b not in s)):
+        hits = [d for d, s in toksets.items() if pred(s)]
+        fg = Counter(t for d in hits for t in toksets[d])
+        scored = [
+            (
+                round(
+                    (c / len(hits)) / (df[t] / N),
+                    6,
+                ),
+                c,
+                t,
+            )
+            for t, c in fg.items()
+        ]
+        want = sorted(scored, key=lambda x: (-x[0], -x[1], x[2]))[:8]
+        mine = sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        assert [(r["term"], r["fg_df"], r["bg_df"]) for r in mine] == [
+            (t, c, df[t]) for _, c, t in want
+        ]
+        assert np.allclose(
+            [r["lift"] for r in mine], [l for l, _, _ in want], atol=1e-9
+        )
