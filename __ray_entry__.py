@@ -82,6 +82,9 @@ ANN_TOPK = 10
 # per-query label filter ranges for ann_filtered_topk (the knn+filter
 # shape): query i may only match candidates with label in [lo, hi]
 ANN_FILTER_RANGES = [(2 * i, 2 * i + 3) for i in range(len(ANN_QUERY_IDS))]
+# bm25_topk_rescored: size of the phase-1 retrieval window the phrase
+# rescorer is allowed to re-rank (ES rescore window_size)
+RESCORE_WINDOW = 30
 
 PHRASE_QUERIES = [
     (0, "customer value"),
@@ -1103,6 +1106,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return facet_counts(_index_for(sf_dir), BOOLEAN_QUERIES, attr="lang")
 
+    def bm25_topk_rescored(sf_dir):
+        # ES-style two-phase rescore: BM25 top-RESCORE_WINDOW, then the
+        # window re-ranks with an exact-phrase (match_phrase) bonus from
+        # the positional index; docs outside the window never move
+        from distributed_text_search_ray.pipelines.search import (
+            search_topk_rescored,
+        )
+
+        return search_topk_rescored(
+            _index_pos_for(sf_dir),
+            BM25_QUERIES,
+            topk=BM25_TOPK,
+            window=RESCORE_WINDOW,
+            query_weight=1.0,
+            rescore_weight=2.0,
+        )
+
     def significant_terms_q(sf_dir):
         # ES significant_terms: lift of term df inside each boolean query's
         # hit set vs the corpus; fg from postings, bg from the dictionary
@@ -1409,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf,
         "ann_filtered_topk": ann_filtered,
         "significant_terms": significant_terms_q,
+        "bm25_topk_rescored": bm25_topk_rescored,
         # new in r4: search_after pagination — takes the first-50 slot of
         # tpch_q1 (green r1+r3) so it gets a driver row immediately
         "bm25_topk_page2": bm25_topk_page2,
@@ -2700,6 +2721,55 @@ tokp AS (
         + "\nUNION ALL\n".join(phrase_selects)
     )
 
+    # two-phase rescore twin: the bm25 ranked CTE re-windowed to
+    # RESCORE_WINDOW, phrase-occurrence counts of each query's own text
+    # (match_phrase rescorer) LEFT-joined in, combined score re-ranked —
+    # identical arithmetic to RescoreExecutor (1.0 * bm25_6dp + 2.0 * n,
+    # rounded 6 dp; docs beyond the window never move)
+    _resc_selects = []
+    for qid, p in BM25_QUERIES:
+        terms = _phrase_terms(p)
+        if not terms:
+            continue
+        joins = "".join(
+            f"\nJOIN tokpr p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+            for i in range(1, len(terms))
+        )
+        conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+        _resc_selects.append(
+            f"SELECT {qid}::BIGINT query_id, p0.doc_id, count(*)::BIGINT n"
+            f"\nFROM tokpr p0{joins}\nWHERE {conds}\nGROUP BY 1, 2"
+        )
+    _resc_union = "\nUNION ALL\n".join(_resc_selects)
+    rescored_sql = bm25.replace(
+        _tail,
+        f""", win AS (
+  SELECT query_id, doc_id, score FROM ranked WHERE rank <= {RESCORE_WINDOW}
+),
+toksr AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+tokpr AS (
+  SELECT doc_id, t.i pos, l[t.i] term FROM toksr, unnest(range(1, len(l) + 1)) AS t(i)
+),
+phr AS (
+{_resc_union}
+),
+comb AS (
+  SELECT w.query_id, w.doc_id,
+         round(1.0 * w.score + 2.0 * coalesce(p.n, 0), 6) score
+  FROM win w LEFT JOIN phr p ON p.query_id = w.query_id AND p.doc_id = w.doc_id
+),
+rr AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) rank,
+         doc_id, score
+  FROM comb
+)
+SELECT query_id, rank, doc_id, score FROM rr WHERE rank <= {BM25_TOPK}""",
+        1,
+    )
+
     from distributed_text_search_ray.pipelines.phrase import proximity_sql
 
     proximity_sql_all = "\nUNION ALL\n".join(
@@ -3349,6 +3419,7 @@ FROM walk
         "ann_ivf_topk": ann,
         "ann_filtered_topk": ann_filtered_sql,
         "significant_terms": significant_sql,
+        "bm25_topk_rescored": rescored_sql,
         "fingerprints": fingerprints_sql,
         "tpch_q1": q1,
         "tpch_q3": q3,

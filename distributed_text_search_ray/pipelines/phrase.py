@@ -146,6 +146,69 @@ def phrase_match_counts(
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def phrase_occurrence_counts(
+    view, terms: list[str], restrict: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase-occurrence counts from a positional (v4) index:
+    ``(doc_ids, counts)`` for every doc containing ``terms`` consecutively
+    (counts > 0 only). ``restrict`` (sorted unique doc ids) bounds the
+    candidate set — the rescore path passes its retrieval window here so
+    the position chain only runs over window docs. Shared kernel of
+    ``_PhrasePositionalExecutor`` and ``search_topk_rescored``."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if not terms:
+        return empty
+    data: dict[str, tuple] = {}
+    for t in set(terms):
+        docs, tfs, pos = view.term_positions(t)
+        if not len(docs):
+            return empty
+        data[t] = (docs, tfs, pos)
+    cand: np.ndarray | None = None
+    for t in sorted(data, key=lambda t: len(data[t][0])):
+        docs = data[t][0]
+        cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
+        if not len(cand):
+            return empty
+    if restrict is not None:
+        cand = np.intersect1d(cand, restrict, assume_unique=True)
+        if not len(cand):
+            return empty
+    gpos = {t: _gather_global(cand, *data[t]) for t in data}
+    cur = gpos[terms[0]]
+    for i in range(1, len(terms)):
+        gi = gpos[terms[i]]
+        want = cur + i
+        j = np.searchsorted(gi, want)
+        j_c = np.minimum(j, len(gi) - 1)
+        cur = cur[gi[j_c] == want]
+        if not len(cur):
+            return empty
+    ords = (cur >> np.int64(32)).astype(np.int64)
+    counts = np.bincount(ords, minlength=len(cand))
+    hit = np.flatnonzero(counts)
+    return cand[hit], counts[hit]
+
+
+def _gather_global(
+    cand: np.ndarray, docs: np.ndarray, tfs: np.ndarray, pos: np.ndarray
+) -> np.ndarray:
+    """Candidate docs' positions as ONE sorted flat array of
+    ``doc_ordinal * 2^32 + position`` — the stride makes same-doc
+    membership checks a plain searchsorted over the merged array, so
+    the whole phrase chain runs vectorized with no per-doc loop."""
+    idx = np.searchsorted(docs, cand)  # every cand present by construction
+    bounds = np.concatenate(([0], np.cumsum(tfs)))
+    lens = tfs[idx]
+    starts = bounds[idx]
+    total = int(lens.sum())
+    ends_ex = np.cumsum(lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends_ex - lens, lens)
+    flat = pos[np.repeat(starts, lens) + within]
+    ordinals = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+    return (ordinals << np.int64(32)) + flat
+
+
 class _PhrasePositionalExecutor:
     """Actor-pool stage for POSITIONAL (v4) indexes: (query_id, phrase)
     rows -> exact (query_id, doc_id, n_occurrences) from the index alone —
@@ -160,69 +223,16 @@ class _PhrasePositionalExecutor:
         self.view = IndexView(index_dir)
         self.tokenizer = Tokenizer(self.view.cfg.analyzer)
 
-    @staticmethod
-    def _gather_global(
-        cand: np.ndarray, docs: np.ndarray, tfs: np.ndarray, pos: np.ndarray
-    ) -> np.ndarray:
-        """Candidate docs' positions as ONE sorted flat array of
-        ``doc_ordinal * 2^32 + position`` — the stride makes same-doc
-        membership checks a plain searchsorted over the merged array, so
-        the whole phrase chain runs vectorized with no per-doc loop."""
-        idx = np.searchsorted(docs, cand)  # every cand present by construction
-        bounds = np.concatenate(([0], np.cumsum(tfs)))
-        lens = tfs[idx]
-        starts = bounds[idx]
-        total = int(lens.sum())
-        ends_ex = np.cumsum(lens)
-        within = np.arange(total, dtype=np.int64) - np.repeat(ends_ex - lens, lens)
-        flat = pos[np.repeat(starts, lens) + within]
-        ordinals = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
-        return (ordinals << np.int64(32)) + flat
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_d, out_n = [], [], []
         for qid, phrase in zip(
             batch.column("query_id").to_pylist(), batch.column("query").to_pylist()
         ):
             terms = self.tokenizer.tokens(phrase)
-            if not terms:
-                continue
-            data: dict[str, tuple] = {}
-            ok = True
-            for t in set(terms):
-                docs, tfs, pos = self.view.term_positions(t)
-                if not len(docs):
-                    ok = False
-                    break
-                data[t] = (docs, tfs, pos)
-            if not ok:
-                continue
-            cand: np.ndarray | None = None
-            for t in sorted(data, key=lambda t: len(data[t][0])):
-                docs = data[t][0]
-                cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
-                if not len(cand):
-                    break
-            if cand is None or not len(cand):
-                continue
-            gpos = {t: self._gather_global(cand, *data[t]) for t in data}
-            cur = gpos[terms[0]]
-            for i in range(1, len(terms)):
-                gi = gpos[terms[i]]
-                want = cur + i
-                j = np.searchsorted(gi, want)
-                j_c = np.minimum(j, len(gi) - 1)
-                cur = cur[gi[j_c] == want]
-                if not len(cur):
-                    break
-            if not len(cur):
-                continue
-            ords = (cur >> np.int64(32)).astype(np.int64)
-            counts = np.bincount(ords, minlength=len(cand))
-            hit = np.flatnonzero(counts)
-            out_q.extend([int(qid)] * len(hit))
-            out_d.extend(cand[hit].tolist())
-            out_n.extend(counts[hit].tolist())
+            docs, counts = phrase_occurrence_counts(self.view, terms)
+            out_q.extend([int(qid)] * len(docs))
+            out_d.extend(docs.tolist())
+            out_n.extend(counts.tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),
@@ -396,7 +406,7 @@ class _ProximityExecutor:
             if not len(cand):
                 return
         k = len(terms)
-        gs = [_PhrasePositionalExecutor._gather_global(cand, *data[t]) for t in terms]
+        gs = [_gather_global(cand, *data[t]) for t in terms]
         G = np.concatenate(gs)
         L = np.repeat(np.arange(k, dtype=np.int64), [len(g) for g in gs])
         order = np.argsort(G, kind="stable")

@@ -57,6 +57,110 @@ def search_topk(
     )
 
 
+class RescoreExecutor(QueryExecutor):
+    """Two-phase retrieval (the Elasticsearch ``rescore`` shape): phase 1
+    takes each query's BM25 top-``window`` under the rounded-score rank
+    contract (round 6 dp desc, doc_id asc, with the same boundary-tie fetch
+    pad the plain top-k path uses); phase 2 re-ranks ONLY those window docs
+    with an exact-phrase occurrence bonus answered from the positional
+    index:
+
+        final = round(query_weight * bm25_6dp
+                      + rescore_weight * n_phrase_occurrences, 6)
+
+    The phrase is the query text itself (the ``match_phrase`` rescorer).
+    Docs outside the window never move — ES rescore semantics, and the whole
+    point at scale: the position chain runs over at most ``window``
+    candidates per query, not the corpus."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        topk: int = 10,
+        window: int = 30,
+        query_weight: float = 1.0,
+        rescore_weight: float = 2.0,
+        fetch_pad: int = 10,
+    ):
+        super().__init__(index_dir, topk=topk, mode="taat")
+        self.window = window
+        self.qw = float(query_weight)
+        self.rw = float(rescore_weight)
+        self.fetch_pad = fetch_pad
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from distributed_text_search_ray.pipelines.phrase import (
+            phrase_occurrence_counts,
+        )
+        from distributed_text_search_ray.util import round_half_away
+
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, qtext in zip(
+            batch.column("query_id").to_pylist(), batch.column("query").to_pylist()
+        ):
+            terms = self.tokenizer.tokens(qtext)
+            if not terms:
+                continue
+            docs, scores = self._score_taat(
+                sorted(set(terms)), self.window + self.fetch_pad
+            )
+            if not len(docs):
+                continue
+            s6 = round_half_away(scores, 6)
+            order = np.lexsort((docs, -s6))[: self.window]
+            wdocs, wscores = docs[order], s6[order]
+            srt = np.argsort(wdocs)
+            pdocs, pcounts = phrase_occurrence_counts(
+                self.view, terms, restrict=wdocs[srt]
+            )
+            bonus = np.zeros(len(wdocs), dtype=np.float64)
+            if len(pdocs):
+                at = np.searchsorted(wdocs[srt], pdocs)
+                bonus[srt[at]] = pcounts.astype(np.float64)
+            final = round_half_away(self.qw * wscores + self.rw * bonus, 6)
+            order2 = np.lexsort((wdocs, -final))[: self.topk]
+            for r, i in enumerate(order2, start=1):
+                out_q.append(int(qid))
+                out_r.append(r)
+                out_d.append(int(wdocs[i]))
+                out_s.append(float(final[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def search_topk_rescored(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    topk: int = 10,
+    window: int = 30,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k after phrase rescoring of the BM25 top-``window``; requires a
+    positional (``store_positions=True``) index. See ``RescoreExecutor``."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        RescoreExecutor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "topk": topk,
+            "window": window,
+            "query_weight": query_weight,
+            "rescore_weight": rescore_weight,
+        },
+        batch_format="pyarrow",
+        batch_size=4,  # rescore decodes positions — spread across the pool
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 class DictionaryExpander:
     """Levenshtein-banded expansion over the sorted term dictionary.
 

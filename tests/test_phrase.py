@@ -306,3 +306,71 @@ def test_proximity_sql_oracle_agrees(code_corpus, tmp_path):
             tuple(r) for r in con.execute(proximity_sql(q, qid, 10, tok_sql)).fetchall()
         )
     assert got == sorted(want) and got
+
+
+def test_rescore_matches_python_oracle_and_respects_window(code_corpus, tmp_path):
+    """search_topk_rescored == (python BM25 window cut -> phrase-bonus
+    re-rank); a doc outside the phase-1 window must never enter the top-k
+    even if it contains the phrase (ES rescore window semantics)."""
+    import re as _re
+    from collections import Counter
+
+    from distributed_text_search_ray.config import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import (
+        search_topk,
+        search_topk_rescored,
+    )
+    from distributed_text_search_ray.util import round_half_away
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    idx = str(tmp_path / "idxp")
+    build_index(
+        corpus_dir, idx, IndexConfig(num_partitions=4, store_positions=True)
+    )
+    docs = corpus_docs(corpus_dir)
+    toks = {d: _re.findall(r"[a-z0-9_]+", c.lower()) for d, c in docs}
+    df = Counter(t for l in toks.values() for t in set(l))
+    common = [t for t, _ in df.most_common(3)]
+    queries = [(0, f"{common[0]} {common[1]}"), (1, f"{common[2]}")]
+    WINDOW, K, QW, RW = 12, 5, 1.0, 2.0
+
+    got = search_topk_rescored(
+        idx, queries, topk=K, window=WINDOW, query_weight=QW, rescore_weight=RW
+    ).take_all()
+    # python oracle: full BM25 ranking from the engine's own exhaustive path
+    # (window+large pad), then phrase-count re-rank of the window only
+    full = search_topk(idx, queries, topk=len(docs), mode="taat").take_all()
+    for qid, qtext in queries:
+        terms = qtext.split()
+        ranked = sorted(
+            ((round_half_away(r["score"], 6), r["doc_id"]) for r in full if r["query_id"] == qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        win = ranked[:WINDOW]
+
+        def occurrences(l, ts):
+            return sum(
+                1
+                for i in range(len(l) - len(ts) + 1)
+                if l[i : i + len(ts)] == ts
+            )
+
+        comb = sorted(
+            (
+                (
+                    round_half_away(QW * s + RW * occurrences(toks[d], terms), 6),
+                    d,
+                )
+                for s, d in win
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:K]
+        mine = sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        assert [(r["doc_id"], r["score"]) for r in mine] == [(d, s) for s, d in comb]
+        # window contract: nothing from beyond rank WINDOW appears
+        win_ids = {d for _, d in win}
+        assert all(r["doc_id"] in win_ids for r in mine)
