@@ -1007,6 +1007,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf_dir), threshold=0.5, bucket="shingle"
         ).select_columns(["doc_id"])
 
+    def dup_clusters(sf_dir):
+        # full near-dup CLUSTERS: same recall-exact shingle-bucket edge
+        # contract as near_dedup's gate, then distributed hash-min
+        # connected components (the transitive closure near_dedup_filter
+        # deliberately skips) — every doc gets cluster_id = min doc_id of
+        # its component; twin = recursive-CTE min-label reachability
+        return dedup.near_dup_clusters(
+            _docs_ds(sf_dir), threshold=0.5, bucket="shingle"
+        )
+
     def contamination(sf_dir):
         import re
 
@@ -1472,10 +1482,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack_sequences,
         "curated_corpus": curated_corpus,
         "exact_dedup": exact_dedup,
-        "dedup_filter": dedup_filter,
         # newly SQL-gated in r4 (recall-exact shingle-bucket config) —
         # needs a first-50 slot for its first driver-verified row
         "near_dedup": near_dedup,
+        # new in r4: connected-components dup clusters — takes the first-50
+        # slot of dedup_filter (green r3) so it gets a driver row at once
+        "dup_clusters": dup_clusters,
         # --- never-driver-checked through r3 (SQL-gated in r4) ---
         "kmeans_clusters": kmeans_clusters,
         "hybrid_topk": hybrid_topk,
@@ -1484,6 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of top_terms_nostop (green r2+r3) so it gets a driver row at once
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
+        "dedup_filter": dedup_filter,
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
@@ -2532,6 +2545,47 @@ dropped AS (
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
 """
 
+    # dup_clusters gate: the SAME verified anchor-edge set as near_dedup
+    # (shingle buckets, exact Jaccard >= 0.5), then connected components =
+    # recursive min-label reachability over the symmetric edge list; docs
+    # with no verified edge are their own singleton cluster
+    dup_clusters_sql = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+sh AS (SELECT doc_id, {_SHINGLE_CASE.format(l="l")} shingles FROM toks),
+ds AS (SELECT DISTINCT doc_id, s.shingle FROM sh, unnest(shingles) AS s(shingle)),
+anch AS (SELECT shingle, min(doc_id) a FROM ds GROUP BY 1),
+edges AS (
+  SELECT DISTINCT anch.a doc_a, ds.doc_id doc_b
+  FROM ds JOIN anch USING (shingle) WHERE ds.doc_id <> anch.a
+),
+sizes AS (SELECT doc_id, count(*) sz FROM ds GROUP BY 1),
+inter AS (
+  SELECT e.doc_a, e.doc_b, count(*) i
+  FROM edges e
+  JOIN ds x ON x.doc_id = e.doc_a
+  JOIN ds y ON y.doc_id = e.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+vp AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= 0.5
+),
+sym AS (
+  SELECT doc_a a, doc_b b FROM vp
+  UNION ALL
+  SELECT doc_b a, doc_a b FROM vp
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
     # kmeans_clusters gate (first_k init + 9-dp centroid rounding): spherical
     # Lloyd's over the embeddings table, unrolled to 3 iterations
     _EMB_XN = """
@@ -3434,6 +3488,7 @@ FROM walk
         "events_hopping": hopping,
         "hybrid_topk": hybrid_sql,
         "near_dedup": near_dedup_sql,
+        "dup_clusters": dup_clusters_sql,
         "kmeans_clusters": kmeans_sql,
         "doc_clusters": doc_clusters_sql,
         "semantic_dedup": semantic_dedup_sql,

@@ -573,6 +573,33 @@ def near_dedup_filter(
     Verification reuses the single-join gather of ``minhash_lsh_pairs``;
     everything stays distributed (no O(corpus) driver state)."""
     analyzer = analyzer or AnalyzerConfig()
+    edges = _anchor_candidate_edges(
+        docs,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        analyzer=analyzer,
+        pair_partitions=pair_partitions,
+        bucket=bucket,
+    )
+    return _near_dedup_apply(
+        docs, edges, analyzer, shingle_n, threshold, join_partitions, anti_join
+    )
+
+
+def _anchor_candidate_edges(
+    docs: ray.data.Dataset,
+    *,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
+    analyzer: AnalyzerConfig,
+    pair_partitions: int,
+    bucket: str,
+) -> ray.data.Dataset:
+    """Candidate (bucket-min-anchor, member) edge list — distinct,
+    materialized. Shared by ``near_dedup_filter`` (min-anchored drop) and
+    ``near_dup_clusters`` (connected components over the verified edges)."""
     if bucket == "shingle":
 
         def shingle_bucket_rows(batch: pa.Table) -> pa.Table:
@@ -669,6 +696,20 @@ def near_dedup_filter(
         .map_groups(distinct_edges, batch_format="pyarrow")
         .materialize()
     )
+    return edges
+
+
+def _near_dedup_apply(
+    docs: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    analyzer: AnalyzerConfig,
+    shingle_n: int,
+    threshold: float,
+    join_partitions: int,
+    anti_join: bool,
+) -> ray.data.Dataset:
+    """Verify candidate anchor edges exactly and drop min-anchored
+    duplicates — the apply half of ``near_dedup_filter``."""
     if edges.count() == 0:
         return docs.select_columns(["doc_id", "content"])
 
@@ -715,6 +756,258 @@ def near_dedup_filter(
         return batch.filter(pa.array(keep))
 
     return docs.map_batches(keep_survivors, batch_format="pyarrow")
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset | None = None,
+    edge_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    node_col: str = "doc_id",
+    max_iters: int = 30,
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """Connected components of an undirected edge list by distributed
+    hash-min label propagation: one ``(node_col, cluster_id)`` row per node,
+    where ``cluster_id`` is the SMALLEST node id in its component.
+
+    Why it exists: ``near_dedup_filter`` is deliberately single-pass
+    (min-anchored drop, no transitive closure), which is the right dedup
+    shape but cannot answer cluster-level questions — cluster size
+    histograms, keep-best-per-cluster policies, provenance of what merged
+    with what. Those need the real components.
+
+    Ray-Data shape — NO per-round joins: the round state is the union of
+    label rows ``(key=node, label)`` and static edge rows ``(key=src,
+    other=dst)``; ONE coarse-hash-partition groupby colocates a node's
+    current labels with its outgoing edges, the group kernel computes each
+    node's min label and re-emits it to the node itself and every
+    neighbor, and a second coarse groupby reduces the messages to one
+    ``(node, label)`` row. Per round that is 2 shuffles of O(V + E) rows —
+    edges stay materialized in the object store, the driver holds only a
+    per-round label-sum scalar. Labels decrease monotonically, so
+    ``sum(label)`` is a fixed-point detector (node ids must fit in int46
+    territory for the int64 sum to stay exact: N * max_id < 2^63 — true
+    for any id space below ~2^31 even at 10^12 docs sharded by id range).
+    Hash-min converges in O(graph diameter) rounds; near-dup graphs are
+    shallow (bucket-star edges through anchors), so the loop is short.
+
+    ``nodes``: optional dataset whose ``node_col`` enumerates ALL nodes —
+    isolated ones (no edges) then appear with ``cluster_id = node``.
+    """
+    KIND_LABEL, KIND_EDGE = np.int8(0), np.int8(1)
+
+    def _part_of(ids: np.ndarray) -> pa.Array:
+        return pa.array(
+            (splitmix64(ids.astype(np.uint64)) % np.uint64(num_parts)).astype(
+                np.int32
+            ),
+            type=pa.int32(),
+        )
+
+    def _state_rows(key, other, label, kind) -> pa.Table:
+        return pa.table(
+            {
+                "part": _part_of(key),
+                "key": pa.array(key, type=pa.int64()),
+                "other": pa.array(other, type=pa.int64()),
+                "label": pa.array(label, type=pa.int64()),
+                "kind": pa.array(kind, type=pa.int8()),
+            }
+        )
+
+    a_col, b_col = edge_cols
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy().astype(np.int64, copy=False)
+        b = batch.column(b_col).to_numpy().astype(np.int64, copy=False)
+        key = np.concatenate([a, b])  # symmetric: each edge in both directions
+        other = np.concatenate([b, a])
+        return _state_rows(
+            key,
+            other,
+            np.zeros(len(key), dtype=np.int64),  # label unused on edge rows
+            np.full(len(key), KIND_EDGE),
+        )
+
+    edge_state = edges.select_columns([a_col, b_col]).map_batches(
+        edge_rows, batch_format="pyarrow"
+    ).materialize()
+
+    def self_labels_from_edges(batch: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    batch.column(a_col).to_numpy().astype(np.int64, copy=False),
+                    batch.column(b_col).to_numpy().astype(np.int64, copy=False),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(ids, type=pa.int64()),
+                         "label": pa.array(ids, type=pa.int64())})
+
+    label_srcs = [
+        edges.select_columns([a_col, b_col]).map_batches(
+            self_labels_from_edges, batch_format="pyarrow"
+        )
+    ]
+    if nodes is not None:
+
+        def self_labels_from_nodes(batch: pa.Table) -> pa.Table:
+            ids = batch.column(node_col).to_numpy().astype(np.int64, copy=False)
+            return pa.table({"node": pa.array(ids, type=pa.int64()),
+                             "label": pa.array(ids, type=pa.int64())})
+
+        label_srcs.append(
+            nodes.select_columns([node_col]).map_batches(
+                self_labels_from_nodes, batch_format="pyarrow"
+            )
+        )
+
+    def _add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", _part_of(batch.column("node").to_numpy())
+        )
+
+    def _min_reduce(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy()
+        label = group.column("label").to_numpy()
+        order = np.lexsort((label, node))
+        node, label = node[order], label[order]
+        if len(node):
+            is_start = np.empty(len(node), dtype=bool)
+            is_start[0] = True
+            np.not_equal(node[1:], node[:-1], out=is_start[1:])
+            node, label = node[is_start], label[is_start]
+        return pa.table({"node": pa.array(node, type=pa.int64()),
+                         "label": pa.array(label, type=pa.int64())})
+
+    def _reduce_labels(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return (
+            ds.map_batches(_add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                _min_reduce, batch_format="pyarrow"
+            )
+        )
+
+    labels = _reduce_labels(label_srcs[0].union(*label_srcs[1:]) if len(label_srcs) > 1
+                            else label_srcs[0]).materialize()
+
+    def propagate(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy()
+        other = group.column("other").to_numpy()
+        label = group.column("label").to_numpy()
+        kind = group.column("kind").to_numpy()
+        lm = kind == KIND_LABEL
+        lk, ll = key[lm], label[lm]
+        order = np.lexsort((ll, lk))
+        lk, ll = lk[order], ll[order]
+        if len(lk):
+            is_start = np.empty(len(lk), dtype=bool)
+            is_start[0] = True
+            np.not_equal(lk[1:], lk[:-1], out=is_start[1:])
+            ku, minlab = lk[is_start], ll[is_start]
+        else:
+            ku = np.empty(0, dtype=np.int64)
+            minlab = np.empty(0, dtype=np.int64)
+        out_node = [ku]
+        out_label = [minlab]
+        em = kind == KIND_EDGE
+        if em.any():
+            # every edge key also has a label row in this group (same part
+            # hash), so searchsorted always hits
+            idx = np.searchsorted(ku, key[em])
+            out_node.append(other[em])
+            out_label.append(minlab[idx])
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate(out_node), type=pa.int64()),
+                "label": pa.array(np.concatenate(out_label), type=pa.int64()),
+            }
+        )
+
+    def label_state(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy()
+        return _state_rows(
+            node,
+            np.full(len(node), -1, dtype=np.int64),
+            batch.column("label").to_numpy(),
+            np.full(len(node), KIND_LABEL),
+        )
+
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        state = labels.map_batches(label_state, batch_format="pyarrow").union(
+            edge_state
+        )
+        msgs = state.groupby("part").map_groups(propagate, batch_format="pyarrow")
+        labels = _reduce_labels(msgs).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters) — raise max_iters"
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                node_col: batch.column("node"),
+                "cluster_id": batch.column("label"),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def near_dup_clusters(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    analyzer: AnalyzerConfig | None = None,
+    pair_partitions: int = 64,
+    join_partitions: int = 4,
+    bucket: str = "lsh",
+) -> ray.data.Dataset:
+    """Full near-duplicate CLUSTERS: one ``(doc_id, cluster_id)`` row per
+    document, ``cluster_id`` = the smallest doc_id in the doc's connected
+    component of the verified anchor-edge graph (docs with no verified
+    near-dup edge are their own singleton cluster).
+
+    Same candidate machinery as ``near_dedup_filter`` (bucket-min anchor
+    edges, exact shingle-Jaccard verification at ``threshold``), then
+    ``connected_components`` over the verified edges — the transitive
+    closure that the filter deliberately skips. ``bucket="shingle"`` is the
+    recall-exact conformance configuration (bucket = the raw shingle), used
+    by the SQL oracle twin; ``"lsh"`` is the 100 TB default."""
+    analyzer = analyzer or AnalyzerConfig()
+    edges = _anchor_candidate_edges(
+        docs,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        analyzer=analyzer,
+        pair_partitions=pair_partitions,
+        bucket=bucket,
+    )
+    node_ids = docs.select_columns(["doc_id"])
+    if edges.count() == 0:
+        return node_ids.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id"),
+                 "cluster_id": b.column("doc_id")}
+            ),
+            batch_format="pyarrow",
+        )
+    verified = _verify_pairs(
+        edges, docs, analyzer, shingle_n, threshold, join_partitions
+    )
+    return connected_components(verified, nodes=node_ids)
 
 
 def simhash_fingerprints(

@@ -938,3 +938,107 @@ def test_percolate_matches_boolean_search(built_index_r3):
         for r in boolean_search(index_dir, queries).take_all()
     )
     assert got == want and got
+
+
+# ------------------------------------------------- connected components
+
+def _edges_ds(pairs):
+    a = pa.array([p[0] for p in pairs], type=pa.int64())
+    b = pa.array([p[1] for p in pairs], type=pa.int64())
+    return ray.data.from_arrow(pa.table({"doc_a": a, "doc_b": b}))
+
+
+def _nodes_ds(ids):
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(ids), type=pa.int64())})
+    )
+
+
+def test_connected_components_chain_and_isolated():
+    """A length-4 chain (diameter 3 — needs several hash-min rounds), a
+    separate pair, and an isolated node supplied via ``nodes``."""
+    from distributed_text_search_ray.pipelines.dedup import connected_components
+
+    out = connected_components(
+        _edges_ds([(1, 2), (2, 3), (3, 4), (10, 11)]),
+        nodes=_nodes_ds([1, 2, 3, 4, 10, 11, 20]),
+    )
+    got = sorted((r["doc_id"], r["cluster_id"]) for r in out.take_all())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)]
+
+
+def test_connected_components_matches_union_find():
+    """Random sparse graph vs an in-test union-find ground truth."""
+    from distributed_text_search_ray.pipelines.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    n = 400
+    pairs = [
+        tuple(sorted(map(int, rng.integers(0, n, size=2))))
+        for _ in range(300)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((v, find(v)) for v in range(n))
+
+    out = connected_components(_edges_ds(pairs), nodes=_nodes_ds(range(n)))
+    got = sorted((r["doc_id"], r["cluster_id"]) for r in out.take_all())
+    assert got == want
+
+
+def test_connected_components_no_edges_all_singletons():
+    from distributed_text_search_ray.pipelines.dedup import connected_components
+
+    out = connected_components(_edges_ds([]), nodes=_nodes_ds([3, 7, 9]))
+    got = sorted((r["doc_id"], r["cluster_id"]) for r in out.take_all())
+    assert got == [(3, 3), (7, 7), (9, 9)]
+
+
+def test_near_dup_clusters_groups_and_singletons():
+    """Near-dup groups each collapse to one cluster labeled by the group's
+    min doc_id; dissimilar solo docs are singleton clusters."""
+    from distributed_text_search_ray.pipelines.dedup import near_dup_clusters
+
+    rng = np.random.default_rng(5)
+    groups, per_group, n_words = 12, 4, 40
+    ids, texts = [], []
+    for g in range(groups):
+        base = [f"g{g}w{k}" for k in range(n_words)]
+        for v in range(per_group):
+            words = list(base)
+            if v:
+                pos = int(rng.integers(0, n_words))
+                words[pos] = f"g{g}v{v}m"
+            ids.append(g * 10 + v)
+            texts.append(" ".join(words))
+    for s in range(5):
+        ids.append(10_000 + s)
+        texts.append(" ".join(f"solo{s}w{k}" for k in range(n_words)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    out = near_dup_clusters(ds, threshold=0.5, bucket="shingle")
+    got = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert len(got) == len(ids)
+    for g in range(groups):
+        for v in range(per_group):
+            assert got[g * 10 + v] == g * 10
+    for s in range(5):
+        assert got[10_000 + s] == 10_000 + s
