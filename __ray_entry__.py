@@ -650,6 +650,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def dismax_topk(sf_dir):
+        # disjunction-max multi-field ranking over the SAME two field
+        # indexes as bm25f_topk: best field wins, other fields contribute
+        # tie_breaker=0.3 of their weighted score — max + 0.3*(sum - max),
+        # the expression the SQL twin evaluates in the same float order
+        rows = search.search_topk_dismax(
+            {"content": _index_for(sf_dir), "title": _title_index_for(sf_dir)},
+            {"content": 1.0, "title": 2.0},
+            BM25_QUERIES,
+            tie_breaker=0.3,
+            topk=BM25_TOPK,
+        ).take_all()
+        rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+        return pa.table(
+            {
+                "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+                "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+                "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+                "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+            }
+        )
+
     def bm25_topk_upserted(sf_dir):
         # full upsert lifecycle (tombstone + compact + extend): BM25 over the
         # upserted index == BM25 over the corpus with the changeset applied
@@ -1454,6 +1476,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_compacted": bm25_topk_compacted,
         "bm25_topk_upserted": bm25_topk_upserted,
         "bm25f_topk": bm25f_topk,
+        # new in r4: dis_max multi-field ranking — takes the first-50 slot
+        # of exact_dedup (green r1-r3) so it gets a driver row at once
+        "dismax_topk": dismax_topk,
         "incremental_dedup": incremental_dedup,
         "percolate_matches": percolate_matches,
         "bm25_topk_collapsed": bm25_topk_collapsed,
@@ -1481,7 +1506,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": doc_chunks,
         "pack_sequences": pack_sequences,
         "curated_corpus": curated_corpus,
-        "exact_dedup": exact_dedup,
         # newly SQL-gated in r4 (recall-exact shingle-bucket config) —
         # needs a first-50 slot for its first driver-verified row
         "near_dedup": near_dedup,
@@ -1497,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
         "dedup_filter": dedup_filter,
+        "exact_dedup": exact_dedup,
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
@@ -1753,6 +1778,22 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
+
+    # dismax twin: identical per-field score CTEs, combination switched to
+    # max + 0.3 * (sum - max) over the weighted contributions — written as
+    # the same adds/subtracts the executor performs so the float64 result
+    # is bit-identical before the 6-dp rounding
+    _bm25f_comb = (
+        "         1.0 * coalesce(sc1.score, 0) + 2.0 * coalesce(sc2.score, 0) score"
+    )
+    assert bm25f.count(_bm25f_comb) == 1
+    dismax = bm25f.replace(
+        _bm25f_comb,
+        """         greatest(1.0 * coalesce(sc1.score, 0), 2.0 * coalesce(sc2.score, 0))
+         + 0.3 * ((1.0 * coalesce(sc1.score, 0) + 2.0 * coalesce(sc2.score, 0))
+                  - greatest(1.0 * coalesce(sc1.score, 0), 2.0 * coalesce(sc2.score, 0))) score""",
+        1,
+    )
 
     # upsert twin: the SAME BM25 query over documents-with-the-changeset-
     # applied — a shadowing CTE named `documents` (DuckDB binds the rest of
@@ -3400,6 +3441,7 @@ FROM walk
         "bm25_topk_compacted": bm25_compacted,
         "bm25_topk_upserted": bm25_upserted,
         "bm25f_topk": bm25f,
+        "dismax_topk": dismax,
         "bm25_topk_collapsed": bm25_collapsed,
         "dsir_weights": dsir_sql,
         "bm25_topk_merged": bm25,

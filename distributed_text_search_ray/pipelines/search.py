@@ -1608,6 +1608,15 @@ class FieldedQueryExecutor:
     float64 accumulation order is fixed), giving ``w_1*s_1 + w_2*s_2``
     exactly as the SQL twin's expression evaluates. Rounded-6dp rank order,
     ties by doc_id.
+
+    ``combine="dismax"`` switches the per-doc combination to disjunction-max
+    (the multi-field mode where a doc strong in ONE field should not be
+    beaten by a doc mediocre in several): ``score(d) = max_f c_f +
+    tie_breaker * (sum_f c_f - max_f c_f)`` over the weighted per-field
+    contributions ``c_f = w_f * bm25_f(d)`` — the exact expression the SQL
+    twin evaluates (same add/subtract order, so the float64 results are
+    bit-identical before the 6-dp rounding). ``tie_breaker=0`` is pure max,
+    ``1`` degenerates to the linear sum.
     """
 
     _ALL = 1 << 60  # k larger than any posting universe -> full scored set
@@ -1617,7 +1626,13 @@ class FieldedQueryExecutor:
         index_dirs: dict[str, str],
         weights: dict[str, float],
         topk: int = 10,
+        combine: str = "sum",
+        tie_breaker: float = 0.0,
     ):
+        if combine not in ("sum", "dismax"):
+            raise ValueError(f"combine must be 'sum' or 'dismax', got {combine!r}")
+        self.combine = combine
+        self.tie_breaker = float(tie_breaker)
         if set(index_dirs) != set(weights):
             raise ValueError("index_dirs and weights must share field names")
         self.fields = sorted(index_dirs)
@@ -1661,7 +1676,13 @@ class FieldedQueryExecutor:
             np.not_equal(sdocs[1:], sdocs[:-1], out=is_start[1:])
             seg = np.cumsum(is_start) - 1
             uniq = sdocs[is_start]
-            total = np.bincount(seg, weights=scontrib, minlength=len(uniq))
+            if self.combine == "dismax":
+                starts = np.flatnonzero(is_start)
+                segsum = np.add.reduceat(scontrib, starts)
+                segmax = np.maximum.reduceat(scontrib, starts)
+                total = segmax + self.tie_breaker * (segsum - segmax)
+            else:
+                total = np.bincount(seg, weights=scontrib, minlength=len(uniq))
             rs = round_half_away(total, 6)
             cut = np.lexsort((uniq, -rs))[: int(k)]
             for r, i in enumerate(cut, start=1):
@@ -1696,6 +1717,35 @@ def search_topk_fielded(
             "index_dirs": index_dirs,
             "weights": weights,
             "topk": topk,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+def search_topk_dismax(
+    index_dirs: dict[str, str],
+    weights: dict[str, float],
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    tie_breaker: float = 0.3,
+    topk: int = 10,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Disjunction-max multi-field top-k: per-field weighted BM25
+    contributions combined as ``max + tie_breaker * (sum - max)`` — the
+    best-field-wins ranking mode next to ``search_topk_fielded``'s linear
+    sum. Output (query_id, rank, doc_id, score), 6-dp scores, ties by
+    doc_id."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        FieldedQueryExecutor,
+        fn_constructor_kwargs={
+            "index_dirs": index_dirs,
+            "weights": weights,
+            "topk": topk,
+            "combine": "dismax",
+            "tie_breaker": tie_breaker,
         },
         batch_format="pyarrow",
         batch_size=8,

@@ -1042,3 +1042,72 @@ def test_near_dup_clusters_groups_and_singletons():
             assert got[g * 10 + v] == g * 10
     for s in range(5):
         assert got[10_000 + s] == 10_000 + s
+
+
+def test_dismax_combination_matches_per_field_scores(code_corpus, tmp_path_factory):
+    """dis_max emits max + tb*(sum - max) of the weighted per-field scores;
+    tie_breaker=1 degenerates to the linear fielded sum."""
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import (
+        search_topk,
+        search_topk_dismax,
+        search_topk_fielded,
+    )
+    from distributed_text_search_ray.sources.corpus import corpus_files
+    from distributed_text_search_ray.util import round_half_away
+
+    corpus_dir, _ = code_corpus
+    base = tmp_path_factory.mktemp("dismax")
+    idx_c = str(base / "content")
+    build_index(corpus_dir, idx_c, IndexConfig(num_partitions=4))
+
+    tk = Tokenizer()
+    tdir = base / "title_corpus"
+    tdir.mkdir()
+    for i, f in enumerate(corpus_files(corpus_dir)):
+        t = pq.read_table(f)
+        titles = [" ".join(tk.tokens(c)[:5]) for c in t.column("content").to_pylist()]
+        t = t.drop_columns(["content"]).append_column(
+            "content", pa.array(titles, type=pa.string())
+        )
+        pq.write_table(t, tdir / f"part{i}.parquet")
+    idx_t = str(base / "title")
+    build_index(str(tdir), idx_t, IndexConfig(num_partitions=4))
+
+    queries = [(0, "def return value"), (1, "import numpy")]
+    dirs = {"content": idx_c, "title": idx_t}
+    weights = {"content": 1.0, "title": 2.0}
+
+    c_scores, t_scores = {}, {}
+    for r in search_topk(idx_c, queries, topk=10_000).take_all():
+        c_scores[(r["query_id"], r["doc_id"])] = r["score"]
+    for r in search_topk(idx_t, queries, topk=10_000).take_all():
+        t_scores[(r["query_id"], r["doc_id"])] = r["score"]
+
+    got = search_topk_dismax(dirs, weights, queries, tie_breaker=0.3, topk=8).take_all()
+    assert got
+    both = 0
+    for r in got:
+        k = (r["query_id"], r["doc_id"])
+        c = 1.0 * c_scores.get(k, 0.0)
+        t = 2.0 * t_scores.get(k, 0.0)
+        hi, total = max(c, t), c + t
+        assert r["score"] == round_half_away(hi + 0.3 * (total - hi), 6), k
+        if k in c_scores and k in t_scores:
+            both += 1
+    assert both, "no doc scored in both fields — degenerate fixture"
+
+    # tie_breaker=1.0 == the linear fielded sum, row for row
+    tb1 = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search_topk_dismax(dirs, weights, queries, tie_breaker=1.0, topk=8).take_all()
+    )
+    lin = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search_topk_fielded(dirs, weights, queries, topk=8).take_all()
+    )
+    assert tb1 == lin
