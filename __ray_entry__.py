@@ -650,6 +650,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_topk_msm(sf_dir):
+        # minimum_should_match=2: only docs with >= 2 distinct query terms
+        # are scored (single-term queries return empty — the twin's HAVING
+        # drops them identically); survivors keep exact BM25 scores
+        from distributed_text_search_ray.pipelines.search import search_topk_msm
+
+        rows = search_topk_msm(
+            _index_for(sf_dir), BM25_QUERIES, min_should_match=2,
+            topk=BM25_TOPK + 10,
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
     def dismax_topk(sf_dir):
         # disjunction-max multi-field ranking over the SAME two field
         # indexes as bm25f_topk: best field wins, other fields contribute
@@ -1452,7 +1464,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": bm25_topk,
         "revenue_by_nation": revenue_by_nation,
-        "sessionize_30m": sessionize_30m,
         "embedding_dup_pairs": embedding_dup_pairs,
         "embedding_deduped": embedding_deduped,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1479,6 +1490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in r4: dis_max multi-field ranking — takes the first-50 slot
         # of exact_dedup (green r1-r3) so it gets a driver row at once
         "dismax_topk": dismax_topk,
+        # new in r4: minimum_should_match — takes the first-50 slot of
+        # sessionize_30m (green r1-r3) so it gets a driver row at once
+        "bm25_topk_msm": bm25_topk_msm,
         "incremental_dedup": incremental_dedup,
         "percolate_matches": percolate_matches,
         "bm25_topk_collapsed": bm25_topk_collapsed,
@@ -1522,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- position 51+ (driver budget permitting) ---------
         "dedup_filter": dedup_filter,
         "exact_dedup": exact_dedup,
+        "sessionize_30m": sessionize_30m,
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
@@ -1778,6 +1793,16 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
+
+    # minimum_should_match twin: the base BM25 scorer with HAVING count(*)
+    # >= 2 on the per-(query, doc) term-match aggregation (qterms is
+    # DISTINCT and tf is per (doc, term), so the group's row count IS the
+    # distinct-matched-term count)
+    _sc_group = "  JOIN dl ON dl.doc_id = tf.doc_id, stats s\n  GROUP BY 1, 2"
+    assert bm25.count(_sc_group) == 1
+    bm25_msm = bm25.replace(
+        _sc_group, _sc_group + "\n  HAVING count(*) >= 2", 1
+    )
 
     # dismax twin: identical per-field score CTEs, combination switched to
     # max + 0.3 * (sum - max) over the weighted contributions — written as
@@ -3442,6 +3467,7 @@ FROM walk
         "bm25_topk_upserted": bm25_upserted,
         "bm25f_topk": bm25f,
         "dismax_topk": dismax,
+        "bm25_topk_msm": bm25_msm,
         "bm25_topk_collapsed": bm25_collapsed,
         "dsir_weights": dsir_sql,
         "bm25_topk_merged": bm25,

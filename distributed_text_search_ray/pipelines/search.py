@@ -57,6 +57,31 @@ def search_topk(
     )
 
 
+def search_topk_msm(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    min_should_match: int = 2,
+    topk: int = 10,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k BM25 restricted to docs that contain at least
+    ``min_should_match`` DISTINCT query terms (the boolean OR query's
+    precision dial: msm=1 is plain OR, msm=len(terms) is pure AND).
+    Surviving docs keep their exact unfiltered BM25 scores."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        QueryExecutor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "topk": topk,
+            "min_should_match": min_should_match,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 class RescoreExecutor(QueryExecutor):
     """Two-phase retrieval (the Elasticsearch ``rescore`` shape): phase 1
     takes each query's BM25 top-``window`` under the rounded-score rank

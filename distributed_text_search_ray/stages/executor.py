@@ -243,10 +243,17 @@ def _topk_rows(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndar
 class QueryExecutor:
     """Actor-pool stage: batches of ``(query_id, query)`` -> top-k rows."""
 
-    def __init__(self, index_dir: str, topk: int = 10, mode: str = "taat"):
+    def __init__(
+        self,
+        index_dir: str,
+        topk: int = 10,
+        mode: str = "taat",
+        min_should_match: int = 1,
+    ):
         self.view = IndexView(index_dir)
         self.topk = topk
         self.mode = mode
+        self.min_should_match = int(min_should_match)
         self.tokenizer = Tokenizer(self.view.cfg.analyzer)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -260,7 +267,12 @@ class QueryExecutor:
         )
         for qid, qtext, k in zip(qids, qtexts, ks):
             terms = sorted(set(self.tokenizer.tokens(qtext)))
-            if self.mode == "wand":
+            if self.min_should_match > 1:
+                # msm filtering needs per-doc match counts — TAAT only
+                docs, scores = self._score_taat_msm(
+                    terms, k, self.min_should_match
+                )
+            elif self.mode == "wand":
                 docs, scores = self._score_wand(terms, k)
             elif self.mode == "maxscore":
                 docs, scores = self._score_maxscore(terms, k)
@@ -281,11 +293,15 @@ class QueryExecutor:
         )
 
     # ---- term-at-a-time (vectorized, deterministic accumulation order) ----
-    def _score_taat(self, terms: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    def _term_contribs(
+        self, terms: list[str]
+    ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+        """Per-term (posting doc ids, BM25 contributions) in the caller's
+        (ascending) term order — the shared head of every TAAT variant."""
         v = self.view
         cfg = v.cfg
         all_docs, all_contrib = [], []
-        for term in terms:  # ascending order fixed by caller
+        for term in terms:
             docs, tfs, dls, df = v.term_postings(term)
             if df == 0 or not len(docs):
                 # df is GLOBAL: a filtered view can return empty postings
@@ -294,6 +310,10 @@ class QueryExecutor:
             contrib = w * bm25.tf_part(tfs, dls, v.avgdl, cfg.bm25_k1, cfg.bm25_b)
             all_docs.append(docs)
             all_contrib.append(contrib)
+        return all_docs, all_contrib
+
+    def _score_taat(self, terms: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+        all_docs, all_contrib = self._term_contribs(terms)
         if not all_docs:
             z = np.empty(0, dtype=np.int64)
             return z, z.astype(np.float64)
@@ -329,6 +349,34 @@ class QueryExecutor:
         seg_ids = np.cumsum(is_start) - 1
         scores = np.bincount(seg_ids, weights=scontrib, minlength=len(starts))
         return _topk_rows(uniq, scores, k)
+
+    def _score_taat_msm(
+        self, terms: list[str], k: int, min_match: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """minimum_should_match TAAT: only docs containing >= ``min_match``
+        DISTINCT query terms are scored (each term posts at most one row per
+        doc, so a doc's segment length IS its distinct-match count). Same
+        accumulation order as ``_score_taat`` — scores of surviving docs are
+        bit-identical to the unfiltered scorer's."""
+        all_docs, all_contrib = self._term_contribs(terms)
+        if not all_docs:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        docs = np.concatenate(all_docs)
+        contrib = np.concatenate(all_contrib)
+        order = np.argsort(docs, kind="stable")
+        sdocs = docs[order]
+        scontrib = contrib[order]
+        is_start = np.empty(len(sdocs), dtype=bool)
+        is_start[0] = True
+        np.not_equal(sdocs[1:], sdocs[:-1], out=is_start[1:])
+        starts = np.flatnonzero(is_start)
+        uniq = sdocs[starts]
+        seg_ids = np.cumsum(is_start) - 1
+        scores = np.bincount(seg_ids, weights=scontrib, minlength=len(starts))
+        counts = np.bincount(seg_ids, minlength=len(starts))
+        keep = counts >= min_match
+        return _topk_rows(uniq[keep], scores[keep], k)
 
     def _dense_buffer(self) -> np.ndarray | None:
         """Reusable score accumulator when doc ids are dense (driver-style

@@ -1111,3 +1111,54 @@ def test_dismax_combination_matches_per_field_scores(code_corpus, tmp_path_facto
         for r in search_topk_fielded(dirs, weights, queries, topk=8).take_all()
     )
     assert tb1 == lin
+
+
+def test_min_should_match_filters_by_distinct_term_count(code_corpus, tmp_path_factory):
+    """msm survivors are exactly the docs with >= m distinct query terms,
+    keeping their unfiltered BM25 scores; msm=1 == plain TAAT."""
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import (
+        search_topk,
+        search_topk_msm,
+    )
+    from distributed_text_search_ray.stages.executor import QueryExecutor
+
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path_factory.mktemp("msm") / "idx")
+    build_index(corpus_dir, index_dir, IndexConfig(num_partitions=4))
+    queries = [(0, "def return value"), (1, "import numpy"), (2, "vector")]
+
+    # ground truth: per-doc distinct matched-term counts from the postings
+    ex = QueryExecutor(index_dir, topk=10)
+    full = {}  # qid -> {doc: (count, score)}
+    for qid, qtext in queries:
+        terms = sorted(set(ex.tokenizer.tokens(qtext)))
+        per_doc = {}
+        all_docs, all_contrib = ex._term_contribs(terms)
+        for docs, contrib in zip(all_docs, all_contrib):
+            for d, c in zip(docs.tolist(), contrib.tolist()):
+                n, s = per_doc.get(d, (0, 0.0))
+                per_doc[d] = (n + 1, s + c)
+        full[qid] = per_doc
+
+    for m in (1, 2, 3):
+        got = {}
+        for r in search_topk_msm(
+            index_dir, queries, min_should_match=m, topk=100_000
+        ).take_all():
+            got.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+        for qid, _ in queries:
+            want = {d for d, (n, _) in full[qid].items() if n >= m}
+            assert set(got.get(qid, {})) == want, (qid, m)
+
+    # msm=1 row-identical to the plain exhaustive scorer
+    a = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search_topk_msm(index_dir, queries, 1, topk=10).take_all()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search_topk(index_dir, queries, topk=10, mode="taat").take_all()
+    )
+    assert a == b
