@@ -650,6 +650,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def search_facet_lang(sf_dir):
+        # search-time aggregation over the FULL hit set (not top-k): per
+        # query, matching-doc counts per lang — hit set stays distributed,
+        # hash join attaches lang, partial pyarrow counts collapse the
+        # exchange before the per-query reduce
+        import ray.data
+
+        from distributed_text_search_ray.pipelines.search import search_facets
+
+        attrs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+        )
+        return search_facets(
+            _index_for(sf_dir), BM25_QUERIES, attrs, facet_col="lang"
+        )
+
     def bm25_topk_msm(sf_dir):
         # minimum_should_match=2: only docs with >= 2 distinct query terms
         # are scored (single-term queries return empty — the twin's HAVING
@@ -1463,7 +1479,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # run before rows-only ones within each region.
     return {
         "bm25_topk": bm25_topk,
-        "revenue_by_nation": revenue_by_nation,
         "embedding_dup_pairs": embedding_dup_pairs,
         "embedding_deduped": embedding_deduped,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1493,6 +1508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in r4: minimum_should_match — takes the first-50 slot of
         # sessionize_30m (green r1-r3) so it gets a driver row at once
         "bm25_topk_msm": bm25_topk_msm,
+        # new in r4: search-time facet aggregation — takes the first-50
+        # slot of user_moving_avg (green r1-r3)
+        "search_facet_lang": search_facet_lang,
         "incremental_dedup": incremental_dedup,
         "percolate_matches": percolate_matches,
         "bm25_topk_collapsed": bm25_topk_collapsed,
@@ -1500,8 +1518,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_stats": wildcard_stats,
         "wildcard_topk": wildcard_topk,
         "range_join_1h": range_join_1h,
-        "bm25_topk_wand": bm25_topk_wand,
-        "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_merged": bm25_topk_merged,
         "apm_counts": apm_counts,
         "apm_counts_concat": apm_counts_concat,
@@ -1537,6 +1553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_filter": dedup_filter,
         "exact_dedup": exact_dedup,
         "sessionize_30m": sessionize_30m,
+        "revenue_by_nation": revenue_by_nation,
+        "bm25_topk_wand": bm25_topk_wand,
+        "bm25_topk_filtered": bm25_topk_filtered,
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
@@ -1792,6 +1811,25 @@ ranked AS (
   FROM comb
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+    # search-facet twin: distinct (query, doc) hits over >= 1 matched term,
+    # joined to documents.lang, counted per (query, lang)
+    search_facet_lang_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, qtext) AS (VALUES {_values(BM25_QUERIES)}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)
+),
+hits AS (
+  SELECT DISTINCT qt.query_id, tf.doc_id
+  FROM qterms qt JOIN tf ON tf.term = qt.term
+)
+SELECT h.query_id, d.lang, count(*) AS n_docs
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY 1, 2
 """
 
     # minimum_should_match twin: the base BM25 scorer with HAVING count(*)
@@ -3468,6 +3506,7 @@ FROM walk
         "bm25f_topk": bm25f,
         "dismax_topk": dismax,
         "bm25_topk_msm": bm25_msm,
+        "search_facet_lang": search_facet_lang_sql,
         "bm25_topk_collapsed": bm25_collapsed,
         "dsir_weights": dsir_sql,
         "bm25_topk_merged": bm25,

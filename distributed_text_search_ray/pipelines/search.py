@@ -82,6 +82,101 @@ def search_topk_msm(
     )
 
 
+class MatchSetExecutor(QueryExecutor):
+    """Hit-SET primitive: ``(query_id, doc_id)`` rows for every doc matching
+    >= ``min_should_match`` distinct query terms — no scores, no top-k. The
+    input to search-time aggregations (facets/histograms over ALL hits,
+    not the first page), where emitting rank/score per hit would only pad
+    the exchange."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_d = [], []
+        for qid, qtext in zip(
+            batch.column("query_id").to_pylist(),
+            batch.column("query").to_pylist(),
+        ):
+            terms = sorted(set(self.tokenizer.tokens(qtext)))
+            all_docs, _ = self._term_contribs(terms)
+            if not all_docs:
+                continue
+            docs = np.sort(np.concatenate(all_docs))
+            if self.min_should_match > 1:
+                uniq, counts = np.unique(docs, return_counts=True)
+                uniq = uniq[counts >= self.min_should_match]
+            else:
+                uniq = np.unique(docs)
+            out_q.append(np.full(len(uniq), qid, dtype=np.int64))
+            out_d.append(uniq)
+        if not out_q:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"query_id": z, "doc_id": z})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+            }
+        )
+
+
+def search_facets(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    doc_attrs: ray.data.Dataset,
+    facet_col: str = "lang",
+    min_should_match: int = 1,
+    join_partitions: int = 8,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Search-time facet aggregation (the ES "query + aggs" shape): for each
+    query, count MATCHING docs per ``facet_col`` value over the FULL hit
+    set. Returns (query_id, <facet_col>, n_docs).
+
+    Scale shape: the hit set never lands on the driver — MatchSetExecutor
+    emits (query_id, doc_id) rows from the actor pool, a hash join attaches
+    the facet attribute (documents-sized side stays distributed), per-batch
+    pyarrow partial counts collapse the exchange to O(queries x facet
+    cardinality) rows before the final per-query reduce."""
+    qds = _queries_dataset(queries)
+    hits = qds.map_batches(
+        MatchSetExecutor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "min_should_match": min_should_match,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+    from distributed_text_search_ray.pipelines.joins import hash_join
+
+    joined = hash_join(
+        hits,
+        doc_attrs.select_columns(["doc_id", facet_col]),
+        on="doc_id",
+        num_partitions=join_partitions,
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["query_id", facet_col]).aggregate(
+            [("doc_id", "count")]
+        )
+        from distributed_text_search_ray.util import agg_rename
+
+        return agg_rename(g, ["query_id", facet_col], [("doc_id", "count")], ["n"])
+
+    def final_counts(group: pa.Table) -> pa.Table:
+        g = group.group_by(["query_id", facet_col]).aggregate([("n", "sum")])
+        from distributed_text_search_ray.util import agg_rename
+
+        return agg_rename(g, ["query_id", facet_col], [("n", "sum")], ["n_docs"])
+
+    return (
+        joined.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_counts, batch_format="pyarrow")
+    )
+
+
 class RescoreExecutor(QueryExecutor):
     """Two-phase retrieval (the Elasticsearch ``rescore`` shape): phase 1
     takes each query's BM25 top-``window`` under the rounded-score rank

@@ -1162,3 +1162,52 @@ def test_min_should_match_filters_by_distinct_term_count(code_corpus, tmp_path_f
         for r in search_topk(index_dir, queries, topk=10, mode="taat").take_all()
     )
     assert a == b
+
+
+def test_search_facets_counts_full_hit_set(code_corpus, tmp_path_factory):
+    """Facet counts cover the FULL hit set (every doc with >= 1 matched
+    term), grouped by an attribute column — verified against per-posting
+    ground truth."""
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import search_facets
+    from distributed_text_search_ray.stages.executor import QueryExecutor
+
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path_factory.mktemp("facets") / "idx")
+    build_index(corpus_dir, index_dir, IndexConfig(num_partitions=4))
+
+    queries = [(0, "def return value"), (1, "import numpy"), (2, "zzznope")]
+
+    ex = QueryExecutor(index_dir)
+    per_q_hits = {}
+    hit_ids = set()
+    for qid, qtext in queries:
+        terms = sorted(set(ex.tokenizer.tokens(qtext)))
+        all_docs, _ = ex._term_contribs(terms)
+        hits = set()
+        for docs in all_docs:
+            hits.update(docs.tolist())
+        per_q_hits[qid] = hits
+        hit_ids.update(hits)
+
+    attr = {d: f"g{d % 3}" for d in hit_ids}  # ids are 63-bit fingerprints
+    want = {}
+    for qid, hits in per_q_hits.items():
+        for d in hits:
+            k = (qid, attr[d])
+            want[k] = want.get(k, 0) + 1
+
+    attrs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(hit_ids), type=pa.int64()),
+                "grp": pa.array([attr[d] for d in sorted(hit_ids)], type=pa.string()),
+            }
+        )
+    )
+    got = {
+        (r["query_id"], r["grp"]): r["n_docs"]
+        for r in search_facets(index_dir, queries, attrs, facet_col="grp").take_all()
+    }
+    assert got == want and got
