@@ -666,6 +666,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _index_for(sf_dir), BM25_QUERIES, attrs, facet_col="lang"
         )
 
+    def bm25_topk_boosted(sf_dir):
+        # function_score (field_value_factor): bm25 * (1 + n_chars /
+        # (n_chars + 1000)) — rational boost, so numpy and DuckDB agree
+        # bit-for-bit; full scored set joins the attribute, then per-query
+        # top-k on the 6-dp-rounded final score
+        import ray.data
+
+        from distributed_text_search_ray.pipelines.search import function_score_topk
+
+        attrs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+        )
+        rows = function_score_topk(
+            _index_for(sf_dir), BM25_QUERIES, attrs, attr="n_chars",
+            scale=1000.0, topk=BM25_TOPK,
+        ).take_all()
+        rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+        return pa.table(
+            {
+                "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+                "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+                "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+                "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+            }
+        )
+
     def bm25_topk_msm(sf_dir):
         # minimum_should_match=2: only docs with >= 2 distinct query terms
         # are scored (single-term queries return empty — the twin's HAVING
@@ -1511,6 +1537,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in r4: search-time facet aggregation — takes the first-50
         # slot of user_moving_avg (green r1-r3)
         "search_facet_lang": search_facet_lang,
+        # new in r4: function_score field-value-factor boost — takes the
+        # first-50 slot of term_dictionary_stemmed (green r2-r3)
+        "bm25_topk_boosted": bm25_topk_boosted,
         "incremental_dedup": incremental_dedup,
         "percolate_matches": percolate_matches,
         "bm25_topk_collapsed": bm25_topk_collapsed,
@@ -1527,7 +1556,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_rangefiltered": bm25_topk_rangefiltered,
         "synonym_topk": synonym_topk,
         "fuzzy_topk": fuzzy_topk,
-        "term_dictionary_stemmed": term_dictionary_stemmed,
         # --- never-driver-checked through r3, oracle-gated (VERDICT item 1)
         "dup_span_edited": dup_span_edited,
         "proximity_search": proximity,
@@ -1556,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": revenue_by_nation,
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_filtered": bm25_topk_filtered,
+        "term_dictionary_stemmed": term_dictionary_stemmed,
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
@@ -1812,6 +1841,33 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
+
+    # function-score twin: the base scorer's ranked CTE swapped for a
+    # boosted one — bm25 * (1 + n_chars/(n_chars+1000)), rational on
+    # purpose (IEEE + / * only; no libm divergence), ranked by the
+    # 6-dp-rounded final score
+    _ranked_cte = """ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)"""
+    assert bm25.count(_ranked_cte) == 1
+    bm25_boosted = bm25.replace(
+        _ranked_cte,
+        """boosted AS (
+  SELECT sc.query_id, sc.doc_id,
+         sc.score * (1 + d.n_chars / (d.n_chars + 1000.0)) fscore
+  FROM sc JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(fscore, 6) DESC, doc_id) rank,
+         doc_id, round(fscore, 6) score
+  FROM boosted
+)""",
+        1,
+    )
 
     # search-facet twin: distinct (query, doc) hits over >= 1 matched term,
     # joined to documents.lang, counted per (query, lang)
@@ -3507,6 +3563,7 @@ FROM walk
         "dismax_topk": dismax,
         "bm25_topk_msm": bm25_msm,
         "search_facet_lang": search_facet_lang_sql,
+        "bm25_topk_boosted": bm25_boosted,
         "bm25_topk_collapsed": bm25_collapsed,
         "dsir_weights": dsir_sql,
         "bm25_topk_merged": bm25,

@@ -131,6 +131,7 @@ def run_suite() -> dict:
         "curated_corpus", "ann_cosine_topk", "tpch_q3", "bigram_top20",
         "dsir_weights", "bm25_topk_compacted", "wildcard_topk",
         "bm25_topk_upserted", "bm25_topk_collapsed", "bm25_topk_page2",
+        "dup_clusters", "dismax_topk", "search_facet_lang",
     ]
     out = {
         "metric": "index_build_plus_query_suite",

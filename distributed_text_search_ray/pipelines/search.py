@@ -177,6 +177,118 @@ def search_facets(
     )
 
 
+class ScoredSetExecutor(QueryExecutor):
+    """Full scored hit set per query — ``(query_id, doc_id, score)`` with
+    RAW (unrounded) BM25 scores, no top-k cut, assembled with numpy (no
+    per-row Python loop): the retrieval half of score-modifier pipelines
+    (function_score) where the final ranking happens after a join."""
+
+    _ALL = 1 << 60
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qs, ds_, ss = [], [], []
+        for qid, qtext in zip(
+            batch.column("query_id").to_pylist(),
+            batch.column("query").to_pylist(),
+        ):
+            terms = sorted(set(self.tokenizer.tokens(qtext)))
+            docs, scores = self._score_taat(terms, self._ALL)
+            if len(docs):
+                qs.append(np.full(len(docs), qid, dtype=np.int64))
+                ds_.append(docs)
+                ss.append(scores)
+        if not qs:
+            z = pa.array([], type=pa.int64())
+            return pa.table(
+                {"query_id": z, "doc_id": z, "score": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qs), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(ds_), type=pa.int64()),
+                "score": pa.array(np.concatenate(ss), type=pa.float64()),
+            }
+        )
+
+
+def function_score_topk(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    doc_attrs: ray.data.Dataset,
+    attr: str = "n_chars",
+    scale: float = 1000.0,
+    topk: int = 10,
+    join_partitions: int = 8,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Function-score ranking (the ES ``field_value_factor`` shape): every
+    hit's BM25 score is multiplied by a saturation boost of a numeric doc
+    attribute, then re-ranked —
+
+        final = bm25 * (1 + attr / (attr + scale))
+
+    The boost is a RATIONAL function on purpose: only IEEE +, /, * — no
+    ln/exp whose last-ulp behavior differs between numpy and the SQL twin's
+    libm, so the 6-dp-rounded ranking is reproducible bit-for-bit.
+
+    Scale shape: the full scored set streams out of the actor pool
+    (ScoredSetExecutor, vectorized), a hash join attaches the attribute,
+    the boost is a vectorized map, and the per-query top-k is the only
+    per-group step. Returns (query_id, rank, doc_id, score) with 6-dp
+    scores, ties by doc_id."""
+    qds = _queries_dataset(queries)
+    hits = qds.map_batches(
+        ScoredSetExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+    from distributed_text_search_ray.pipelines.joins import hash_join
+
+    joined = hash_join(
+        hits,
+        doc_attrs.select_columns(["doc_id", attr]),
+        on="doc_id",
+        num_partitions=join_partitions,
+    )
+
+    def boost(batch: pa.Table) -> pa.Table:
+        a = batch.column(attr).to_numpy().astype(np.float64)
+        s = batch.column("score").to_numpy()
+        final = s * (1.0 + a / (a + float(scale)))
+        return pa.table(
+            {
+                "query_id": batch.column("query_id"),
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(round_half_away(final, 6), type=pa.float64()),
+            }
+        )
+
+    def per_query_topk(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy()
+        s = group.column("score").to_numpy()
+        order = np.lexsort((d, -s))[: int(topk)]
+        return pa.table(
+            {
+                "query_id": group.column("query_id").take(
+                    pa.array(order, type=pa.int64())
+                ),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(d[order], type=pa.int64()),
+                "score": pa.array(s[order], type=pa.float64()),
+            }
+        )
+
+    return (
+        joined.map_batches(boost, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(per_query_topk, batch_format="pyarrow")
+    )
+
+
 class RescoreExecutor(QueryExecutor):
     """Two-phase retrieval (the Elasticsearch ``rescore`` shape): phase 1
     takes each query's BM25 top-``window`` under the rounded-score rank

@@ -1211,3 +1211,56 @@ def test_search_facets_counts_full_hit_set(code_corpus, tmp_path_factory):
         for r in search_facets(index_dir, queries, attrs, facet_col="grp").take_all()
     }
     assert got == want and got
+
+
+def test_function_score_topk_recomposes_boosted_scores(code_corpus, tmp_path_factory):
+    """function_score emits round6(bm25_raw * (1 + a/(a+scale))) re-ranked —
+    recomposed exactly from the unfiltered scorer's raw scores."""
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import function_score_topk
+    from distributed_text_search_ray.stages.executor import QueryExecutor
+    from distributed_text_search_ray.util import round_half_away
+
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path_factory.mktemp("fscore") / "idx")
+    build_index(corpus_dir, index_dir, IndexConfig(num_partitions=4))
+
+    queries = [(0, "def return value"), (1, "import numpy")]
+    ex = QueryExecutor(index_dir)
+
+    raw = {}  # (qid, doc) -> raw bm25
+    hit_ids = set()
+    for qid, qtext in queries:
+        terms = sorted(set(ex.tokenizer.tokens(qtext)))
+        docs, scores = ex._score_taat(terms, 1 << 60)
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            raw[(qid, d)] = s
+            hit_ids.add(d)
+
+    attr = {d: (d % 977) + 1 for d in hit_ids}
+    attrs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(hit_ids), type=pa.int64()),
+                "n_chars": pa.array([attr[d] for d in sorted(hit_ids)], type=pa.int64()),
+            }
+        )
+    )
+    k = 8
+    got = {}
+    for r in function_score_topk(
+        index_dir, queries, attrs, attr="n_chars", scale=1000.0, topk=k
+    ).take_all():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+
+    for qid, _ in queries:
+        want = []
+        for (q, d), s in raw.items():
+            if q != qid:
+                continue
+            a = float(attr[d])
+            want.append((round_half_away(s * (1.0 + a / (a + 1000.0)), 6), d))
+        want = sorted(want, key=lambda t: (-t[0], t[1]))[:k]
+        have = sorted(got[qid])
+        assert have == [(i + 1, d, s) for i, (s, d) in enumerate(want)], qid
