@@ -85,6 +85,9 @@ ANN_FILTER_RANGES = [(2 * i, 2 * i + 3) for i in range(len(ANN_QUERY_IDS))]
 # bm25_topk_rescored: size of the phase-1 retrieval window the phrase
 # rescorer is allowed to re-rank (ES rescore window_size)
 RESCORE_WINDOW = 30
+# bm25_topk_mmr: phase-1 window and diversity weight for the MMR greedy
+MMR_WINDOW = 30
+MMR_LAMBDA = 0.3
 
 PHRASE_QUERIES = [
     (0, "customer value"),
@@ -664,6 +667,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return search_facets(
             _index_for(sf_dir), BM25_QUERIES, attrs, facet_col="lang"
+        )
+
+    def bm25_topk_mmr(sf_dir):
+        # diversified top-k (MMR): greedy over the BM25 top-30 window,
+        # mmr = round6(rel - 0.3 * max 6-dp cosine to already-selected) on
+        # the persisted dim-16 hashed doc vectors; twin = k-step unrolled
+        # greedy CTE chain over the same window and md5 vector scheme
+        import ray.data
+
+        from distributed_text_search_ray.pipelines.search import mmr_topk as _mmr
+
+        vectors = ray.data.read_parquet(_vectors_for(sf_dir, dim=16))
+        rows = _mmr(
+            _index_for(sf_dir), BM25_QUERIES, vectors,
+            window=MMR_WINDOW, lam=MMR_LAMBDA, topk=BM25_TOPK,
+        ).take_all()
+        rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+        return pa.table(
+            {
+                "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+                "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+                "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+                "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+            }
         )
 
     def bm25_topk_boosted(sf_dir):
@@ -1540,6 +1567,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in r4: function_score field-value-factor boost — takes the
         # first-50 slot of term_dictionary_stemmed (green r2-r3)
         "bm25_topk_boosted": bm25_topk_boosted,
+        # new in r4: MMR diversified top-k — takes the first-50 slot of
+        # synonym_topk (green r2-r3)
+        "bm25_topk_mmr": bm25_topk_mmr,
         "incremental_dedup": incremental_dedup,
         "percolate_matches": percolate_matches,
         "bm25_topk_collapsed": bm25_topk_collapsed,
@@ -1554,7 +1584,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_topk": prefix_topk,
         "bm25_topk_boolfiltered": bm25_topk_boolfiltered,
         "bm25_topk_rangefiltered": bm25_topk_rangefiltered,
-        "synonym_topk": synonym_topk,
         "fuzzy_topk": fuzzy_topk,
         # --- never-driver-checked through r3, oracle-gated (VERDICT item 1)
         "dup_span_edited": dup_span_edited,
@@ -1585,6 +1614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_filtered": bm25_topk_filtered,
         "term_dictionary_stemmed": term_dictionary_stemmed,
+        "synonym_topk": synonym_topk,
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
@@ -1841,6 +1871,77 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
+
+    # MMR twin: k-step unrolled greedy over the bm25 top-window — dim-16
+    # hashed unit vectors recomputed via the md5 scheme (bit-equal to the
+    # persisted hashed_doc_vectors artifact), sims = 6-dp-rounded
+    # list_inner_product, each step picks argmax(mmr desc, doc_id asc)
+    # among not-yet-selected window docs
+    _sgnM = (
+        "sum(CASE WHEN (md5_number_lower(term) >> 63) & 1 = 1"
+        " THEN 1.0 ELSE -1.0 END) s"
+    )
+    _mmr_steps = []
+    for i in range(2, BM25_TOPK + 1):
+        _mmr_steps.append(f""",
+msM{i} AS (
+  SELECT w.query_id, w.doc_id,
+         max(round(list_inner_product(w.x, ws.x), 6)) maxsim
+  FROM wvM w
+  JOIN selM{i - 1} s ON s.query_id = w.query_id
+  JOIN wvM ws ON ws.query_id = s.query_id AND ws.doc_id = s.doc_id
+  GROUP BY 1, 2
+),
+cM{i} AS (
+  SELECT w.query_id, w.doc_id,
+         round(w.rel - {MMR_LAMBDA}::DOUBLE * ms.maxsim, 6) mmr
+  FROM wvM w JOIN msM{i} ms ON ms.query_id = w.query_id AND ms.doc_id = w.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM selM{i - 1} s
+                    WHERE s.query_id = w.query_id AND s.doc_id = w.doc_id)
+),
+pM{i} AS (
+  SELECT query_id, doc_id, mmr, {i}::BIGINT rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id) rn
+    FROM cM{i}
+  ) WHERE rn = 1
+),
+selM{i} AS MATERIALIZED (SELECT * FROM selM{i - 1} UNION ALL SELECT * FROM pM{i})""")
+    mmr_sql = bm25.replace(
+        _tail,
+        f""", winM AS (
+  SELECT query_id, doc_id, score AS rel FROM ranked WHERE rank <= {MMR_WINDOW}
+),
+dslM AS (
+  SELECT doc_id, (md5_number_lower(term) % 16)::BIGINT slot, {_sgnM}
+  FROM tok GROUP BY 1, 2
+),
+gridM AS (
+  SELECT d.doc_id, i.i - 1 AS slot
+  FROM documents d, unnest(generate_series(1, 16)) AS i(i)
+),
+denseM AS (
+  SELECT g.doc_id, g.slot, coalesce(dslM.s, 0.0) s
+  FROM gridM g LEFT JOIN dslM ON dslM.doc_id = g.doc_id AND dslM.slot = g.slot
+),
+dnormM AS (SELECT doc_id, sqrt(sum(s * s)) n FROM denseM GROUP BY 1),
+xnM AS (
+  SELECT denseM.doc_id, list(s / greatest(n, 1e-30) ORDER BY slot) x
+  FROM denseM JOIN dnormM USING (doc_id) GROUP BY denseM.doc_id, dnormM.n
+),
+wvM AS MATERIALIZED (
+  SELECT w.query_id, w.doc_id, w.rel, xnM.x
+  FROM winM w JOIN xnM ON xnM.doc_id = w.doc_id
+),
+pM1 AS (
+  SELECT query_id, doc_id, rel AS mmr, 1::BIGINT rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) rn
+    FROM wvM
+  ) WHERE rn = 1
+),
+selM1 AS MATERIALIZED (SELECT query_id, doc_id, mmr, rank FROM pM1){"".join(_mmr_steps)}
+SELECT query_id, rank, doc_id, mmr AS score FROM selM{BM25_TOPK}""",
+        1,
+    )
 
     # function-score twin: the base scorer's ranked CTE swapped for a
     # boosted one — bm25 * (1 + n_chars/(n_chars+1000)), rational on
@@ -3564,6 +3665,7 @@ FROM walk
         "bm25_topk_msm": bm25_msm,
         "search_facet_lang": search_facet_lang_sql,
         "bm25_topk_boosted": bm25_boosted,
+        "bm25_topk_mmr": mmr_sql,
         "bm25_topk_collapsed": bm25_collapsed,
         "dsir_weights": dsir_sql,
         "bm25_topk_merged": bm25,

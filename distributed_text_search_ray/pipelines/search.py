@@ -289,6 +289,128 @@ def function_score_topk(
     )
 
 
+def mmr_topk(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    vectors: ray.data.Dataset,
+    window: int = 30,
+    lam: float = 0.3,
+    topk: int = 10,
+    fetch_pad: int = 10,
+    join_partitions: int = 8,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998): greedily select from the BM25 top-``window``, scoring
+    each remaining candidate
+
+        mmr = round6(rel - lam * max_sim_to_already_selected)
+
+    where ``rel`` is the 6-dp-rounded BM25 score and similarities are
+    6-dp-rounded inner products of the (unit) doc vectors. ``lam=0``
+    reproduces the BM25 order; larger ``lam`` pushes near-duplicate hits
+    out of the first page. Docs outside the window never enter (rescore
+    semantics — the greedy loop touches at most ``window`` candidates per
+    query, never the corpus).
+
+    ``vectors``: (vec_id, embedding) rows covering the corpus — e.g. the
+    persisted ``hashed_doc_vectors`` artifact (deterministic, no training
+    pass). Scale shape: window rows are O(queries x window); the vector
+    join is the only corpus-sized exchange and the per-query greedy is a
+    window x window numpy kernel inside one group task. Returns
+    (query_id, rank, doc_id, score); score is the mmr value at selection
+    time (rank 1 = plain rel)."""
+    hits = search_topk(
+        index_dir, queries, topk=window + fetch_pad, mode="taat",
+        concurrency=concurrency,
+    )
+
+    def rewindow(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy()
+        s = round_half_away(group.column("score").to_numpy(), 6)
+        order = np.lexsort((d, -s))[: int(window)]
+        return pa.table(
+            {
+                "query_id": group.column("query_id").take(
+                    pa.array(order, type=pa.int64())
+                ),
+                "doc_id": pa.array(d[order], type=pa.int64()),
+                "rel": pa.array(s[order], type=pa.float64()),
+            }
+        )
+
+    # groupby().map_groups() emits schema-less blocks for empty hash
+    # partitions, which crash acero's by-name key resolution inside Ray's
+    # join finalize (the joins.left_anti_join contract) — repartition
+    # coalesces them into typed blocks; the window is O(queries x window)
+    # rows, so this is cheap
+    win = (
+        hits.groupby("query_id")
+        .map_groups(rewindow, batch_format="pyarrow")
+        .repartition(4)
+    )
+
+    def vec_pack(batch: pa.Table) -> pa.Table:
+        # acero rejects list<double> join payloads (same limitation as
+        # embedding_dedup_filter) — ship the vector as packed float64 bytes
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch.column("vec_id"),
+                "vec_bytes": pa.array(
+                    [row.tobytes() for row in emb], type=pa.binary()
+                ),
+            }
+        )
+
+    from distributed_text_search_ray.pipelines.joins import hash_join
+
+    joined = hash_join(
+        win,
+        vectors.map_batches(vec_pack, batch_format="pyarrow"),
+        on="doc_id",
+        num_partitions=join_partitions,
+    )
+
+    def greedy(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy()
+        rel = group.column("rel").to_numpy()
+        emb = np.stack(
+            [
+                np.frombuffer(b, dtype=np.float64)
+                for b in group.column("vec_bytes").to_pylist()
+            ]
+        )
+        sims = round_half_away(emb @ emb.T, 6)
+        n = len(d)
+        remaining = np.ones(n, dtype=bool)
+        selected: list[int] = []
+        out_d, out_s = [], []
+        for _ in range(min(int(topk), n)):
+            if selected:
+                maxsim = sims[:, selected].max(axis=1)
+                mmr = round_half_away(rel - lam * maxsim, 6)
+            else:
+                mmr = rel
+            cand = np.flatnonzero(remaining)
+            pick = int(cand[np.lexsort((d[cand], -mmr[cand]))[0]])
+            selected.append(pick)
+            remaining[pick] = False
+            out_d.append(int(d[pick]))
+            out_s.append(float(mmr[pick]))
+        k = len(out_d)
+        return pa.table(
+            {
+                "query_id": group.column("query_id").slice(0, k),
+                "rank": pa.array(np.arange(1, k + 1, dtype=np.int64), type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    return joined.groupby("query_id").map_groups(greedy, batch_format="pyarrow")
+
+
 class RescoreExecutor(QueryExecutor):
     """Two-phase retrieval (the Elasticsearch ``rescore`` shape): phase 1
     takes each query's BM25 top-``window`` under the rounded-score rank

@@ -1264,3 +1264,75 @@ def test_function_score_topk_recomposes_boosted_scores(code_corpus, tmp_path_fac
         want = sorted(want, key=lambda t: (-t[0], t[1]))[:k]
         have = sorted(got[qid])
         assert have == [(i + 1, d, s) for i, (s, d) in enumerate(want)], qid
+
+
+def test_mmr_topk_matches_reference_greedy(code_corpus, tmp_path_factory):
+    """mmr_topk == an in-test greedy over the same window, scores, and
+    hashed vectors; lam=0 reproduces the BM25 ordering."""
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import mmr_topk, search_topk
+    from distributed_text_search_ray.pipelines.textstats import hashed_doc_vectors
+    from distributed_text_search_ray.sources.corpus import read_corpus
+    from distributed_text_search_ray.util import round_half_away
+
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path_factory.mktemp("mmr") / "idx")
+    build_index(corpus_dir, index_dir, IndexConfig(num_partitions=4))
+
+    queries = [(0, "def return value"), (1, "import numpy")]
+    window, lam, k = 20, 0.4, 6
+
+    docs = read_corpus(corpus_dir)
+    vectors = hashed_doc_vectors(docs, dim=16).materialize()
+    vec = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in vectors.take_all()
+    }
+
+    # reference greedy from the raw scorer
+    full = search_topk(index_dir, queries, topk=window + 10, mode="taat").take_all()
+    by_q = {}
+    for r in full:
+        by_q.setdefault(r["query_id"], []).append(
+            (round_half_away(r["score"], 6), r["doc_id"])
+        )
+    want = {}
+    for qid, rows in by_q.items():
+        rows = sorted(rows, key=lambda t: (-t[0], t[1]))[:window]
+        rel = np.array([s for s, _ in rows])
+        ids = np.array([d for _, d in rows], dtype=np.int64)
+        V = np.stack([vec[d] for d in ids])
+        sims = round_half_away(V @ V.T, 6)
+        sel, rem = [], np.ones(len(ids), bool)
+        out = []
+        for rank in range(1, min(k, len(ids)) + 1):
+            mmr = rel if not sel else round_half_away(
+                rel - lam * sims[:, sel].max(axis=1), 6
+            )
+            cand = np.flatnonzero(rem)
+            pick = int(cand[np.lexsort((ids[cand], -mmr[cand]))[0]])
+            sel.append(pick)
+            rem[pick] = False
+            out.append((rank, int(ids[pick]), float(mmr[pick])))
+        want[qid] = out
+
+    got = {}
+    for r in mmr_topk(
+        index_dir, queries, vectors, window=window, lam=lam, topk=k
+    ).take_all():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid in want:
+        assert sorted(got[qid]) == want[qid], qid
+
+    # lam=0: pure BM25 order over the window
+    got0 = {}
+    for r in mmr_topk(
+        index_dir, queries, vectors, window=window, lam=0.0, topk=k
+    ).take_all():
+        got0.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    for qid, rows in by_q.items():
+        top = sorted(rows, key=lambda t: (-t[0], t[1]))[:k]
+        assert sorted(got0[qid]) == [(i + 1, d) for i, (_, d) in enumerate(top)], qid
