@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="boolean filter query (AND/OR/AND NOT); gates docs, never scores",
     )
+    s.add_argument(
+        "--msm",
+        type=int,
+        default=1,
+        help="minimum_should_match: only docs with >= N distinct query "
+        "terms are scored (taat path)",
+    )
 
     f = sub.add_parser("fuzzy")
     f.add_argument("index_dir")
@@ -166,6 +173,18 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("changeset_corpus_dir")
     up.add_argument("out_dir")
 
+    cl = sub.add_parser(
+        "clusters",
+        help="near-duplicate clusters: (doc_id, cluster_id = component-min "
+        "doc) over the verified anchor-edge graph",
+    )
+    cl.add_argument("corpus_dir")
+    cl.add_argument("--threshold", type=float, default=0.8)
+    cl.add_argument(
+        "--bucket", choices=["lsh", "shingle"], default="lsh",
+        help="candidate buckets: lsh (scale default) or shingle (recall-exact)",
+    )
+
     mt = sub.add_parser(
         "materialize",
         help="resumable per-shard corpus copy (optionally curated): killed "
@@ -198,7 +217,18 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.filter and args.wand:
             p.error("--filter supports taat/maxscore only (not --wand)")
-        if args.filter:
+        if args.msm > 1 and (args.filter or args.wand):
+            p.error("--msm supports the plain taat path only")
+        if args.msm > 1:
+            from distributed_text_search_ray.pipelines.search import search_topk_msm
+
+            rows = search_topk_msm(
+                args.index_dir,
+                list(enumerate(args.queries)),
+                min_should_match=args.msm,
+                topk=args.topk,
+            ).take_all()
+        elif args.filter:
             rows = search_topk_boolean_filtered(
                 args.index_dir,
                 list(enumerate(args.queries)),
@@ -382,6 +412,18 @@ def main(argv: list[str] | None = None) -> int:
                 {k: report[k] for k in ("fingerprint", "N", "complete", "n_upserted")}
             )
         )
+    elif args.cmd == "clusters":
+        from distributed_text_search_ray.pipelines.dedup import near_dup_clusters
+        from distributed_text_search_ray.sources.corpus import read_corpus
+
+        rows = near_dup_clusters(
+            read_corpus(args.corpus_dir),
+            threshold=args.threshold,
+            bucket=args.bucket,
+        ).take_all()
+        rows.sort(key=lambda r: (r["cluster_id"], r["doc_id"]))
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['cluster_id']}")
     elif args.cmd == "materialize":
         from distributed_text_search_ray.sources.sink import write_corpus_resumable
 

@@ -163,3 +163,28 @@ def test_cli_upsert(cli_env, tmp_path, capsys):
     assert rep["complete"] is True and rep["n_upserted"] == 1
     assert main(["search", out, "unique zebra tokens", "--topk", "1"]) in (0, None)
     assert len(_lines(capsys)) == 1  # the replaced doc is findable by new text
+
+
+def test_cli_search_msm(cli_env, capsys):
+    _, index_dir = cli_env
+    assert main(["search", index_dir, "def return value", "--msm", "2"]) in (0, None)
+    msm_lines = _lines(capsys)
+    assert all(len(ln.split("\t")) == 4 for ln in msm_lines)
+    assert main(["search", index_dir, "def return value"]) in (0, None)
+    plain_lines = _lines(capsys)
+    # msm=2 is a (possibly equal) subset of the plain OR hit docs
+    assert len(msm_lines) <= len(plain_lines)
+
+
+def test_cli_clusters(cli_env, capsys):
+    corpus_dir, _ = cli_env
+    assert main(
+        ["clusters", corpus_dir, "--threshold", "0.5", "--bucket", "shingle"]
+    ) in (0, None)
+    lines = _lines(capsys)
+    assert lines
+    pairs = [tuple(map(int, ln.split("\t"))) for ln in lines]
+    ids = {d for d, _ in pairs}
+    assert len(ids) == len(pairs)  # one row per doc
+    assert all(c in ids for _, c in pairs)  # cluster reps are real docs
+    assert all(c <= d for d, c in pairs)  # rep = component min
