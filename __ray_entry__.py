@@ -1120,6 +1120,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf_dir), threshold=0.5, bucket="shingle"
         )
 
+    def dup_cluster_sizes(sf_dir):
+        # dedup analytics: how much of the corpus sits in how-big dup
+        # families — histogram of the dup_clusters assignment
+        return dedup.cluster_size_histogram(
+            dedup.near_dup_clusters(
+                _docs_ds(sf_dir), threshold=0.5, bucket="shingle"
+            )
+        )
+
     def contamination(sf_dir):
         import re
 
@@ -1609,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- position 51+ (driver budget permitting) ---------
         "dedup_filter": dedup_filter,
         "exact_dedup": exact_dedup,
+        "dup_cluster_sizes": dup_cluster_sizes,
         "sessionize_30m": sessionize_30m,
         "revenue_by_nation": revenue_by_nation,
         "bm25_topk_wand": bm25_topk_wand,
@@ -3755,6 +3765,12 @@ FROM walk
         "hybrid_topk": hybrid_sql,
         "near_dedup": near_dedup_sql,
         "dup_clusters": dup_clusters_sql,
+        "dup_cluster_sizes": (
+            "SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM ("
+            "SELECT cluster_id, count(*)::BIGINT cluster_size FROM ("
+            + dup_clusters_sql
+            + ") GROUP BY 1) GROUP BY 1"
+        ),
         "kmeans_clusters": kmeans_sql,
         "doc_clusters": doc_clusters_sql,
         "semantic_dedup": semantic_dedup_sql,

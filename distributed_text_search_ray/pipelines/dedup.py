@@ -776,20 +776,21 @@ def connected_components(
     histograms, keep-best-per-cluster policies, provenance of what merged
     with what. Those need the real components.
 
-    Ray-Data shape — NO per-round joins: the round state is the union of
-    label rows ``(key=node, label)`` and static edge rows ``(key=src,
-    other=dst)``; ONE coarse-hash-partition groupby colocates a node's
-    current labels with its outgoing edges, the group kernel computes each
-    node's min label and re-emits it to the node itself and every
-    neighbor, and a second coarse groupby reduces the messages to one
-    ``(node, label)`` row. Per round that is 2 shuffles of O(V + E) rows —
-    edges stay materialized in the object store, the driver holds only a
-    per-round label-sum scalar. Labels decrease monotonically, so
-    ``sum(label)`` is a fixed-point detector (node ids must fit in int46
-    territory for the int64 sum to stay exact: N * max_id < 2^63 — true
-    for any id space below ~2^31 even at 10^12 docs sharded by id range).
-    Hash-min converges in O(graph diameter) rounds; near-dup graphs are
-    shallow (bucket-star edges through anchors), so the loop is short.
+    Ray-Data shape — ONE coarse-partition groupby per round, NO joins and
+    no separate reduce: the round state is the union of label rows
+    ``(key=node, label)`` and static edge rows ``(key=src, other=dst)``,
+    both partitioned by ``hash(key)``. The group kernel computes each
+    node's min over its label rows (duplicates collapse here, which is
+    what lets the next round consume messages directly) and re-emits one
+    self row per node plus one message row per outgoing edge — each
+    already keyed by its DESTINATION's partition, so the output union
+    edge-state feeds the next round's groupby unchanged. Per round that is
+    one shuffle of O(V + E) rows; the driver holds only a per-round
+    label-sum scalar over the self rows (one per node — labels decrease
+    monotonically, so an unchanged sum is a fixed point; node ids below
+    ~2^31 keep the int64 sum exact even at 10^12 docs). Hash-min converges
+    in O(graph diameter) rounds and near-dup graphs are shallow
+    (bucket-star edges through anchors), so the loop is short.
 
     ``nodes``: optional dataset whose ``node_col`` enumerates ALL nodes —
     isolated ones (no edges) then appear with ``cluster_id = node``.
@@ -804,7 +805,7 @@ def connected_components(
             type=pa.int32(),
         )
 
-    def _state_rows(key, other, label, kind) -> pa.Table:
+    def _state_rows(key, other, label, kind, selfmin) -> pa.Table:
         return pa.table(
             {
                 "part": _part_of(key),
@@ -812,6 +813,7 @@ def connected_components(
                 "other": pa.array(other, type=pa.int64()),
                 "label": pa.array(label, type=pa.int64()),
                 "kind": pa.array(kind, type=pa.int8()),
+                "selfmin": pa.array(selfmin, type=pa.int8()),
             }
         )
 
@@ -822,11 +824,10 @@ def connected_components(
         b = batch.column(b_col).to_numpy().astype(np.int64, copy=False)
         key = np.concatenate([a, b])  # symmetric: each edge in both directions
         other = np.concatenate([b, a])
+        z8 = np.zeros(len(key), dtype=np.int8)
         return _state_rows(
-            key,
-            other,
-            np.zeros(len(key), dtype=np.int64),  # label unused on edge rows
-            np.full(len(key), KIND_EDGE),
+            key, other, np.zeros(len(key), dtype=np.int64),
+            np.full(len(key), KIND_EDGE), z8,
         )
 
     edge_state = edges.select_columns([a_col, b_col]).map_batches(
@@ -842,8 +843,10 @@ def connected_components(
                 ]
             )
         )
-        return pa.table({"node": pa.array(ids, type=pa.int64()),
-                         "label": pa.array(ids, type=pa.int64())})
+        return _state_rows(
+            ids, np.full(len(ids), -1, dtype=np.int64), ids,
+            np.full(len(ids), KIND_LABEL), np.ones(len(ids), dtype=np.int8),
+        )
 
     label_srcs = [
         edges.select_columns([a_col, b_col]).map_batches(
@@ -854,44 +857,17 @@ def connected_components(
 
         def self_labels_from_nodes(batch: pa.Table) -> pa.Table:
             ids = batch.column(node_col).to_numpy().astype(np.int64, copy=False)
-            return pa.table({"node": pa.array(ids, type=pa.int64()),
-                             "label": pa.array(ids, type=pa.int64())})
+            return _state_rows(
+                ids, np.full(len(ids), -1, dtype=np.int64), ids,
+                np.full(len(ids), KIND_LABEL), np.ones(len(ids), dtype=np.int8),
+            )
 
         label_srcs.append(
             nodes.select_columns([node_col]).map_batches(
                 self_labels_from_nodes, batch_format="pyarrow"
             )
         )
-
-    def _add_part(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "part", _part_of(batch.column("node").to_numpy())
-        )
-
-    def _min_reduce(group: pa.Table) -> pa.Table:
-        node = group.column("node").to_numpy()
-        label = group.column("label").to_numpy()
-        order = np.lexsort((label, node))
-        node, label = node[order], label[order]
-        if len(node):
-            is_start = np.empty(len(node), dtype=bool)
-            is_start[0] = True
-            np.not_equal(node[1:], node[:-1], out=is_start[1:])
-            node, label = node[is_start], label[is_start]
-        return pa.table({"node": pa.array(node, type=pa.int64()),
-                         "label": pa.array(label, type=pa.int64())})
-
-    def _reduce_labels(ds: ray.data.Dataset) -> ray.data.Dataset:
-        return (
-            ds.map_batches(_add_part, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(
-                _min_reduce, batch_format="pyarrow"
-            )
-        )
-
-    labels = _reduce_labels(label_srcs[0].union(*label_srcs[1:]) if len(label_srcs) > 1
-                            else label_srcs[0]).materialize()
+    msgs = label_srcs[0].union(*label_srcs[1:]) if len(label_srcs) > 1 else label_srcs[0]
 
     def propagate(group: pa.Table) -> pa.Table:
         key = group.column("key").to_numpy()
@@ -910,42 +886,43 @@ def connected_components(
         else:
             ku = np.empty(0, dtype=np.int64)
             minlab = np.empty(0, dtype=np.int64)
-        out_node = [ku]
+        out_key = [ku]
         out_label = [minlab]
+        self_flags = [np.ones(len(ku), dtype=np.int8)]
         em = kind == KIND_EDGE
         if em.any():
             # every edge key also has a label row in this group (same part
             # hash), so searchsorted always hits
             idx = np.searchsorted(ku, key[em])
-            out_node.append(other[em])
+            out_key.append(other[em])
             out_label.append(minlab[idx])
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate(out_node), type=pa.int64()),
-                "label": pa.array(np.concatenate(out_label), type=pa.int64()),
-            }
-        )
-
-    def label_state(batch: pa.Table) -> pa.Table:
-        node = batch.column("node").to_numpy()
+            self_flags.append(np.zeros(int(em.sum()), dtype=np.int8))
+        k = np.concatenate(out_key)
+        lab = np.concatenate(out_label)
         return _state_rows(
-            node,
-            np.full(len(node), -1, dtype=np.int64),
-            batch.column("label").to_numpy(),
-            np.full(len(node), KIND_LABEL),
+            k, np.full(len(k), -1, dtype=np.int64), lab,
+            np.full(len(k), KIND_LABEL), np.concatenate(self_flags),
         )
 
-    prev_sum = labels.sum("label")
+    def self_sum(batch: pa.Table) -> pa.Table:
+        m = batch.column("selfmin").to_numpy().astype(bool)
+        s = int(batch.column("label").to_numpy()[m].sum()) if len(m) else 0
+        return pa.table({"s": pa.array([s], type=pa.int64())})
+
+    prev_sum = None
+    out = None
     for _ in range(max_iters):
-        state = labels.map_batches(label_state, batch_format="pyarrow").union(
-            edge_state
+        out = (
+            msgs.union(edge_state)
+            .groupby("part")
+            .map_groups(propagate, batch_format="pyarrow")
+            .materialize()
         )
-        msgs = state.groupby("part").map_groups(propagate, batch_format="pyarrow")
-        labels = _reduce_labels(msgs).materialize()
-        cur_sum = labels.sum("label")
+        cur_sum = out.map_batches(self_sum, batch_format="pyarrow").sum("s")
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+        msgs = out
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
@@ -953,14 +930,19 @@ def connected_components(
         )
 
     def finish(batch: pa.Table) -> pa.Table:
+        keep = batch.column("selfmin").to_numpy().astype(bool)
         return pa.table(
             {
-                node_col: batch.column("node"),
-                "cluster_id": batch.column("label"),
+                node_col: pa.array(
+                    batch.column("key").to_numpy()[keep], type=pa.int64()
+                ),
+                "cluster_id": pa.array(
+                    batch.column("label").to_numpy()[keep], type=pa.int64()
+                ),
             }
         )
 
-    return labels.map_batches(finish, batch_format="pyarrow")
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def near_dup_clusters(
@@ -1008,6 +990,61 @@ def near_dup_clusters(
         edges, docs, analyzer, shingle_n, threshold, join_partitions
     )
     return connected_components(verified, nodes=node_ids)
+
+
+def cluster_size_histogram(
+    clusters: ray.data.Dataset,
+    cluster_col: str = "cluster_id",
+    num_parts: int = 32,
+) -> ray.data.Dataset:
+    """(cluster_size, n_clusters) histogram of a cluster assignment — the
+    standard dedup-analytics readout over ``near_dup_clusters`` (how much
+    of the corpus sits in how-big duplicate families). Two coarse-partition
+    groupbys (cluster-id-hash, then size), O(1) driver state."""
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        c = batch.column(cluster_col).to_numpy().astype(np.int64, copy=False)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (splitmix64(c.astype(np.uint64)) % np.uint64(num_parts)).astype(
+                        np.int32
+                    ),
+                    type=pa.int32(),
+                ),
+                "cluster_id": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    def per_cluster_size(group: pa.Table) -> pa.Table:
+        c = group.column("cluster_id").to_numpy()
+        _, counts = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (counts % num_parts).astype(np.int32), type=pa.int32()
+                ),
+                "cluster_size": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def per_size_count(group: pa.Table) -> pa.Table:
+        s = group.column("cluster_size").to_numpy()
+        sizes, counts = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(sizes.astype(np.int64), type=pa.int64()),
+                "n_clusters": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        clusters.map_batches(part_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_cluster_size, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_size_count, batch_format="pyarrow")
+    )
 
 
 def simhash_fingerprints(

@@ -1336,3 +1336,22 @@ def test_mmr_topk_matches_reference_greedy(code_corpus, tmp_path_factory):
     for qid, rows in by_q.items():
         top = sorted(rows, key=lambda t: (-t[0], t[1]))[:k]
         assert sorted(got0[qid]) == [(i + 1, d) for i, (_, d) in enumerate(top)], qid
+
+
+def test_cluster_size_histogram_counts():
+    from distributed_text_search_ray.pipelines.dedup import cluster_size_histogram
+
+    # clusters: {0: 3 docs}, {10: 2}, {20: 1}, {30: 1}
+    cl = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 10, 11, 20, 30], type=pa.int64()),
+                "cluster_id": pa.array([0, 0, 0, 10, 10, 20, 30], type=pa.int64()),
+            }
+        )
+    )
+    got = sorted(
+        (r["cluster_size"], r["n_clusters"])
+        for r in cluster_size_histogram(cl).take_all()
+    )
+    assert got == [(1, 2), (2, 1), (3, 1)]
