@@ -753,6 +753,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25f_true_topk(sf_dir):
+        # TRUE BM25F: weighted per-field tfs folded into one saturation,
+        # union-df idf — a term matching in both fields saturates once
+        from distributed_text_search_ray.pipelines.search import (
+            search_topk_bm25f_true,
+        )
+
+        rows = search_topk_bm25f_true(
+            {"content": _index_for(sf_dir), "title": _title_index_for(sf_dir)},
+            {"content": 1.0, "title": 2.0},
+            BM25_QUERIES,
+            topk=BM25_TOPK,
+        ).take_all()
+        rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+        return pa.table(
+            {
+                "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+                "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+                "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+                "score": pa.array([r["score"] for r in rows], type=pa.float64()),
+            }
+        )
+
     def bm25_topk_upserted(sf_dir):
         # full upsert lifecycle (tombstone + compact + extend): BM25 over the
         # upserted index == BM25 over the corpus with the changeset applied
@@ -1625,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "term_dictionary_stemmed": term_dictionary_stemmed,
         "synonym_topk": synonym_topk,
+        "bm25f_true_topk": bm25f_true_topk,
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
@@ -1997,6 +2021,66 @@ hits AS (
 SELECT h.query_id, d.lang, count(*) AS n_docs
 FROM hits h JOIN documents d USING (doc_id)
 GROUP BY 1, 2
+"""
+
+    # TRUE BM25F twin: weighted per-field tfs folded into ONE saturation —
+    # tf~ = 1.0*tf1/(1-b+b*dl1/avgdl1) + 2.0*tf2/(...), idf over the UNION
+    # df, score = sum_t ln(1 + (N-df+0.5)/(df+0.5)) * (tf~/(k1+tf~)) —
+    # the same float op order the executor evaluates
+    bm25f_true = f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({TOK_SQL.format(col="text")}) AS t(term)
+),
+tokt AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(list_slice({TOK_SQL.format(col="text")}, 1, {TITLE_TOKENS})) AS t(term)
+),
+n AS (SELECT count(*)::DOUBLE N FROM documents),
+q(query_id, qtext) AS (VALUES {_values(BM25_QUERIES)}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)
+),
+tf1 AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl1 AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+s1 AS (SELECT (SELECT sum(dl) FROM dl1) / (SELECT N FROM n) avgdl),
+tf2 AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tokt GROUP BY 1, 2),
+dl2 AS (SELECT doc_id, count(*)::DOUBLE dl FROM tokt GROUP BY 1),
+s2 AS (SELECT (SELECT sum(dl) FROM dl2) / (SELECT N FROM n) avgdl),
+dfu AS (
+  SELECT term, count(*)::DOUBLE df FROM (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, term FROM tf1 UNION ALL SELECT doc_id, term FROM tf2
+    )
+  ) GROUP BY 1
+),
+tft AS (
+  SELECT coalesce(t1.doc_id, t2.doc_id) doc_id,
+         coalesce(t1.term, t2.term) term,
+         coalesce(1.0 * (t1.tf / (1 - 0.75 + 0.75 * dl1.dl / s1.avgdl)), 0)
+       + coalesce(2.0 * (t2.tf / (1 - 0.75 + 0.75 * dl2.dl / s2.avgdl)), 0) tft
+  FROM tf1 t1
+  FULL JOIN tf2 t2 ON t1.doc_id = t2.doc_id AND t1.term = t2.term
+  LEFT JOIN dl1 ON dl1.doc_id = t1.doc_id
+  LEFT JOIN dl2 ON dl2.doc_id = t2.doc_id, s1, s2
+),
+scf AS (
+  SELECT qt.query_id, tft.doc_id,
+         sum(ln(1 + ((SELECT N FROM n) - dfu.df + 0.5) / (dfu.df + 0.5))
+             * (tft.tft / (1.2 + tft.tft))) score
+  FROM qterms qt
+  JOIN tft ON tft.term = qt.term
+  JOIN dfu ON dfu.term = qt.term
+  GROUP BY 1, 2
+),
+rankedF AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM scf
+)
+SELECT query_id, rank, doc_id, score FROM rankedF WHERE rank <= {BM25_TOPK}
 """
 
     # minimum_should_match twin: the base BM25 scorer with HAVING count(*)
@@ -3671,6 +3755,7 @@ FROM walk
         "bm25_topk_compacted": bm25_compacted,
         "bm25_topk_upserted": bm25_upserted,
         "bm25f_topk": bm25f,
+        "bm25f_true_topk": bm25f_true,
         "dismax_topk": dismax,
         "bm25_topk_msm": bm25_msm,
         "search_facet_lang": search_facet_lang_sql,

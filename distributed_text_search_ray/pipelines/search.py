@@ -2078,6 +2078,144 @@ def search_topk_fielded(
     )
 
 
+class BM25FTrueExecutor:
+    """TRUE BM25F (Robertson & Zaragoza): field-weighted term frequencies
+    folded into ONE saturation —
+
+        score(d) = sum_t idf_u(t) * (tf~ / (k1 + tf~)),
+        tf~ = sum_f w_f * tf_{f,t}(d) / (1 - b + b * dl_f(d) / avgdl_f)
+
+    with idf over the UNION document frequency (docs containing t in ANY
+    field) and N from the primary field. Unlike the linear variant
+    (``FieldedQueryExecutor``), a term matching in both fields saturates
+    once instead of being paid twice — the reason true BM25F beats naive
+    per-field score summing. Exact full-set scoring (no pruning), same
+    6-dp-rounded rank contract as every other executor."""
+
+    def __init__(
+        self,
+        index_dirs: dict[str, str],
+        weights: dict[str, float],
+        topk: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ):
+        if set(index_dirs) != set(weights):
+            raise ValueError("index_dirs and weights must share field names")
+        self.fields = sorted(index_dirs)
+        self.execs = {f: QueryExecutor(index_dirs[f], topk=topk) for f in self.fields}
+        fps = {f: e.view.cfg.analyzer.fingerprint() for f, e in self.execs.items()}
+        if len(set(fps.values())) != 1:
+            raise ValueError(
+                f"fielded search needs one analyzer across fields, got {fps}"
+            )
+        self.weights = {f: float(weights[f]) for f in self.fields}
+        self.topk = topk
+        self.k1, self.b = float(k1), float(b)
+        self.tokenizer = self.execs[self.fields[0]].tokenizer
+        self.N = self.execs[self.fields[0]].view.N
+
+    def _term_merged(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(union doc ids, tf~) for one term across fields, in sorted-field
+        accumulation order (content then title, matching the twin's
+        coalesce-sum order)."""
+        per_field = []
+        for f in self.fields:
+            v = self.execs[f].view
+            docs, tfs, dls, _ = v.term_postings(term)
+            if len(docs):
+                denom = 1.0 - self.b + self.b * (dls / v.avgdl)
+                per_field.append((docs, self.weights[f] * (tfs / denom)))
+        if not per_field:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        docs_u = per_field[0][0]
+        for docs, _ in per_field[1:]:
+            docs_u = np.union1d(docs_u, docs)
+        tfv = np.zeros(len(docs_u), dtype=np.float64)
+        for docs, contrib in per_field:
+            tfv[np.searchsorted(docs_u, docs)] += contrib
+        return docs_u, tfv
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from distributed_text_search_ray.functions import bm25 as _bm25
+
+        out_q, out_r, out_d, out_s = [], [], [], []
+        ks = (
+            batch.column("topk").to_pylist()
+            if "topk" in batch.column_names
+            else [self.topk] * batch.num_rows
+        )
+        for qid, qtext, k in zip(
+            batch.column("query_id").to_pylist(),
+            batch.column("query").to_pylist(),
+            ks,
+        ):
+            terms = sorted(set(self.tokenizer.tokens(qtext)))
+            all_docs, all_contrib = [], []
+            for term in terms:
+                docs_u, tfv = self._term_merged(term)
+                if not len(docs_u):
+                    continue
+                idf = _bm25.idf(self.N, float(len(docs_u)))
+                all_docs.append(docs_u)
+                all_contrib.append(idf * (tfv / (self.k1 + tfv)))
+            if not all_docs:
+                continue
+            docs = np.concatenate(all_docs)
+            contrib = np.concatenate(all_contrib)
+            order = np.argsort(docs, kind="stable")
+            sdocs, scontrib = docs[order], contrib[order]
+            is_start = np.empty(len(sdocs), dtype=bool)
+            is_start[0] = True
+            np.not_equal(sdocs[1:], sdocs[:-1], out=is_start[1:])
+            seg = np.cumsum(is_start) - 1
+            uniq = sdocs[is_start]
+            total = np.bincount(seg, weights=scontrib, minlength=int(seg[-1]) + 1)
+            rs = round_half_away(total, 6)
+            cut = np.lexsort((uniq, -rs))[: int(k)]
+            for r, i in enumerate(cut, start=1):
+                out_q.append(qid)
+                out_r.append(r)
+                out_d.append(int(uniq[i]))
+                out_s.append(float(rs[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def search_topk_bm25f_true(
+    index_dirs: dict[str, str],
+    weights: dict[str, float],
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """True (saturation-folded) BM25F top-k over per-field indexes — see
+    ``BM25FTrueExecutor``. Output (query_id, rank, doc_id, score)."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        BM25FTrueExecutor,
+        fn_constructor_kwargs={
+            "index_dirs": index_dirs,
+            "weights": weights,
+            "topk": topk,
+            "k1": k1,
+            "b": b,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 def search_topk_dismax(
     index_dirs: dict[str, str],
     weights: dict[str, float],

@@ -1355,3 +1355,82 @@ def test_cluster_size_histogram_counts():
         for r in cluster_size_histogram(cl).take_all()
     )
     assert got == [(1, 2), (2, 1), (3, 1)]
+
+
+def test_bm25f_true_recomposes_from_postings(code_corpus, tmp_path_factory):
+    """True BM25F scores recompose from per-field postings: one saturation
+    over the weighted tf~, idf over the union df; single-field weights
+    reproduce plain BM25's RANKING (scores scale by 1/(k1+1))."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import (
+        BM25FTrueExecutor,
+        search_topk,
+        search_topk_bm25f_true,
+    )
+    from distributed_text_search_ray.sources.corpus import corpus_files
+    from distributed_text_search_ray.util import round_half_away
+
+    corpus_dir, _ = code_corpus
+    base = tmp_path_factory.mktemp("bm25ftrue")
+    idx_c = str(base / "content")
+    build_index(corpus_dir, idx_c, IndexConfig(num_partitions=4))
+    tk = Tokenizer()
+    tdir = base / "title_corpus"
+    tdir.mkdir()
+    for i, f in enumerate(corpus_files(corpus_dir)):
+        t = pq.read_table(f)
+        titles = [" ".join(tk.tokens(c)[:5]) for c in t.column("content").to_pylist()]
+        t = t.drop_columns(["content"]).append_column(
+            "content", pa.array(titles, type=pa.string())
+        )
+        pq.write_table(t, tdir / f"part{i}.parquet")
+    idx_t = str(base / "title")
+    build_index(str(tdir), idx_t, IndexConfig(num_partitions=4))
+
+    queries = [(0, "def return value"), (1, "import numpy")]
+    dirs = {"content": idx_c, "title": idx_t}
+    weights = {"content": 1.0, "title": 2.0}
+
+    # recompose expected scores from the executor's own merged postings
+    ex = BM25FTrueExecutor(dirs, weights, topk=8)
+    want = {}
+    for qid, qtext in queries:
+        per_doc = {}
+        for term in sorted(set(ex.tokenizer.tokens(qtext))):
+            docs_u, tfv = ex._term_merged(term)
+            if not len(docs_u):
+                continue
+            idf = math.log(1 + (ex.N - len(docs_u) + 0.5) / (len(docs_u) + 0.5))
+            for d, v in zip(docs_u.tolist(), tfv.tolist()):
+                per_doc[d] = per_doc.get(d, 0.0) + idf * (v / (1.2 + v))
+        rows = sorted(
+            ((round_half_away(s, 6), d) for d, s in per_doc.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:8]
+        want[qid] = [(i + 1, d, s) for i, (s, d) in enumerate(rows)]
+
+    got = {}
+    for r in search_topk_bm25f_true(dirs, weights, queries, topk=8).take_all():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid in want:
+        assert sorted(got[qid]) == want[qid], qid
+
+    # title weight 0: union df == content df (title tokens are a prefix of
+    # content tokens), so the ranking must equal plain BM25's
+    got0 = {}
+    for r in search_topk_bm25f_true(
+        dirs, {"content": 1.0, "title": 0.0}, queries, topk=8
+    ).take_all():
+        got0.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    plain = {}
+    for r in search_topk(idx_c, queries, topk=8, mode="taat").take_all():
+        plain.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    assert {q: sorted(v) for q, v in got0.items()} == {
+        q: sorted(v) for q, v in plain.items()
+    }
