@@ -719,6 +719,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def top_hits_per_lang(sf_dir):
+        # ES top_hits sub-aggregation: best doc per (query, lang) bucket
+        # over the FULL hit set
+        import ray.data
+
+        from distributed_text_search_ray.pipelines.search import (
+            search_top_hits_per_bucket,
+        )
+
+        attrs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+        )
+        return search_top_hits_per_bucket(
+            _index_for(sf_dir), BM25_QUERIES, attrs, facet_col="lang",
+            hits_per_bucket=1,
+        )
+
     def bm25_topk_msm(sf_dir):
         # minimum_should_match=2: only docs with >= 2 distinct query terms
         # are scored (single-term queries return empty — the twin's HAVING
@@ -1649,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_dictionary_stemmed": term_dictionary_stemmed,
         "synonym_topk": synonym_topk,
         "bm25f_true_topk": bm25f_true_topk,
+        "top_hits_per_lang": top_hits_per_lang,
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
@@ -2001,6 +2019,24 @@ ranked AS (
          doc_id, round(fscore, 6) score
   FROM boosted
 )""",
+        1,
+    )
+
+    # top-hits-per-bucket twin: the base scorer re-ranked per (query, lang)
+    top_hits_sql = bm25.replace(
+        _ranked_cte,
+        """ranked AS (
+  SELECT sc.query_id, d.lang,
+         row_number() OVER (PARTITION BY sc.query_id, d.lang
+                            ORDER BY round(sc.score, 6) DESC, sc.doc_id) bucket_rank,
+         sc.doc_id, round(sc.score, 6) score
+  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+)""",
+        1,
+    ).replace(
+        _tail,
+        "SELECT query_id, lang, bucket_rank, doc_id, score FROM ranked "
+        "WHERE bucket_rank <= 1",
         1,
     )
 
@@ -3759,6 +3795,7 @@ FROM walk
         "dismax_topk": dismax,
         "bm25_topk_msm": bm25_msm,
         "search_facet_lang": search_facet_lang_sql,
+        "top_hits_per_lang": top_hits_sql,
         "bm25_topk_boosted": bm25_boosted,
         "bm25_topk_mmr": mmr_sql,
         "bm25_topk_collapsed": bm25_collapsed,

@@ -411,6 +411,72 @@ def mmr_topk(
     return joined.groupby("query_id").map_groups(greedy, batch_format="pyarrow")
 
 
+def search_top_hits_per_bucket(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    doc_attrs: ray.data.Dataset,
+    facet_col: str = "lang",
+    hits_per_bucket: int = 1,
+    join_partitions: int = 8,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """The ES ``top_hits`` sub-aggregation: for each query and each value
+    of ``facet_col``, the best ``hits_per_bucket`` docs by BM25 (6-dp
+    rounded, ties by doc_id). Full scored set streams from the actor pool,
+    a hash join attaches the bucket attribute, and ONE per-query group
+    task does the vectorized per-bucket top-k — no corpus-sized state
+    anywhere. Returns (query_id, <facet_col>, bucket_rank, doc_id,
+    score)."""
+    qds = _queries_dataset(queries)
+    hits = qds.map_batches(
+        ScoredSetExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+    from distributed_text_search_ray.pipelines.joins import hash_join
+
+    joined = hash_join(
+        hits,
+        doc_attrs.select_columns(["doc_id", facet_col]),
+        on="doc_id",
+        num_partitions=join_partitions,
+    )
+
+    def per_query(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy()
+        s = round_half_away(group.column("score").to_numpy(), 6)
+        fv = group.column(facet_col).to_numpy(zero_copy_only=False)
+        # sort by (bucket, score desc, doc) then take the first
+        # hits_per_bucket rows of each bucket run
+        order = np.lexsort((d, -s, fv))
+        fv_s = fv[order]
+        is_start = np.empty(len(fv_s), dtype=bool)
+        if len(fv_s):
+            is_start[0] = True
+            np.not_equal(fv_s[1:], fv_s[:-1], out=is_start[1:])
+        seg = np.cumsum(is_start) - 1
+        starts = np.flatnonzero(is_start)
+        pos_in_bucket = np.arange(len(fv_s)) - starts[seg]
+        keep = pos_in_bucket < int(hits_per_bucket)
+        sel = order[keep]
+        take = pa.array(sel, type=pa.int64())
+        return pa.table(
+            {
+                "query_id": group.column("query_id").take(take),
+                facet_col: group.column(facet_col).take(take),
+                "bucket_rank": pa.array(
+                    (pos_in_bucket[keep] + 1).astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(d[sel], type=pa.int64()),
+                "score": pa.array(s[sel], type=pa.float64()),
+            }
+        )
+
+    return joined.groupby("query_id").map_groups(per_query, batch_format="pyarrow")
+
+
 class RescoreExecutor(QueryExecutor):
     """Two-phase retrieval (the Elasticsearch ``rescore`` shape): phase 1
     takes each query's BM25 top-``window`` under the rounded-score rank

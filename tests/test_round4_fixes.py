@@ -1434,3 +1434,56 @@ def test_bm25f_true_recomposes_from_postings(code_corpus, tmp_path_factory):
     assert {q: sorted(v) for q, v in got0.items()} == {
         q: sorted(v) for q, v in plain.items()
     }
+
+
+def test_top_hits_per_bucket_matches_bruteforce(code_corpus, tmp_path_factory):
+    """Per-(query, bucket) best hits equal a brute-force over the full
+    scored set; hits_per_bucket=2 returns at most 2 ranked rows per
+    bucket."""
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import (
+        search_top_hits_per_bucket,
+        search_topk,
+    )
+    from distributed_text_search_ray.util import round_half_away
+
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path_factory.mktemp("tophits") / "idx")
+    build_index(corpus_dir, index_dir, IndexConfig(num_partitions=4))
+
+    queries = [(0, "def return value"), (1, "import numpy")]
+    full = search_topk(index_dir, queries, topk=100_000, mode="taat").take_all()
+    hit_ids = sorted({r["doc_id"] for r in full})
+    attr = {d: f"b{d % 4}" for d in hit_ids}
+    attrs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(hit_ids, type=pa.int64()),
+                "grp": pa.array([attr[d] for d in hit_ids], type=pa.string()),
+            }
+        )
+    )
+
+    for hpb in (1, 2):
+        want = {}
+        tmp = {}
+        for r in full:
+            key = (r["query_id"], attr[r["doc_id"]])
+            tmp.setdefault(key, []).append(
+                (round_half_away(r["score"], 6), r["doc_id"])
+            )
+        for key, rows in tmp.items():
+            rows = sorted(rows, key=lambda t: (-t[0], t[1]))[:hpb]
+            for i, (s, d) in enumerate(rows, start=1):
+                want[(key[0], key[1], i)] = (d, s)
+
+        got = {}
+        for r in search_top_hits_per_bucket(
+            index_dir, queries, attrs, facet_col="grp", hits_per_bucket=hpb
+        ).take_all():
+            got[(r["query_id"], r["grp"], r["bucket_rank"])] = (
+                r["doc_id"],
+                r["score"],
+            )
+        assert got == want and got, hpb
