@@ -1024,6 +1024,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def repetition_scores(sf_dir):
         return textstats.repetition_scores(_docs_ds(sf_dir))
 
+    def bigram_logperp(sf_dir):
+        # interpolated bigram LM quality score: lam*p_bi + (1-lam)*p_uni,
+        # corpus as its own model; vocab 256 / bigram table 4096 (gate
+        # config mirroring unigram_logperp's)
+        return textstats.bigram_logperp(
+            _docs_ds(sf_dir), vocab_size=256, bigram_size=4096, lam=0.7
+        )
+
     def unigram_logperp(sf_dir):
         # vocab_size=256 < corpus vocabulary so the OOV mass path is
         # exercised at gate scale, not just the in-vocab lookup
@@ -1688,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": length_quantiles,
         "repetition_scores": repetition_scores,
         "unigram_logperp": unigram_logperp,
+        "bigram_logperp": bigram_logperp,
         "redact_props": redact_props,
         "lang_stats": lang_stats,
         "minhash_near_dup": minhash_near_dup,
@@ -2717,6 +2726,58 @@ nll AS (
          CASE WHEN topv.term IS NOT NULL THEN -ln(topv.c / (SELECT t FROM tot))
               ELSE -ln((SELECT o FROM oovm) / (SELECT t FROM tot)) END v
   FROM tok LEFT JOIN topv ON tok.term = topv.term
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(v), 6) AS logperp
+FROM nll GROUP BY 1
+"""
+
+    # bigram-LM twin: same topv/OOV convention as the unigram twin, bigram
+    # side = top-4096 in-vocab adjacent pairs with ctx = the context's
+    # bigram-stream occurrences; 0.7::DOUBLE keeps DuckDB's (1 - lam) the
+    # same double as the engine's 1.0 - 0.7 (a bare 0.7 literal is DECIMAL
+    # and rounds differently)
+    bigram_logperp_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} AS ts FROM documents
+),
+ord AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i FROM toks
+),
+counts AS (SELECT tok AS term, count(*)::BIGINT c FROM ord GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE t FROM counts),
+topv AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT 256),
+oovm AS (SELECT (SELECT t FROM tot) - (SELECT sum(c)::DOUBLE FROM topv) o),
+bg AS (
+  SELECT doc_id, i, tok AS w2,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w1
+  FROM ord
+),
+ctx AS (
+  SELECT w1, count(*)::DOUBLE c FROM bg
+  WHERE w1 IS NOT NULL AND w1 IN (SELECT term FROM topv)
+  GROUP BY 1
+),
+bic AS (
+  SELECT w1, w2, count(*)::BIGINT c FROM bg
+  WHERE w1 IS NOT NULL
+    AND w1 IN (SELECT term FROM topv) AND w2 IN (SELECT term FROM topv)
+  GROUP BY 1, 2
+),
+topb AS (SELECT w1, w2, c FROM bic ORDER BY c DESC, w1, w2 LIMIT 4096),
+puni AS (
+  SELECT bg.doc_id, bg.w1, bg.w2,
+         CASE WHEN tv.term IS NOT NULL THEN tv.c / (SELECT t FROM tot)
+              ELSE (SELECT o FROM oovm) / (SELECT t FROM tot) END pu
+  FROM bg LEFT JOIN topv tv ON tv.term = bg.w2
+),
+nll AS (
+  SELECT p.doc_id,
+         CASE WHEN p.w1 IS NULL THEN -ln(p.pu)
+              ELSE -ln(0.7::DOUBLE * coalesce(tb.c / ctx.c, 0)
+                       + (1 - 0.7::DOUBLE) * p.pu) END v
+  FROM puni p
+  LEFT JOIN topb tb ON tb.w1 = p.w1 AND tb.w2 = p.w2
+  LEFT JOIN ctx ON ctx.w1 = p.w1
 )
 SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(v), 6) AS logperp
 FROM nll GROUP BY 1
@@ -3826,6 +3887,7 @@ FROM walk
         "length_quantiles": quantiles_sql,
         "repetition_scores": repetition_sql,
         "unigram_logperp": unigram_logperp_sql,
+        "bigram_logperp": bigram_logperp_sql,
         "redact_props": redact_sql,
         "curated_corpus": curated_sql,
         "lang_stats": lang_stats_sql,

@@ -738,6 +738,203 @@ def unigram_logperp(
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def bigram_logperp(
+    docs: ray.data.Dataset,
+    vocab_size: int = 4096,
+    bigram_size: int = 65536,
+    lam: float = 0.7,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """Per-document log-perplexity under an interpolated BIGRAM model of the
+    corpus itself — the step up from :func:`unigram_logperp` that a quality
+    filter actually wants (word-salad docs have plausible unigrams but
+    improbable transitions). Output (doc_id, n_tokens, logperp).
+
+    Model, fully deterministic and SQL-replicable:
+    - unigram side: the unigram_logperp convention — top-``vocab_size``
+      terms (count desc, term asc), shared OOV mass for the rest;
+    - bigram side: adjacent pairs with BOTH terms in-vocab, the
+      top-``bigram_size`` pairs by (count desc, w1, w2);
+      p_bi(w2|w1) = cnt(w1,w2) / ctx(w1) with ctx = the context's
+      bigram-stream occurrences (any successor), 0 for unseen/OOV pairs;
+    - position 1 scores by unigram alone, positions 2..n by
+      ``lam * p_bi + (1 - lam) * p_uni`` — the (1-lam) unigram floor keeps
+      every probability positive.
+
+    Scale shape: three streaming passes (unigram counts, fused
+    bigram+context counts filtered against the broadcast vocab, scoring);
+    broadcast state is bounded at V terms + B packed int64 bigram keys +
+    V context counts regardless of corpus size."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial_uni(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        counts: dict[str, int] = {}
+        for text in batch.column("content").to_pylist():
+            for t in tk.tokens(text):
+                counts[t] = counts.get(t, 0) + 1
+        terms = list(counts)
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "c": pa.array([counts[t] for t in terms], type=pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(partial_uni, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="cnt"))
+        .materialize()
+    )
+    total = vocab.sum("cnt")
+    top = (
+        vocab.sort(["cnt", "term"], descending=[True, False])
+        .limit(vocab_size)
+        .take_all()
+    )
+    terms = np.array([r["term"] for r in top], dtype=object)
+    cnts = np.array([r["cnt"] for r in top], dtype=np.float64)
+    order = np.argsort(terms)
+    terms, cnts = terms[order], cnts[order]
+    tot = float(total)
+    p_in = cnts / tot
+    oov = tot - float(cnts.sum())
+    p_oov = (oov / tot) if oov > 0 else 0.0
+    vocab_ref = _ray.put(terms)
+    V = len(terms)
+
+    def _vocab_idx(toks: np.ndarray, vterms: np.ndarray) -> np.ndarray:
+        """Index into vterms, or -1 for OOV."""
+        pos = np.searchsorted(vterms, toks)
+        pos_c = np.minimum(pos, len(vterms) - 1)
+        ok = vterms[pos_c] == toks
+        return np.where(ok, pos_c, -1)
+
+    def partial_bi(batch: pa.Table) -> pa.Table:
+        """Fused bigram + context partial counts against the broadcast
+        vocab: kind 0 = in-vocab (w1, w2) pair, kind 1 = context w1
+        occurrence (any successor). Keys packed as int64."""
+        vterms = _ray.get(vocab_ref)
+        tk = tokenizer_for(analyzer)
+        counts: dict[int, int] = {}
+        nv = len(vterms)
+        for text in batch.column("content").to_pylist():
+            toks = tk.tokens(text)
+            if len(toks) < 2 or nv == 0:
+                continue
+            ta = np.array(toks, dtype=object)
+            vi = _vocab_idx(ta, vterms)
+            w1, w2 = vi[:-1], vi[1:]
+            # context counts: every in-vocab w1 (successor vocab-ness
+            # irrelevant)
+            for k in w1[w1 >= 0]:
+                kk = int(k) | (1 << 62)
+                counts[kk] = counts.get(kk, 0) + 1
+            both = (w1 >= 0) & (w2 >= 0)
+            for a, b in zip(w1[both], w2[both]):
+                kk = int(a) * nv + int(b)
+                counts[kk] = counts.get(kk, 0) + 1
+        keys = list(counts)
+        return pa.table(
+            {
+                "k": pa.array(keys, type=pa.int64()),
+                "c": pa.array([counts[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    bi_counts = (
+        docs.map_batches(partial_bi, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="cnt"))
+        .materialize()
+    )
+    _CTX_BIT = 1 << 62
+
+    def _keep(ctx_side: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch.column("k").to_numpy()
+            m = (k >= _CTX_BIT) if ctx_side else (k < _CTX_BIT)
+            return batch.filter(pa.array(m))
+
+        return f
+
+    ctx = np.zeros(max(V, 1), dtype=np.float64)
+    ctx_rows = bi_counts.map_batches(
+        _keep(True), batch_format="pyarrow"
+    ).take_all()  # bounded at V rows
+    for r in ctx_rows:
+        ctx[r["k"] & ~_CTX_BIT] = float(r["cnt"])
+    # top-B bigrams by (count desc, w1 asc, w2 asc) == (cnt desc, key asc)
+    # since key = w1 * V + w2 is lexicographic in (w1, w2)
+    top_bi = (
+        bi_counts.map_batches(_keep(False), batch_format="pyarrow")
+        .sort(["cnt", "k"], descending=[True, False])
+        .limit(bigram_size)
+        .take_all()
+    )
+    bi_keys = np.array(sorted(r["k"] for r in top_bi), dtype=np.int64)
+    bi_cnt_by_key = {r["k"]: float(r["cnt"]) for r in top_bi}
+    bi_cnts = np.array([bi_cnt_by_key[k] for k in bi_keys], dtype=np.float64)
+    model_ref = _ray.put((terms, p_in, p_oov, bi_keys, bi_cnts, ctx))
+    one_minus = 1.0 - float(lam)
+    lamf = float(lam)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vterms, pin, poov, bkeys, bcnts, ctxc = _ray.get(model_ref)
+        tk = tokenizer_for(analyzer)
+        nv = len(vterms)
+        ids, ntok, lp = [], [], []
+        if nv == 0:
+            batch = batch.slice(0, 0)
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
+        ):
+            toks = tk.tokens(text)
+            if not toks:
+                continue
+            ta = np.array(toks, dtype=object)
+            vi = _vocab_idx(ta, vterms)
+            pu = np.where(vi >= 0, pin[np.maximum(vi, 0)], poov)
+            nll = np.empty(len(ta), dtype=np.float64)
+            nll[0] = -np.log(pu[0])
+            if len(ta) > 1:
+                w1, w2 = vi[:-1], vi[1:]
+                p_bi = np.zeros(len(w1), dtype=np.float64)
+                both = (w1 >= 0) & (w2 >= 0)
+                if both.any():
+                    keys = w1[both].astype(np.int64) * nv + w2[both].astype(
+                        np.int64
+                    )
+                    pos = np.searchsorted(bkeys, keys)
+                    pos_c = np.minimum(pos, max(len(bkeys) - 1, 0))
+                    hit = (
+                        bkeys[pos_c] == keys if len(bkeys) else np.zeros(
+                            len(keys), dtype=bool
+                        )
+                    )
+                    vals = np.zeros(len(keys), dtype=np.float64)
+                    if hit.any():
+                        vals[hit] = bcnts[pos_c[hit]] / ctxc[
+                            w1[both][hit].astype(np.int64)
+                        ]
+                    p_bi[both] = vals
+                nll[1:] = -np.log(lamf * p_bi + one_minus * pu[1:])
+            ids.append(doc_id)
+            ntok.append(len(toks))
+            lp.append(round_half_away(float(nll.mean()), 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "logperp": pa.array(lp, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def token_budget_sample(
     docs: ray.data.Dataset,
     budgets: dict[str, int],

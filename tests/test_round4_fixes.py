@@ -1487,3 +1487,68 @@ def test_top_hits_per_bucket_matches_bruteforce(code_corpus, tmp_path_factory):
                 r["score"],
             )
         assert got == want and got, hpb
+
+
+def test_bigram_logperp_matches_python_reference():
+    """Interpolated bigram LM scores equal a pure-Python reference,
+    including vocab truncation, OOV mass, bigram-table truncation and the
+    first-token unigram convention."""
+    import math
+
+    from distributed_text_search_ray.pipelines.textstats import bigram_logperp
+    from distributed_text_search_ray.util import round_half_away
+
+    texts = [
+        "a b a b a b c",
+        "a a a a",
+        "c b a zz yy a b",
+        "zz zz zz",
+        "b c b c b c b c d",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "content": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    V, B, lam = 3, 4, 0.7  # force truncation on both sides
+
+    # python reference
+    toks = [t.split() for t in texts]
+    uni = {}
+    for ts in toks:
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+    tot = sum(uni.values())
+    topv = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    vset = {t: c for t, c in topv}
+    oov = tot - sum(vset.values())
+    bic, ctx = {}, {}
+    for ts in toks:
+        for w1, w2 in zip(ts, ts[1:]):
+            if w1 in vset:
+                ctx[w1] = ctx.get(w1, 0) + 1
+                if w2 in vset:
+                    bic[(w1, w2)] = bic.get((w1, w2), 0) + 1
+    topb = dict(
+        sorted(bic.items(), key=lambda kv: (-kv[1], kv[0]))[:B]
+    )
+
+    def pu(t):
+        return vset[t] / tot if t in vset else oov / tot
+
+    want = {}
+    for i, ts in enumerate(toks):
+        nll = [-math.log(pu(ts[0]))]
+        for w1, w2 in zip(ts, ts[1:]):
+            pb = topb.get((w1, w2), 0) / ctx[w1] if (w1, w2) in topb else 0.0
+            nll.append(-math.log(lam * pb + (1.0 - lam) * pu(w2)))
+        want[i] = (len(ts), round_half_away(sum(nll) / len(nll), 6))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logperp"])
+        for r in bigram_logperp(ds, vocab_size=V, bigram_size=B, lam=lam).take_all()
+    }
+    assert got == want
