@@ -85,6 +85,15 @@ ANN_FILTER_RANGES = [(2 * i, 2 * i + 3) for i in range(len(ANN_QUERY_IDS))]
 # bm25_topk_rescored: size of the phase-1 retrieval window the phrase
 # rescorer is allowed to re-rank (ES rescore window_size)
 RESCORE_WINDOW = 30
+# phrase_suggest: phrase-level did-you-mean inputs (typos of corpus terms,
+# an exact in-dictionary phrase, and an uncorrectable token)
+PHRASE_SUGGEST_QUERIES = [
+    (0, "tabel joim"),
+    (1, "custmer valu scan"),
+    (2, "merge batch"),
+    (3, "zzzzzzzz row"),
+]
+PHRASE_SUGGEST_K = 1
 # bm25_topk_mmr: phase-1 window and diversity weight for the MMR greedy
 MMR_WINDOW = 30
 MMR_LAMBDA = 0.3
@@ -1216,6 +1225,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return extract_keywords(_index_for(sf_dir), _docs_ds(sf_dir), k=3)
 
+    def phrase_suggest(sf_dir):
+        # phrase-level did-you-mean: each token corrected to the best
+        # dictionary term within lev<=1, best = (distance, df desc, term)
+        from distributed_text_search_ray.pipelines.search import suggest_phrases
+
+        return suggest_phrases(
+            _index_for(sf_dir), PHRASE_SUGGEST_QUERIES, k=PHRASE_SUGGEST_K
+        )
+
     def spell_suggest(sf_dir):
         from distributed_text_search_ray.pipelines.search import suggest_terms
 
@@ -1714,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": search_snippets,
         "more_like_this": more_like_this,
         "spell_suggest": spell_suggest,
+        "phrase_suggest": phrase_suggest,
         "doc_keywords": doc_keywords,
         "regex_counts": regex_counts,
         "facet_lang": facet_lang,
@@ -2729,6 +2748,41 @@ nll AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(v), 6) AS logperp
 FROM nll GROUP BY 1
+"""
+
+    # phrase-suggest twin: per-token best dictionary correction within
+    # lev<=K, best = (distance asc, df desc, term asc); tokens with no
+    # candidate pass through; suggestion = corrected tokens re-joined
+    phrase_suggest_sql = f"""
+WITH {_TOK_CTE},
+dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT df FROM tok GROUP BY 1),
+q(query_id, phrase) AS (VALUES {_values(PHRASE_SUGGEST_QUERIES)}),
+ql AS (SELECT query_id, phrase, {TOK_SQL.format(col="phrase")} l FROM q),
+qtok AS (
+  SELECT query_id, phrase, t.i pos, l[t.i] tok
+  FROM ql, unnest(range(1, len(l) + 1)) AS t(i)
+),
+cand AS (
+  SELECT qt.query_id, qt.pos, qt.tok, d.term, d.df,
+         levenshtein(qt.tok, d.term) dist
+  FROM qtok qt JOIN dict d ON levenshtein(qt.tok, d.term) <= {PHRASE_SUGGEST_K}
+),
+best AS (
+  SELECT query_id, pos, term FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, pos
+                                 ORDER BY dist, df DESC, term) rn
+    FROM cand
+  ) WHERE rn = 1
+),
+fixed AS (
+  SELECT qt.query_id, qt.phrase, qt.pos, qt.tok,
+         coalesce(b.term, qt.tok) out_tok
+  FROM qtok qt LEFT JOIN best b ON b.query_id = qt.query_id AND b.pos = qt.pos
+)
+SELECT query_id, phrase,
+       string_agg(out_tok, ' ' ORDER BY pos) AS suggestion,
+       sum(CASE WHEN out_tok <> tok THEN 1 ELSE 0 END)::BIGINT AS n_corrected
+FROM fixed GROUP BY query_id, phrase
 """
 
     # bigram-LM twin: same topv/OOV convention as the unigram twin, bigram
@@ -3910,6 +3964,7 @@ FROM walk
         "search_snippets": snippets_sql,
         "more_like_this": mlt_sql,
         "spell_suggest": suggest_sql,
+        "phrase_suggest": phrase_suggest_sql,
         "doc_keywords": keywords_sql,
         "regex_counts": regex_sql,
         "regex_counts_indexed": regex_sql,

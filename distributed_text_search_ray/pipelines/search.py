@@ -767,6 +767,92 @@ class SuggestExecutor:
         )
 
 
+class PhraseSuggestExecutor:
+    """Phrase-level "did you mean": every token of the phrase is corrected
+    independently to the best dictionary term within Levenshtein distance
+    ``k`` — best = (distance asc, df desc, term asc), so an exact
+    dictionary hit always keeps itself and a typo lands on the most
+    frequent nearby term. Tokens with no candidate pass through unchanged.
+    Output (query_id, phrase, suggestion, n_corrected)."""
+
+    def __init__(self, index_dir: str, k: int = 1):
+        from distributed_text_search_ray.stages.executor import (
+            config_from_meta,
+            load_meta,
+        )
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+        self.expander = DictionaryExpander(index_dir)
+        self.k = int(k)
+        self.tokenizer = Tokenizer(config_from_meta(load_meta(index_dir)).analyzer)
+
+    def _best(self, token: str) -> str | None:
+        exp = self.expander
+        m = len(token)
+        band = np.flatnonzero(np.abs(exp.lens - m) <= self.k)
+        if not band.size:
+            return None
+        cand = exp.terms.take(pa.array(band)).to_pylist()
+        dists = bounded_term_distances(token, cand, self.k)
+        ok = dists <= self.k
+        if not ok.any():
+            return None
+        idx = np.flatnonzero(ok)
+        dfs = exp.df[band[ok]]
+        best = min(
+            range(len(idx)),
+            key=lambda i: (int(dists[idx[i]]), -int(dfs[i]), cand[idx[i]]),
+        )
+        return cand[idx[best]]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_p, out_s, out_n = [], [], [], []
+        for qid, phrase in zip(
+            batch.column("query_id").to_pylist(),
+            batch.column("phrase").to_pylist(),
+        ):
+            toks = self.tokenizer.tokens(phrase)
+            fixed, n_corr = [], 0
+            for t in toks:
+                b = self._best(t)
+                if b is None:
+                    fixed.append(t)
+                else:
+                    if b != t:
+                        n_corr += 1
+                    fixed.append(b)
+            out_q.append(int(qid))
+            out_p.append(phrase)
+            out_s.append(" ".join(fixed))
+            out_n.append(n_corr)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "phrase": pa.array(out_p, type=pa.string()),
+                "suggestion": pa.array(out_s, type=pa.string()),
+                "n_corrected": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+
+def suggest_phrases(
+    index_dir: str,
+    phrases: Iterable[tuple[int, str]],
+    k: int = 1,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Phrase-level spelling suggestions (per-token df-ranked correction
+    within Levenshtein ``k``) — see ``PhraseSuggestExecutor``."""
+    items = [{"query_id": int(q), "phrase": str(p)} for q, p in phrases]
+    return ray.data.from_items(items).map_batches(
+        PhraseSuggestExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 def suggest_terms(
     index_dir: str,
     patterns: Iterable[tuple[int, str, int]],

@@ -1552,3 +1552,46 @@ def test_bigram_logperp_matches_python_reference():
         for r in bigram_logperp(ds, vocab_size=V, bigram_size=B, lam=lam).take_all()
     }
     assert got == want
+
+
+def test_phrase_suggest_corrects_tokens(code_corpus, tmp_path_factory):
+    """Each phrase token lands on the (distance, df desc, term) best
+    dictionary candidate; exact tokens and uncorrectable tokens pass
+    through."""
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.search import (
+        PhraseSuggestExecutor,
+        suggest_phrases,
+    )
+
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path_factory.mktemp("psug") / "idx")
+    build_index(corpus_dir, index_dir, IndexConfig(num_partitions=4))
+
+    ex = PhraseSuggestExecutor(index_dir, k=1)
+    dict_terms = set(ex.expander.terms.to_pylist())
+    exact = sorted(dict_terms)[0]
+
+    phrases = [(0, f"{exact} zzzzzqqq"), (1, "def return")]
+    got = {
+        r["query_id"]: (r["suggestion"], r["n_corrected"])
+        for r in suggest_phrases(index_dir, phrases, k=1).take_all()
+    }
+    # exact dictionary token keeps itself (distance 0 wins)
+    s0 = got[0][0].split()
+    assert s0[0] == exact
+    # uncorrectable token passes through unchanged, not counted
+    assert s0[1] == "zzzzzqqq"
+    # per-token best equals the executor's own _best
+    for qid, phrase in phrases:
+        want_toks = []
+        for t in ex.tokenizer.tokens(phrase):
+            b = ex._best(t)
+            want_toks.append(t if b is None else b)
+        assert got[qid][0] == " ".join(want_toks), qid
+        assert got[qid][1] == sum(
+            1
+            for t, w in zip(ex.tokenizer.tokens(phrase), want_toks)
+            if t != w
+        )
