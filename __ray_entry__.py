@@ -1225,6 +1225,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return extract_keywords(_index_for(sf_dir), _docs_ds(sf_dir), k=3)
 
+    def index_stats(sf_dir):
+        # index bookkeeping gated against first-principles SQL: n_docs /
+        # n_terms / total_postings (sum df) / total_tokens (sum cf) / avgdl
+        from distributed_text_search_ray.pipelines.build import (
+            index_stats as _stats,
+        )
+
+        return _stats(_index_for(sf_dir))
+
     def phrase_suggest(sf_dir):
         # phrase-level did-you-mean: each token corrected to the best
         # dictionary term within lev<=1, best = (distance, df desc, term)
@@ -1733,6 +1742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": more_like_this,
         "spell_suggest": spell_suggest,
         "phrase_suggest": phrase_suggest,
+        "index_stats": index_stats,
         "doc_keywords": doc_keywords,
         "regex_counts": regex_counts,
         "facet_lang": facet_lang,
@@ -2748,6 +2758,25 @@ nll AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(v), 6) AS logperp
 FROM nll GROUP BY 1
+"""
+
+    # index-stats twin: every bookkeeping number recomputed from the raw
+    # corpus — a mismatch means the build's dictionary/stat accounting
+    # drifted from the data
+    index_stats_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT 'avgdl' AS metric,
+       round((SELECT count(*) FROM tok)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS value
+UNION ALL
+SELECT 'n_docs', (SELECT count(*) FROM documents)::DOUBLE
+UNION ALL
+SELECT 'n_terms', (SELECT count(DISTINCT term) FROM tok)::DOUBLE
+UNION ALL
+SELECT 'total_postings', (SELECT count(*) FROM tf)::DOUBLE
+UNION ALL
+SELECT 'total_tokens', (SELECT count(*) FROM tok)::DOUBLE
 """
 
     # phrase-suggest twin: per-token best dictionary correction within
@@ -3965,6 +3994,7 @@ FROM walk
         "more_like_this": mlt_sql,
         "spell_suggest": suggest_sql,
         "phrase_suggest": phrase_suggest_sql,
+        "index_stats": index_stats_sql,
         "doc_keywords": keywords_sql,
         "regex_counts": regex_sql,
         "regex_counts_indexed": regex_sql,

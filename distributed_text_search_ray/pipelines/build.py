@@ -50,6 +50,39 @@ def read_index_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def index_stats(index_dir: str) -> "pa.Table":
+    """First-principles index bookkeeping as a (metric, value) table —
+    n_docs, n_terms (vocabulary size), total_postings (sum of df =
+    distinct (doc, term) pairs), total_tokens (sum of cf), avgdl. Every
+    number is independently recomputable from the raw corpus with plain
+    SQL, which is exactly how the driver gate checks it: a mismatch means
+    the build's dictionary/stats bookkeeping drifted from the data. The
+    dictionary is vocabulary-sized (the standard broadcast small side), so
+    this runs driver-local."""
+    import numpy as np
+    import pyarrow as pa
+
+    from distributed_text_search_ray.pipelines.search import DictionaryExpander
+    from distributed_text_search_ray.util import round_half_away
+
+    meta = read_index_meta(index_dir)
+    exp = DictionaryExpander(index_dir)
+    n_docs = float(meta["N"])
+    metrics = [
+        ("avgdl", round_half_away(float(meta["avgdl"]), 6)),
+        ("n_docs", n_docs),
+        ("n_terms", float(len(exp.df))),
+        ("total_postings", float(np.sum(exp.df, dtype=np.int64))),
+        ("total_tokens", float(np.sum(exp.cf, dtype=np.int64))),
+    ]
+    return pa.table(
+        {
+            "metric": pa.array([m for m, _ in metrics], type=pa.string()),
+            "value": pa.array([v for _, v in metrics], type=pa.float64()),
+        }
+    )
+
+
 def build_index(
     corpus_path: str,
     index_dir: str,

@@ -1595,3 +1595,32 @@ def test_phrase_suggest_corrects_tokens(code_corpus, tmp_path_factory):
             for t, w in zip(ex.tokenizer.tokens(phrase), want_toks)
             if t != w
         )
+
+
+def test_index_stats_match_corpus_ground_truth(code_corpus, tmp_path_factory):
+    from distributed_text_search_ray import IndexConfig
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+    from distributed_text_search_ray.pipelines.build import build_index, index_stats
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    index_dir = str(tmp_path_factory.mktemp("istats") / "idx")
+    build_index(corpus_dir, index_dir, IndexConfig(num_partitions=4))
+
+    tk = Tokenizer()
+    docs = corpus_docs(corpus_dir)
+    n_docs = len(docs)
+    vocab, postings, tokens = set(), set(), 0
+    for d, text in docs:
+        ts = tk.tokens(text)
+        tokens += len(ts)
+        for t in ts:
+            vocab.add(t)
+            postings.add((d, t))
+
+    got = {r["metric"]: r["value"] for r in index_stats(index_dir).to_pylist()}
+    assert got["n_docs"] == float(n_docs)
+    assert got["n_terms"] == float(len(vocab))
+    assert got["total_postings"] == float(len(postings))
+    assert got["total_tokens"] == float(tokens)
+    assert abs(got["avgdl"] - tokens / n_docs) < 1e-6
