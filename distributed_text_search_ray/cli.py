@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("corpus_dir")
     b.add_argument("index_dir")
     b.add_argument("--partitions", type=int, default=16)
+    b.add_argument(
+        "--split-identifiers",
+        action="store_true",
+        help="code-subtoken analyzer: split camelCase/snake_case identifiers",
+    )
 
     s = sub.add_parser("search")
     s.add_argument("index_dir")
@@ -202,11 +207,16 @@ def main(argv: list[str] | None = None) -> int:
     _ensure_ray()
 
     if args.cmd == "build":
-        from distributed_text_search_ray.config import IndexConfig
+        from distributed_text_search_ray.config import AnalyzerConfig, IndexConfig
         from distributed_text_search_ray.pipelines.build import build_index
 
         report = build_index(
-            args.corpus_dir, args.index_dir, IndexConfig(num_partitions=args.partitions)
+            args.corpus_dir,
+            args.index_dir,
+            IndexConfig(
+                num_partitions=args.partitions,
+                analyzer=AnalyzerConfig(split_identifiers=args.split_identifiers),
+            ),
         )
         print(json.dumps(report, default=str))
     elif args.cmd == "search":

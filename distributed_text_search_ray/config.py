@@ -33,6 +33,16 @@ class AnalyzerConfig:
     # dropped AFTER stemming; () disables. SQL twin: list_filter(.., t -> t
     # NOT IN (...)). Tuple (not list) so the config stays hashable/frozen
     stopwords: tuple = ()
+    # code-subtoken mode (GitHub-code-search-style identifier splitting):
+    # BEFORE lowercasing, inject '_' at every lower/digit->Upper camel
+    # boundary (one non-overlapping pass of ([a-z0-9])([A-Z]) -> \1_\2,
+    # identical semantics in Python re and DuckDB's RE2), then tokenize on
+    # runs of [a-z0-9] so '_' acts as a separator — `parseHTTPConfig` ->
+    # [parse, httpconfig] (acronym tails stay fused, documented),
+    # `snake_case` -> [snake, case]. SQL twin:
+    # string_split_regex(lower(regexp_replace(col,
+    #   '([a-z0-9])([A-Z])', '\1_\2', 'g')), '[^a-z0-9]+')
+    split_identifiers: bool = False
 
     def fingerprint(self) -> str:
         # later-added fields are dropped from the hash while at their
@@ -44,6 +54,8 @@ class AnalyzerConfig:
             d.pop("stem", None)
         if not d.get("stopwords"):
             d.pop("stopwords", None)
+        if not d.get("split_identifiers"):
+            d.pop("split_identifiers", None)
         return hashlib.sha256(
             json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]

@@ -51,13 +51,24 @@ def tokenizer_for(cfg: "AnalyzerConfig | None" = None) -> "Tokenizer":
 # tokenize non-ASCII corpora identically (pinned by the unicode parity test).
 _SIMPLE_LOWER_FIXUP = {0x0130: "i"}
 
+# camel-boundary injection for AnalyzerConfig.split_identifiers: one
+# non-overlapping left-to-right pass, the same semantics re.sub and DuckDB's
+# RE2 regexp_replace(..., 'g') share — 'getValue2X' -> 'get_Value2_X'
+_CAMEL_RX = re.compile(r"([a-z0-9])([A-Z])")
+# in subtoken mode '_' is a separator, not a token char — overrides
+# cfg.token_pattern (the mode defines its own complete token grammar)
+_SUBTOKEN_PATTERN = "[a-z0-9]+"
+
 
 class Tokenizer:
     """Compiled analyzer; construct once per actor/task, reuse per batch."""
 
     def __init__(self, cfg: AnalyzerConfig | None = None):
         self.cfg = cfg or AnalyzerConfig()
-        self._rx = re.compile(self.cfg.token_pattern)
+        self._split_ids = bool(getattr(self.cfg, "split_identifiers", False))
+        self._rx = re.compile(
+            _SUBTOKEN_PATTERN if self._split_ids else self.cfg.token_pattern
+        )
         self._stop = frozenset(getattr(self.cfg, "stopwords", ()) or ())
 
     def _lower(self, text: str) -> str:
@@ -80,6 +91,9 @@ class Tokenizer:
         return w
 
     def tokens(self, text: str) -> list[str]:
+        if self._split_ids:
+            # camel boundaries exist only pre-lowercase, so inject first
+            text = _CAMEL_RX.sub(r"\1_\2", text)
         if self.cfg.lowercase:
             text = self._lower(text)
         toks = self._rx.findall(text)
