@@ -47,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
         help="code-subtoken analyzer: split camelCase/snake_case identifiers",
     )
 
+    fs = sub.add_parser(
+        "fsearch", help="federated top-k across several indexes (no merge)"
+    )
+    fs.add_argument("--index", action="append", required=True, dest="index_dirs")
+    fs.add_argument("queries", nargs="+")
+    fs.add_argument("--topk", type=int, default=10)
+
     s = sub.add_parser("search")
     s.add_argument("index_dir")
     s.add_argument("queries", nargs="+")
@@ -252,6 +259,14 @@ def main(argv: list[str] | None = None) -> int:
                 topk=args.topk,
                 mode="wand" if args.wand else "taat",
             ).take_all()
+        for r in rows:
+            print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+    elif args.cmd == "fsearch":
+        from distributed_text_search_ray.pipelines.search import search_topk_federated
+
+        rows = search_topk_federated(
+            args.index_dirs, list(enumerate(args.queries)), topk=args.topk
+        ).take_all()
         for r in rows:
             print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
     elif args.cmd == "fuzzy":

@@ -57,6 +57,35 @@ def search_topk(
     )
 
 
+def search_topk_federated(
+    index_dirs: list[str],
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    topk: int = 10,
+    mode: str = "maxscore",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k BM25 across SEVERAL indexes queried as one logical corpus —
+    cross-cluster search without a physical ``merge_indexes``. Global stats
+    (N, avgdl, per-term df) are recombined exactly from the members'
+    metadata, so results are bit-identical to a single index over the union
+    corpus (members' doc-id sets must be disjoint, the merge contract).
+    ``mode``: "maxscore" (default) or "taat"; WAND is merge-only."""
+    from distributed_text_search_ray.stages.executor import FederatedQueryExecutor
+
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        FederatedQueryExecutor,
+        fn_constructor_kwargs={
+            "index_dirs": list(index_dirs),
+            "topk": topk,
+            "mode": mode,
+        },
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 def search_topk_msm(
     index_dir: str,
     queries: Iterable[tuple[int, str]] | ray.data.Dataset,

@@ -592,3 +592,91 @@ class QueryExecutor:
                 hit = docs[pos_c] == cand
                 np.add(scores, np.where(hit, contrib[pos_c], 0.0), out=scores)
         return _topk_rows(cand, scores, k)
+
+
+class FederatedIndexView:
+    """Cross-index search WITHOUT a physical merge (Elasticsearch
+    cross-cluster-search analog): present several independently built
+    indexes as one logical corpus with EXACT global statistics, so scores
+    are bit-identical to a single index over the union corpus.
+
+    At 100 TB this is the cheap sibling of ``merge_indexes``: indexes built
+    per time-slice / tenant / source stay where they are; only the query's
+    few term lookups fan out. Global stats are exact because every piece is
+    an integer recombination: N = sum N_i, avgdl = sum(total_tokens_i) /
+    sum(N_i) (the same int-ratio the full build computes), per-term df =
+    sum df_i — requiring the members' doc-id sets to be DISJOINT, the same
+    contract ``merge_indexes`` documents (merge.py:181).
+
+    Exposes the subset of the IndexView surface the TAAT / MaxScore scorers
+    consume (N, avgdl, cfg, meta, term_postings); Block-Max WAND needs
+    per-index block metadata rebased to global stats and is not offered.
+    """
+
+    def __init__(self, index_dirs: list[str], max_cached_parts: int = 64):
+        if not index_dirs:
+            raise ValueError("federated view needs at least one index")
+        self.views = [IndexView(d, max_cached_parts) for d in index_dirs]
+        fps = {v.cfg.analyzer.fingerprint() for v in self.views}
+        if len(fps) > 1:
+            raise ValueError(
+                "federated members use different analyzers — results would "
+                "be undefined; rebuild with one analyzer"
+            )
+        kb = {(v.cfg.bm25_k1, v.cfg.bm25_b) for v in self.views}
+        if len(kb) > 1:
+            raise ValueError("federated members disagree on BM25 k1/b")
+        self.cfg = self.views[0].cfg
+        self.N = sum(v.N for v in self.views)
+        total_tokens = sum(int(v.meta["total_tokens"]) for v in self.views)
+        self.avgdl = total_tokens / self.N if self.N else 0.0
+        maxes = [int(v.meta.get("max_doc_id", -1)) for v in self.views]
+        self.meta = {
+            "max_doc_id": -1 if min(maxes) < 0 else max(maxes),
+            "total_tokens": total_tokens,
+        }
+
+    def term_postings(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """(doc_ids, tfs, dls, GLOBAL df) across every member — sorted by
+        doc id (members' id ranges may interleave), tombstones already
+        dropped per member, df summed over members (exact under the
+        disjointness contract)."""
+        chunks = [v.term_postings(term) for v in self.views]
+        df = sum(c[3] for c in chunks)
+        live = [c for c in chunks if len(c[0])]
+        if not live:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy(), df
+        docs = np.concatenate([c[0] for c in live])
+        tfs = np.concatenate([c[1] for c in live])
+        dls = np.concatenate([c[2] for c in live])
+        if len(live) > 1 and (np.diff(docs) <= 0).any():
+            o = np.argsort(docs, kind="stable")
+            docs, tfs, dls = docs[o], tfs[o], dls[o]
+        return docs, tfs, dls, df
+
+
+class FederatedQueryExecutor(QueryExecutor):
+    """Actor-pool stage scoring each query against SEVERAL indexes as one
+    logical corpus (exact global stats via :class:`FederatedIndexView`).
+    Reuses the TAAT / MaxScore machinery unchanged — only the view differs."""
+
+    def __init__(
+        self,
+        index_dirs: list[str],
+        topk: int = 10,
+        mode: str = "maxscore",
+        min_should_match: int = 1,
+    ):
+        if mode == "wand":
+            raise ValueError(
+                "wand needs per-index block metadata rebased to global "
+                "stats; use mode='taat' or 'maxscore' for federated search"
+            )
+        self.view = FederatedIndexView(list(index_dirs))
+        self.topk = topk
+        self.mode = mode
+        self.min_should_match = int(min_should_match)
+        self.tokenizer = Tokenizer(self.view.cfg.analyzer)

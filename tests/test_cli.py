@@ -23,6 +23,16 @@ def test_cli_search(cli_env, capsys):
     assert lines and all(len(ln.split("\t")) == 4 for ln in lines)
 
 
+def test_cli_fsearch_single_member_matches_search(cli_env, capsys):
+    _, index_dir = cli_env
+    assert main(["search", index_dir, "def tokenize", "--topk", "3"]) in (0, None)
+    plain = _lines(capsys)
+    assert main(
+        ["fsearch", "--index", index_dir, "def tokenize", "--topk", "3"]
+    ) in (0, None)
+    assert _lines(capsys) == plain
+
+
 def test_cli_fuzzy(cli_env, capsys):
     _, index_dir = cli_env
     assert main(["fuzzy", index_dir, "tokenzie", "--k", "1"]) in (0, None)
