@@ -47,6 +47,15 @@ def main(argv: list[str] | None = None) -> int:
         help="code-subtoken analyzer: split camelCase/snake_case identifiers",
     )
 
+    al = sub.add_parser(
+        "alias", help="atomically (re-)point a serving alias at an index dir"
+    )
+    al.add_argument("name", help="alias name or <name>.alias.json path")
+    al.add_argument(
+        "index_dir", nargs="?", default=None,
+        help="target index; omit to print the current target",
+    )
+
     fs = sub.add_parser(
         "fsearch", help="federated top-k across several indexes (no merge)"
     )
@@ -261,6 +270,13 @@ def main(argv: list[str] | None = None) -> int:
             ).take_all()
         for r in rows:
             print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+    elif args.cmd == "alias":
+        from distributed_text_search_ray.state.alias import resolve_index, set_alias
+
+        if args.index_dir:
+            print(set_alias(args.name, args.index_dir))
+        else:
+            print(resolve_index(args.name))
     elif args.cmd == "fsearch":
         from distributed_text_search_ray.pipelines.search import search_topk_federated
 

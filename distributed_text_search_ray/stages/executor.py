@@ -65,6 +65,11 @@ class IndexView:
     cache of segment readers. Used by the executor actors and the fuzzy path."""
 
     def __init__(self, index_dir: str, max_cached_parts: int = 64):
+        from distributed_text_search_ray.state.alias import resolve_index
+
+        # aliases resolve at view construction (actor __init__) — a running
+        # actor keeps serving its generation until the pool recycles
+        index_dir = resolve_index(index_dir)
         self.index_dir = index_dir
         self.meta = load_meta(index_dir)
         self.cfg = config_from_meta(self.meta)
