@@ -83,6 +83,20 @@ WILDCARD_PATTERNS = [
     (4, "*ust*"),    # mid-pattern fan-out
 ]
 
+# whole-term regexp term queries (Lucene RegexpQuery analog). RAW RE2
+# syntax on BOTH sides of the gate: the engine anchors via
+# search.regexp_anchor for Arrow's substring matcher; DuckDB's
+# regexp_full_match is whole-string by definition. Arrow and DuckDB both
+# embed RE2, so expansion parity is same-engine exact (verified for these
+# shapes: alternation, classes, bounded+unbounded repeats, dot).
+REGEXP_PATTERNS = [
+    (0, "c.st.*"),          # customer (dot + tail)
+    (1, ".*(ue|ow)"),       # value/row/slow/window — suffix alternation
+    (2, "s(mall|can|ort)"), # small/scan/sort — grouped alternation
+    (3, "zz+q"),            # matches nothing
+    (4, "[bh]a(sh|tch)"),   # hash/batch — class + alternation
+]
+
 SYNONYMS = {
     "join": ["merge"],
     "table": ["row"],
@@ -940,6 +954,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def regexp_stats(sf_dir):
+        return search.regexp_term_search(_index_for(sf_dir), REGEXP_PATTERNS)
+
+    def regexp_topk(sf_dir):
+        rows = search.regexp_topk_search(
+            _index_for(sf_dir), REGEXP_PATTERNS, topk=BM25_TOPK + 10
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
     def bm25_topk_page2(sf_dir):
         # cursor-based deep pagination (search_after): page 1 = the bm25_topk
         # result; each query's cursor is its LAST page-1 row, and page 2 is
@@ -1730,8 +1753,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_merged": bm25_topk_merged,
         "apm_counts": apm_counts,
         "apm_counts_concat": apm_counts_concat,
-        "prefix_stats": prefix_stats,
-        "prefix_topk": prefix_topk,
+        # new in this session: whole-term regexp term queries — take the
+        # first-50 slots of prefix_stats/prefix_topk (green r3; same
+        # expansion family, so the shared machinery stays driver-covered)
+        "regexp_stats": regexp_stats,
+        "regexp_topk": regexp_topk,
         "bm25_topk_boolfiltered": bm25_topk_boolfiltered,
         "bm25_topk_rangefiltered": bm25_topk_rangefiltered,
         "fuzzy_topk": fuzzy_topk,
@@ -1757,6 +1783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of top_terms_nostop (green r2+r3) so it gets a driver row at once
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
+        "prefix_stats": prefix_stats,
+        "prefix_topk": prefix_topk,
         "dedup_filter": dedup_filter,
         "range_join_1h": range_join_1h,
         "tpch_q3": tpch_q3,
@@ -2648,6 +2676,63 @@ pats(query_id, p) AS (VALUES {_values(_WC)}),
 qterms AS (
   SELECT DISTINCT pats.query_id, df.term
   FROM pats, df WHERE df.term LIKE pats.p ESCAPE '\\'
+),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+    # regexp twins: RAW RE2 patterns, same regex library on both sides
+    # (Arrow pc.match_substring_regex anchored by search.regexp_anchor vs
+    # DuckDB regexp_full_match — both embed RE2, verified identical on
+    # alternation/class/repeat shapes)
+    _RX = [(q, p.lower()) for q, p in REGEXP_PATTERNS]
+    regexp_stats_sql = f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT term, count(DISTINCT doc_id) df, count(*) cf FROM tok GROUP BY 1),
+pats(query_id, p) AS (VALUES {_values(_RX)}),
+matched AS (
+  SELECT pats.query_id, v.term, v.cf FROM pats, vocab v
+  WHERE regexp_full_match(v.term, pats.p)
+),
+agg AS (SELECT query_id, count(*) nt, sum(cf) occ FROM matched GROUP BY 1),
+docs AS (
+  SELECT m.query_id, count(DISTINCT t.doc_id) nd
+  FROM matched m JOIN tok t ON t.term = m.term GROUP BY 1
+)
+SELECT p.query_id,
+       coalesce(agg.nt, 0)::BIGINT AS n_matching_terms,
+       coalesce(docs.nd, 0)::BIGINT AS n_docs,
+       coalesce(agg.occ, 0)::BIGINT AS n_occurrences
+FROM pats p LEFT JOIN agg USING (query_id) LEFT JOIN docs USING (query_id)
+"""
+
+    regexp_topk_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+pats(query_id, p) AS (VALUES {_values(_RX)}),
+qterms AS (
+  SELECT DISTINCT pats.query_id, df.term
+  FROM pats, df WHERE regexp_full_match(df.term, pats.p)
 ),
 sc AS (
   SELECT qt.query_id, tf.doc_id,
@@ -4043,6 +4128,8 @@ FROM walk
         "fuzzy_term_stats": fuzzy,
         "fuzzy_topk": fuzzy_topk_sql,
         "prefix_stats": prefix_stats_sql,
+        "regexp_stats": regexp_stats_sql,
+        "regexp_topk": regexp_topk_sql,
         "wildcard_stats": wildcard_stats_sql,
         "wildcard_topk": wildcard_topk_sql,
         "prefix_topk": prefix_topk_sql,

@@ -1458,6 +1458,83 @@ class WildcardTopkExecutor(PrefixTopkExecutor):
         return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
 
 
+def regexp_anchor(pattern: str) -> str:
+    """Regexp term query pattern -> anchored RE2 pattern (the shared
+    contract between the engine and its DuckDB twin).
+
+    Lucene-RegexpQuery semantics: the pattern must match the ENTIRE term.
+    Arrow's ``pc.match_substring_regex`` is substring-match, so the pattern
+    is wrapped ``^(?:...)$`` (the non-capturing group keeps top-level
+    alternation inside the anchors); DuckDB's ``regexp_full_match`` is
+    whole-string by definition and needs no wrapping. Both run RE2, so
+    expansion is same-engine exact — no dialect-translation step like
+    ``wildcard_to_like``. Lowercased to match the analyzer's term space."""
+    return "^(?:" + pattern.lower() + ")$"
+
+
+class RegexpCountExecutor(PrefixCountExecutor):
+    """Regexp term stats (Lucene RegexpQuery analog): the pattern is matched
+    against every dictionary term, whole-term semantics; stats come from
+    live postings like the prefix/wildcard flavors."""
+
+    def _normalize(self, raw: str) -> str:
+        return regexp_anchor(raw)
+
+    def _expand(self, anchored: str) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        mask = pc.match_substring_regex(self.expander.terms, anchored)
+        return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+
+
+class RegexpTopkExecutor(PrefixTopkExecutor):
+    """BM25 over the OR of the regexp-expanded term set — the same shared
+    TAAT scorer as prefix/wildcard/fuzzy/synonym retrieval, so every
+    expansion flavor stays bit-comparable under one oracle formula."""
+
+    def _normalize(self, raw: str) -> str:
+        return regexp_anchor(raw)
+
+    def _expand(self, anchored: str) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        mask = pc.match_substring_regex(self.expander.terms, anchored)
+        return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+
+
+def regexp_term_search(
+    index_dir: str,
+    patterns: Iterable[tuple[int, str]],
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Whole-term regexp term stats for (query_id, pattern) pairs."""
+    items = [{"query_id": int(q), "prefix": str(p)} for q, p in patterns]
+    return ray.data.from_items(items).map_batches(
+        RegexpCountExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+def regexp_topk_search(
+    index_dir: str,
+    patterns: Iterable[tuple[int, str]],
+    topk: int = 10,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Ranked retrieval over the regexp-expanded term set."""
+    items = [{"query_id": int(q), "prefix": str(p)} for q, p in patterns]
+    return ray.data.from_items(items).map_batches(
+        RegexpTopkExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "topk": topk},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 def prefix_search_topk(
     index_dir: str,
     prefixes: Iterable[tuple[int, str]],
