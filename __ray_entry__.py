@@ -954,6 +954,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def ql_topk(sf_dir):
+        # Dirichlet query-likelihood ranking (the LM scorer family) over the
+        # same cached index and query set as bm25_topk — only the ranking
+        # function differs, so a score divergence isolates the scorer
+        rows = search.search_topk_ql(
+            _index_for(sf_dir), BM25_QUERIES, topk=BM25_TOPK + 10
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
     def regexp_stats(sf_dir):
         return search.regexp_term_search(_index_for(sf_dir), REGEXP_PATTERNS)
 
@@ -1760,7 +1769,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_topk": regexp_topk,
         "bm25_topk_boolfiltered": bm25_topk_boolfiltered,
         "bm25_topk_rangefiltered": bm25_topk_rangefiltered,
-        "fuzzy_topk": fuzzy_topk,
+        # new in this session: Dirichlet query-likelihood ranking — takes
+        # the first-50 slot of fuzzy_topk (green r3; the fuzzy family stays
+        # covered by fuzzy_term_stats' r3 row)
+        "ql_topk": ql_topk,
         # --- never-driver-checked through r3, oracle-gated (VERDICT item 1)
         "dup_span_edited": dup_span_edited,
         "proximity_search": proximity,
@@ -1901,6 +1913,45 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
 
+# Dirichlet query-likelihood twin of QLTopkExecutor (stages/executor.py):
+# score(q,d) = sum over corpus-present distinct query terms t of
+#   ln((tf_td + mu*cf_t/C) / (dl_d + mu)),
+# candidates = docs containing >=1 query term (absent terms contribute the
+# background prior via coalesce(tf,0)); query terms with cf=0 are skipped
+# on both sides (a 0 background prob would be ln(0)). mu = 2000, the
+# executor default. Quotient form matches the engine expression exactly so
+# 6-dp rounding absorbs summation-order float drift, like _BM25_SQL.
+_QL_SQL = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+cf AS (SELECT term, count(*)::DOUBLE cf FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM tok)::DOUBLE c_total),
+q(query_id, qtext) AS (VALUES {{queries}}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)
+),
+qlive AS (SELECT qt.query_id, qt.term, cf.cf FROM qterms qt JOIN cf USING (term)),
+cand AS (SELECT DISTINCT ql.query_id, tf.doc_id FROM qlive ql JOIN tf USING (term)),
+sc AS (
+  SELECT c.query_id, c.doc_id,
+         sum(ln((coalesce(tf.tf, 0) + 2000.0 * ql.cf / s.c_total) / (dl.dl + 2000.0))) score
+  FROM cand c
+  JOIN qlive ql ON ql.query_id = c.query_id
+  LEFT JOIN tf ON tf.term = ql.term AND tf.doc_id = c.doc_id
+  JOIN dl ON dl.doc_id = c.doc_id, stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
 
 def _kmeans_sql(
     xn_ctes: str, k: int, iters: int, dim: int, id_col: str, tail: str | None = None
@@ -1966,6 +2017,7 @@ kfinal AS (
 
 def oracle_sql() -> dict[str, str]:
     bm25 = _BM25_SQL.format(queries=_values(BM25_QUERIES))
+    ql = _QL_SQL.format(queries=_values(BM25_QUERIES))
 
     # code-subtoken twin: the identical BM25 algebra with the
     # split_identifiers analyzer expression on BOTH sides — camel-boundary
@@ -4096,6 +4148,7 @@ FROM walk
 
     return {
         "bm25_topk": bm25,
+        "ql_topk": ql,
         "bm25_topk_subtoken": bm25_subtoken,
         # federated = logical union of the two disjoint halves = the full
         # corpus, so the exact single-index BM25 SQL is the oracle

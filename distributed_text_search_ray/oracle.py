@@ -85,6 +85,32 @@ def bm25_scores(
     return scores
 
 
+def ql_scores(
+    idx: OracleIndex, query_terms: list[str], mu: float = 2000.0
+) -> dict[int, float]:
+    """Dirichlet query-likelihood: doc_id -> log score over candidate docs
+    (docs containing >= 1 corpus-present distinct query term). Independent
+    scalar re-derivation of QLTopkExecutor (stages/executor.py) for
+    differential testing — per-doc dict accumulation rather than the
+    engine's vectorized candidate-union arrays."""
+    total_tokens = float(sum(idx.doc_len.values()))
+    live = [t for t in sorted(set(query_terms)) if idx.postings.get(t)]
+    cands: set[int] = set()
+    for t in live:
+        cands.update(d for d, _ in idx.postings[t])
+    scores: dict[int, float] = {}
+    for d in cands:
+        dl = float(idx.doc_len[d])
+        s = 0.0
+        for t in live:
+            plist = dict(idx.postings[t])
+            cf = float(sum(tf for _, tf in idx.postings[t]))
+            tf = float(plist.get(d, 0))
+            s += math.log((tf + mu * cf / total_tokens) / (dl + mu))
+        scores[d] = s
+    return scores
+
+
 def topk(scores: dict[int, float], k: int) -> list[tuple[int, int, float]]:
     """[(rank, doc_id, score)] — score desc, doc_id asc, rank from 1."""
     ordered = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

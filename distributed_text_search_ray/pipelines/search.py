@@ -57,6 +57,29 @@ def search_topk(
     )
 
 
+def search_topk_ql(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    topk: int = 10,
+    mu: float = 2000.0,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k under Dirichlet-smoothed query likelihood (the language-model
+    scorer family) — same index, analyzer and output schema as BM25
+    ``search_topk``; only the ranking function differs. Scores are
+    log-probabilities (negative; higher = better)."""
+    from distributed_text_search_ray.stages.executor import QLTopkExecutor
+
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        QLTopkExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "topk": topk, "mu": mu},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 def search_topk_federated(
     index_dirs: list[str],
     queries: Iterable[tuple[int, str]] | ray.data.Dataset,

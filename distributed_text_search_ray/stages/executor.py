@@ -685,3 +685,75 @@ class FederatedQueryExecutor(QueryExecutor):
         self.mode = mode
         self.min_should_match = int(min_should_match)
         self.tokenizer = Tokenizer(self.view.cfg.analyzer)
+
+
+class QLTopkExecutor(QueryExecutor):
+    """Dirichlet-smoothed query-likelihood ranking (the language-model IR
+    scorer family, Zhai & Lafferty 2001) — the engine's second ranking
+    function beside BM25, sharing the index, analyzer and executor plumbing.
+
+    score(q, d) = sum over query terms t of
+        ln( (tf_td + mu * cf_t / C) / (dl_d + mu) )
+
+    where cf_t is the term's collection frequency (sum of tf over the LIVE
+    postings, so the tombstone contract matches BM25's scored set), C is
+    the corpus token total from the index metadata, and mu the smoothing
+    prior. Candidates are docs containing >= 1 query term (unseen terms
+    contribute their background probability to those candidates); query
+    terms absent from the corpus are skipped — a cf of 0 would make the
+    background probability ln(0). Accumulation is ascending term order,
+    quotient form, matching the SQL twin expression for 6-dp stability.
+    """
+
+    def __init__(self, index_dir: str, topk: int = 10, mu: float = 2000.0):
+        super().__init__(index_dir, topk=topk)
+        self.mu = float(mu)
+        self.total_tokens = float(self.view.meta["total_tokens"])
+
+    def _score_ql(self, terms: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+        v = self.view
+        per_term = []
+        for term in terms:
+            docs, tfs, dls, df = v.term_postings(term)
+            if df == 0 or not len(docs):
+                continue
+            cf = float(tfs.sum())
+            per_term.append((docs, tfs, dls, cf))
+        if not per_term:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        # candidate union + per-candidate dl (every posting row carries its
+        # doc's dl, so the union needs no extra doc-length lookup)
+        cat_docs = np.concatenate([p[0] for p in per_term])
+        cat_dls = np.concatenate([p[2] for p in per_term])
+        uniq, first = np.unique(cat_docs, return_index=True)
+        dl_u = cat_dls[first].astype(np.float64)
+        denom = dl_u + self.mu
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        for docs, tfs, _, cf in per_term:
+            prior = self.mu * cf / self.total_tokens
+            tf_u = np.zeros(len(uniq), dtype=np.float64)
+            tf_u[np.searchsorted(uniq, docs)] = tfs
+            acc += np.log((tf_u + prior) / denom)
+        return _topk_rows(uniq, acc, k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, qtext in zip(
+            batch.column("query_id").to_pylist(), batch.column("query").to_pylist()
+        ):
+            terms = sorted(set(self.tokenizer.tokens(qtext)))
+            docs, scores = self._score_ql(terms, self.topk)
+            for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), start=1):
+                out_q.append(qid)
+                out_r.append(r)
+                out_d.append(d)
+                out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
