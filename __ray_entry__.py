@@ -36,6 +36,17 @@ BM25_QUERIES = [
 ]
 BM25_TOPK = 10
 
+# exact substring needles for the trigram (Zoekt-style) index — raw
+# character strings, NOT token queries: cross-token spans, repeated words
+# (overlap counting), punctuation-free corpus text, and a guaranteed miss
+SUBSTRING_NEEDLES = [
+    (0, "batch batch"),   # repeated word: overlapping starts counted
+    (1, "e s"),           # crosses token boundaries
+    (2, "join ord"),      # partial second word
+    (3, "spark"),
+    (4, "zzz-none"),      # no match anywhere
+]
+
 # code-subtoken search: camelCase / snake_case query identifiers that only
 # match corpus words because split_identifiers decomposes them (the corpus
 # itself is plain lowercase words, so a non-splitting analyzer would
@@ -346,6 +357,23 @@ def _index_pos_for(sf_dir: str) -> str:
         num_partitions=8, salt_buckets=2, salt_df_threshold=0.5,
         attribute_columns=("lang",), store_positions=True,
     )
+    build_index(os.path.join(root, "corpus"), index_dir, cfg)
+    return index_dir
+
+
+def _trigram_index_for(sf_dir: str) -> str:
+    """Positional char-trigram index over the same cached corpus — the
+    substring-search (Zoekt-style) sibling of ``_index_pos_for``.
+    ``build_index`` keys resume on the analyzer fingerprint, so this is a
+    plain third build target under the cache root."""
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.pipelines.substring import trigram_index_config
+
+    _index_for(sf_dir)  # ensures the resharded corpus exists
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_CACHE_ROOT, key)
+    index_dir = os.path.join(root, "index_trigram")
+    cfg = trigram_index_config(num_partitions=8, salt_buckets=2, salt_df_threshold=0.5)
     build_index(os.path.join(root, "corpus"), index_dir, cfg)
     return index_dir
 
@@ -962,6 +990,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _index_for(sf_dir), BM25_QUERIES, topk=BM25_TOPK + 10
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
+
+    def substring_counts(sf_dir):
+        # exact substring search (Zoekt-style): phrase-adjacency chain over
+        # the positional char-trigram index — case-insensitive, overlapping
+        # occurrence counts, no content re-read
+        from distributed_text_search_ray.pipelines.substring import substring_search
+
+        return substring_search(_trigram_index_for(sf_dir), SUBSTRING_NEEDLES)
 
     def regexp_stats(sf_dir):
         return search.regexp_term_search(_index_for(sf_dir), REGEXP_PATTERNS)
@@ -1708,7 +1744,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": bm25_topk,
         "embedding_dup_pairs": embedding_dup_pairs,
-        "embedding_deduped": embedding_deduped,
+        # new this round: exact substring search over the trigram index —
+        # takes the first-50 slot of embedding_deduped (green r3; moved to
+        # the tail section)
+        "substring_counts": substring_counts,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_hard_negatives": ann_hard_negatives,
         "ann_lsh_topk": ann_lsh,
@@ -1834,6 +1873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logperp": bigram_logperp,
         "redact_props": redact_props,
         "lang_stats": lang_stats,
+        "embedding_deduped": embedding_deduped,
         "minhash_near_dup": minhash_near_dup,
         "ngram_jaccard_dup": ngram_jaccard_dup,
         "dup_spans": dup_spans,
@@ -2018,6 +2058,23 @@ kfinal AS (
 def oracle_sql() -> dict[str, str]:
     bm25 = _BM25_SQL.format(queries=_values(BM25_QUERIES))
     ql = _QL_SQL.format(queries=_values(BM25_QUERIES))
+
+    # exact substring occurrence counts, first principles: every character
+    # start offset i where the lowercased doc text matches the (lowercased)
+    # needle — overlapping starts counted, same contract as the trigram
+    # index's phrase-adjacency chain. generate_series(1, n) is empty for
+    # n < 1, so docs shorter than the needle drop out naturally.
+    substring_sql = f"""
+WITH q(needle_id, needle) AS (VALUES {_values([(q, s.lower()) for q, s in SUBSTRING_NEEDLES])}),
+dl AS (SELECT doc_id, lower(text) lt FROM documents),
+hit AS (
+  SELECT q.needle_id, d.doc_id
+  FROM dl d, q,
+       unnest(generate_series(1, length(d.lt) - length(q.needle) + 1)) AS g(i)
+  WHERE substring(d.lt, g.i, length(q.needle)) = q.needle
+)
+SELECT needle_id, doc_id, count(*)::BIGINT n_occurrences FROM hit GROUP BY 1, 2
+"""
 
     # code-subtoken twin: the identical BM25 algebra with the
     # split_identifiers analyzer expression on BOTH sides — camel-boundary
@@ -4149,6 +4206,7 @@ FROM walk
     return {
         "bm25_topk": bm25,
         "ql_topk": ql,
+        "substring_counts": substring_sql,
         "bm25_topk_subtoken": bm25_subtoken,
         # federated = logical union of the two disjoint halves = the full
         # corpus, so the exact single-index BM25 SQL is the oracle

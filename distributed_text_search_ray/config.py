@@ -43,6 +43,15 @@ class AnalyzerConfig:
     # string_split_regex(lower(regexp_replace(col,
     #   '([a-z0-9])([A-Z])', '\1_\2', 'g')), '[^a-z0-9]+')
     split_identifiers: bool = False
+    # character-n-gram mode (Zoekt / Google-Code-Search-style trigram
+    # indexing): when > 0, tokens are ALL overlapping runs of n characters
+    # of the (lowercased) raw text — including whitespace and punctuation —
+    # and every other analyzer knob is ignored. Token position i == char
+    # offset i, so a positional (v4) build turns substring search into a
+    # phrase-adjacency chain answered purely from the index. SQL twin of
+    # the token stream: substring(lower(col), i, n) over
+    # unnest(generate_series(1, length(col)-n+1))
+    char_ngrams: int = 0
 
     def fingerprint(self) -> str:
         # later-added fields are dropped from the hash while at their
@@ -56,6 +65,8 @@ class AnalyzerConfig:
             d.pop("stopwords", None)
         if not d.get("split_identifiers"):
             d.pop("split_identifiers", None)
+        if not d.get("char_ngrams"):
+            d.pop("char_ngrams", None)
         return hashlib.sha256(
             json.dumps(d, sort_keys=True).encode()
         ).hexdigest()[:16]

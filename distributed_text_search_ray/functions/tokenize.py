@@ -70,6 +70,11 @@ class Tokenizer:
             _SUBTOKEN_PATTERN if self._split_ids else self.cfg.token_pattern
         )
         self._stop = frozenset(getattr(self.cfg, "stopwords", ()) or ())
+        # char-n-gram mode defines its own complete token grammar: ALL
+        # overlapping n-char windows of the (lowercased) raw text — token
+        # position i == char offset i, the property substring search's
+        # phrase-adjacency chain relies on. Overrides every other knob.
+        self._ngram = int(getattr(self.cfg, "char_ngrams", 0) or 0)
 
     def _lower(self, text: str) -> str:
         return text.translate(_SIMPLE_LOWER_FIXUP).lower()
@@ -90,7 +95,28 @@ class Tokenizer:
             return w if w.endswith(("us", "ss")) else w[:-1]
         return w
 
+    def char_ngram_tokens(self, text: str) -> list[str]:
+        """Overlapping ``char_ngrams``-char windows of the lowercased text.
+
+        One numpy pass, no per-window Python slicing: the text's UTF-32
+        codepoints form a sliding-window matrix whose rows reinterpret as
+        fixed-width ``U{n}`` strings (numpy's unicode dtype IS UCS4).
+        """
+        n = self._ngram
+        if self.cfg.lowercase:
+            text = self._lower(text)
+        if len(text) < n:
+            return []
+        if "\x00" in text:
+            # numpy's U dtype truncates at an embedded NUL; slice instead
+            return [text[i : i + n] for i in range(len(text) - n + 1)]
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        win = np.lib.stride_tricks.sliding_window_view(cp, n)
+        return win.copy().view(f"<U{n}").ravel().tolist()
+
     def tokens(self, text: str) -> list[str]:
+        if self._ngram:
+            return self.char_ngram_tokens(text)
         if self._split_ids:
             # camel boundaries exist only pre-lowercase, so inject first
             text = _CAMEL_RX.sub(r"\1_\2", text)
@@ -108,6 +134,8 @@ class Tokenizer:
         this is a first-match regex probe (no full tokenize); with stopwords
         a regex hit no longer implies a surviving token (a stopword-only doc
         tokenizes to []), so the probe falls back to the real tokenize."""
+        if self._ngram:
+            return len(text) >= self._ngram
         if self._stop:
             return bool(self.tokens(text))
         if self.cfg.lowercase:
