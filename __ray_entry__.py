@@ -1285,13 +1285,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dup_span_edited(sf_dir):
         return dedup.dup_span_edit(_docs_ds(sf_dir))
 
+    # near_dedup / dup_clusters / dup_cluster_sizes share one exact-verified
+    # anchor-edge set (threshold 0.5, shingle buckets) and the latter two one
+    # cluster assignment — computed once per sf_dir and fanned into each
+    # readout (the edge machinery is the dominant cost of all three)
+    _dup_state: dict[str, dict] = {}
+
+    def _dup_edges_for(sf_dir):
+        st = _dup_state.setdefault(sf_dir, {})
+        if "edges" not in st:
+            st["edges"] = dedup.verified_anchor_edges(
+                _docs_ds(sf_dir), threshold=0.5, bucket="shingle"
+            )
+        return st["edges"]
+
+    def _dup_clusters_for(sf_dir):
+        st = _dup_state.setdefault(sf_dir, {})
+        if "clusters" not in st:
+            st["clusters"] = dedup.near_dup_clusters(
+                _docs_ds(sf_dir),
+                threshold=0.5,
+                bucket="shingle",
+                verified_edges=_dup_edges_for(sf_dir),
+            ).materialize()
+        return st["clusters"]
+
     def near_dedup(sf_dir):
         # gate runs the recall-EXACT bucket="shingle" config (buckets are
         # the shingles themselves, so the survivor set is deterministic and
         # SQL-twinnable — the ANN probe-all pattern); the LSH default stays
         # recall-tested in test_near_dedup_filter_keeps_one_per_cluster
         return dedup.near_dedup_filter(
-            _docs_ds(sf_dir), threshold=0.5, bucket="shingle"
+            _docs_ds(sf_dir),
+            threshold=0.5,
+            bucket="shingle",
+            verified_edges=_dup_edges_for(sf_dir),
         ).select_columns(["doc_id"])
 
     def dup_clusters(sf_dir):
@@ -1300,18 +1328,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components (the transitive closure near_dedup_filter
         # deliberately skips) — every doc gets cluster_id = min doc_id of
         # its component; twin = recursive-CTE min-label reachability
-        return dedup.near_dup_clusters(
-            _docs_ds(sf_dir), threshold=0.5, bucket="shingle"
-        )
+        return _dup_clusters_for(sf_dir)
 
     def dup_cluster_sizes(sf_dir):
         # dedup analytics: how much of the corpus sits in how-big dup
         # families — histogram of the dup_clusters assignment
-        return dedup.cluster_size_histogram(
-            dedup.near_dup_clusters(
-                _docs_ds(sf_dir), threshold=0.5, bucket="shingle"
-            )
-        )
+        return dedup.cluster_size_histogram(_dup_clusters_for(sf_dir))
 
     def contamination(sf_dir):
         import re

@@ -537,9 +537,16 @@ def near_dedup_filter(
     join_partitions: int = 4,
     anti_join: bool = True,
     bucket: str = "lsh",
+    verified_edges: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate-FILTERED corpus: keep one representative per near-dup
     cluster. Returns the surviving (doc_id, content) rows.
+
+    ``verified_edges``: optional pre-verified ``(doc_a, doc_b, jaccard)``
+    edge dataset (from :func:`verified_anchor_edges` with the SAME
+    banding/threshold/analyzer config) — skips candidate generation and
+    verification entirely. Lets a caller running several dedup readouts
+    (filter + clusters + histogram) pay for the edge machinery once.
 
     ``bucket`` picks the candidate-bucket scheme:
 
@@ -573,6 +580,41 @@ def near_dedup_filter(
     Verification reuses the single-join gather of ``minhash_lsh_pairs``;
     everything stays distributed (no O(corpus) driver state)."""
     analyzer = analyzer or AnalyzerConfig()
+    if verified_edges is None:
+        verified_edges = verified_anchor_edges(
+            docs,
+            threshold=threshold,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            analyzer=analyzer,
+            pair_partitions=pair_partitions,
+            join_partitions=join_partitions,
+            bucket=bucket,
+        )
+    return _apply_min_anchor_drop(docs, verified_edges, join_partitions, anti_join)
+
+
+def verified_anchor_edges(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    analyzer: AnalyzerConfig | None = None,
+    pair_partitions: int = 64,
+    join_partitions: int = 4,
+    bucket: str = "lsh",
+) -> ray.data.Dataset:
+    """Materialized exact-verified ``(doc_a, doc_b, jaccard)`` anchor edges
+    at ``jaccard >= threshold`` — the shared substrate of
+    :func:`near_dedup_filter` (min-anchor drop), :func:`near_dup_clusters`
+    (connected components) and :func:`cluster_size_histogram` (via the
+    clusters). Computing it ONCE and fanning the (tiny relative to the
+    corpus) edge set into each readout saves one full candidate-generation
+    + verification pass per extra readout."""
+    analyzer = analyzer or AnalyzerConfig()
     edges = _anchor_candidate_edges(
         docs,
         num_perm=num_perm,
@@ -582,9 +624,19 @@ def near_dedup_filter(
         pair_partitions=pair_partitions,
         bucket=bucket,
     )
-    return _near_dedup_apply(
-        docs, edges, analyzer, shingle_n, threshold, join_partitions, anti_join
-    )
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    return _verify_pairs(
+        edges, docs, analyzer, shingle_n, threshold, join_partitions
+    ).materialize()
 
 
 def _anchor_candidate_edges(
@@ -699,21 +751,16 @@ def _anchor_candidate_edges(
     return edges
 
 
-def _near_dedup_apply(
+def _apply_min_anchor_drop(
     docs: ray.data.Dataset,
-    edges: ray.data.Dataset,
-    analyzer: AnalyzerConfig,
-    shingle_n: int,
-    threshold: float,
+    verified: ray.data.Dataset,
     join_partitions: int,
     anti_join: bool,
 ) -> ray.data.Dataset:
-    """Verify candidate anchor edges exactly and drop min-anchored
-    duplicates — the apply half of ``near_dedup_filter``."""
-    if edges.count() == 0:
+    """Drop min-anchored duplicates given the exact-verified edge set —
+    the apply half of ``near_dedup_filter``."""
+    if verified.count() == 0:
         return docs.select_columns(["doc_id", "content"])
-
-    verified = _verify_pairs(edges, docs, analyzer, shingle_n, threshold, join_partitions)
 
     # the dropped-id set can be O(corpus) on dup-heavy corpora (that is the
     # point of the operator), so the DEFAULT is a left-anti hash join of
@@ -955,6 +1002,7 @@ def near_dup_clusters(
     pair_partitions: int = 64,
     join_partitions: int = 4,
     bucket: str = "lsh",
+    verified_edges: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Full near-duplicate CLUSTERS: one ``(doc_id, cluster_id)`` row per
     document, ``cluster_id`` = the smallest doc_id in the doc's connected
@@ -966,19 +1014,25 @@ def near_dup_clusters(
     ``connected_components`` over the verified edges — the transitive
     closure that the filter deliberately skips. ``bucket="shingle"`` is the
     recall-exact conformance configuration (bucket = the raw shingle), used
-    by the SQL oracle twin; ``"lsh"`` is the 100 TB default."""
+    by the SQL oracle twin; ``"lsh"`` is the 100 TB default.
+
+    ``verified_edges``: optional pre-verified edge dataset (see
+    :func:`near_dedup_filter`)."""
     analyzer = analyzer or AnalyzerConfig()
-    edges = _anchor_candidate_edges(
-        docs,
-        num_perm=num_perm,
-        bands=bands,
-        shingle_n=shingle_n,
-        analyzer=analyzer,
-        pair_partitions=pair_partitions,
-        bucket=bucket,
-    )
+    if verified_edges is None:
+        verified_edges = verified_anchor_edges(
+            docs,
+            threshold=threshold,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            analyzer=analyzer,
+            pair_partitions=pair_partitions,
+            join_partitions=join_partitions,
+            bucket=bucket,
+        )
     node_ids = docs.select_columns(["doc_id"])
-    if edges.count() == 0:
+    if verified_edges.count() == 0:
         return node_ids.map_batches(
             lambda b: pa.table(
                 {"doc_id": b.column("doc_id"),
@@ -986,10 +1040,7 @@ def near_dup_clusters(
             ),
             batch_format="pyarrow",
         )
-    verified = _verify_pairs(
-        edges, docs, analyzer, shingle_n, threshold, join_partitions
-    )
-    return connected_components(verified, nodes=node_ids)
+    return connected_components(verified_edges, nodes=node_ids)
 
 
 def cluster_size_histogram(
