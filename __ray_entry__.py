@@ -680,6 +680,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bm25_topk(sf_dir):
         return _bm25(sf_dir, "taat")
 
+    def rank_eval_bm25(sf_dir):
+        # IR ranking-quality metrics (nDCG/MRR/recall@10) of the BM25 run
+        # against index-backed term-containment relevance judgments; only
+        # bounded metric inputs (top-k hits, per-query relevant COUNTS,
+        # relevant-flags of the hits) ever reach the driver
+        from distributed_text_search_ray.pipelines.search import rank_eval
+
+        return rank_eval(_index_for(sf_dir), BM25_QUERIES, k=BM25_TOPK)
+
+    def heavy_hitters(sf_dir):
+        # one-pass Misra-Gries top-20 terms: per-block bounded sketches +
+        # one merge over <= blocks x sketch_k rows — no whole-vocabulary
+        # shuffle. Gate runs the exactness-forcing sketch_k >> vocab config
+        # (no decrement ever fires, estimates == true cf; the ANN probe-all
+        # pattern); the approximate regime's undercount bound is pinned in
+        # pytest (tests/test_round4_fixes.py)
+        return textstats.heavy_hitter_terms(_docs_ds(sf_dir), k=20, sketch_k=65536)
+
     def bm25_topk_subtoken(sf_dir):
         from distributed_text_search_ray.pipelines.search import search_topk
 
@@ -1765,12 +1783,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # run before rows-only ones within each region.
     return {
         "bm25_topk": bm25_topk,
-        "embedding_dup_pairs": embedding_dup_pairs,
+        # new this round: ranking-quality evaluation (nDCG/MRR/recall@k) —
+        # takes the first-50 slot of embedding_dup_pairs (green r1/r2/r3;
+        # moved to the tail section)
+        "rank_eval_bm25": rank_eval_bm25,
         # new this round: exact substring search over the trigram index —
         # takes the first-50 slot of embedding_deduped (green r3; moved to
         # the tail section)
         "substring_counts": substring_counts,
-        "ann_cosine_topk": ann_cosine_topk,
+        # new this round: one-pass Misra-Gries heavy hitters — takes the
+        # first-50 slot of ann_cosine_topk (green r1/r3; moved to the tail)
+        "heavy_hitters": heavy_hitters,
         "ann_hard_negatives": ann_hard_negatives,
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
@@ -1856,6 +1879,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of top_terms_nostop (green r2+r3) so it gets a driver row at once
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
+        "embedding_dup_pairs": embedding_dup_pairs,  # green r1/r2/r3
+        "ann_cosine_topk": ann_cosine_topk,  # green r1/r3
         "prefix_stats": prefix_stats,
         "prefix_topk": prefix_topk,
         "dedup_filter": dedup_filter,
@@ -1975,6 +2000,80 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
 
+# rank_eval twin: the BM25 ranked CTE (identical to _BM25_SQL), relevance =
+# docs containing EVERY distinct query term (the same index-backed AND the
+# Ray side evaluates through boolean_search), then nDCG@k / MRR@k /
+# recall@k per query — zero-relevant and empty-hit queries coalesce to 0
+_RANK_EVAL_SQL = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+q(query_id, qtext) AS (VALUES {{queries}}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)
+),
+qn AS (SELECT query_id, count(*) nt FROM qterms GROUP BY 1),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id
+  FROM sc
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {BM25_TOPK}),
+rel AS (
+  SELECT qt.query_id, tf2.doc_id
+  FROM qterms qt
+  JOIN tf tf2 ON tf2.term = qt.term
+  JOIN qn ON qn.query_id = qt.query_id
+  GROUP BY qt.query_id, tf2.doc_id, qn.nt
+  HAVING count(*) = qn.nt
+),
+nrel AS (SELECT query_id, count(*)::BIGINT n_rel FROM rel GROUP BY 1),
+flags AS (
+  SELECT t.query_id, t.rank,
+         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END f
+  FROM topk t LEFT JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+),
+qm AS (
+  SELECT query_id,
+         sum(f)::BIGINT hits_at_k,
+         sum(f / log2(rank + 1)) dcg,
+         coalesce(1.0 / min(CASE WHEN f = 1 THEN rank END), 0) mrr
+  FROM flags GROUP BY 1
+),
+idcg AS (
+  SELECT n.query_id, sum(1.0 / log2(g.i + 1)) idcg
+  FROM nrel n, unnest(range(1, least({BM25_TOPK}, n.n_rel) + 1)) AS g(i)
+  GROUP BY 1
+)
+SELECT q.query_id,
+       coalesce(n.n_rel, 0)::BIGINT n_rel,
+       coalesce(m.hits_at_k, 0)::BIGINT hits_at_k,
+       round(coalesce(m.dcg / nullif(i.idcg, 0), 0), 6) ndcg,
+       round(coalesce(m.mrr, 0), 6) mrr,
+       round(coalesce(m.hits_at_k / nullif(n.n_rel, 0), 0), 6) recall_k
+FROM q
+LEFT JOIN nrel n USING (query_id)
+LEFT JOIN qm m USING (query_id)
+LEFT JOIN idcg i USING (query_id)
+ORDER BY q.query_id
+"""
+
 # Dirichlet query-likelihood twin of QLTopkExecutor (stages/executor.py):
 # score(q,d) = sum over corpus-present distinct query terms t of
 #   ln((tf_td + mu*cf_t/C) / (dl_d + mu)),
@@ -2080,6 +2179,17 @@ kfinal AS (
 def oracle_sql() -> dict[str, str]:
     bm25 = _BM25_SQL.format(queries=_values(BM25_QUERIES))
     ql = _QL_SQL.format(queries=_values(BM25_QUERIES))
+    rank_eval_sql = _RANK_EVAL_SQL.format(queries=_values(BM25_QUERIES))
+
+    # heavy_hitters gate: the exactness-forcing sketch_k >> vocab config
+    # makes every Misra-Gries estimate the true collection frequency, so
+    # the twin is the plain top-20-by-cf count
+    heavy_hitters_sql = f"""
+WITH {_TOK_CTE}
+SELECT term, count(*)::BIGINT est_cf
+FROM tok GROUP BY 1
+ORDER BY est_cf DESC, term LIMIT 20
+"""
 
     # exact substring occurrence counts, first principles: every character
     # start offset i where the lowercased doc text matches the (lowercased)
@@ -4227,6 +4337,8 @@ FROM walk
 
     return {
         "bm25_topk": bm25,
+        "rank_eval_bm25": rank_eval_sql,
+        "heavy_hitters": heavy_hitters_sql,
         "ql_topk": ql,
         "substring_counts": substring_sql,
         "bm25_topk_subtoken": bm25_subtoken,

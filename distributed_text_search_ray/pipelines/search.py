@@ -2524,3 +2524,93 @@ def search_topk_dismax(
         batch_size=8,
         concurrency=resolve_concurrency(concurrency),
     )
+
+
+def rank_eval(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    concurrency: int | None = None,
+) -> pa.Table:
+    """IR ranking-quality evaluation of the BM25 run: per query, nDCG@k
+    (binary gain), MRR@k, recall@k and the relevant-set size, against
+    term-containment relevance judgments.
+
+    Relevance proxy (deterministic, no human qrels): a doc is relevant to a
+    query iff it contains EVERY analyzer token of the query — an
+    index-backed boolean AND (``boolean_search``), so the judgment pass
+    reads postings, never corpus text. The metric inputs that reach the
+    driver are bounded: the top-k hit table (k x |queries| rows), the
+    per-query relevant-set COUNTS, and the relevant-flags of only the
+    top-k hits (filtered distributed against the broadcast hit set) —
+    never the relevant sets themselves, which on a short/stopword query
+    can be O(corpus).
+
+    Metrics (rounded 6 dp, one row per input query, query_id order):
+    ``ndcg`` = sum_{rel hits} 1/log2(rank+1) / sum_{i<=min(k, n_rel)}
+    1/log2(i+1); ``mrr`` = 1/rank of the first relevant hit; ``recall_k`` =
+    relevant hits / n_rel; all 0.0 when undefined (n_rel = 0 or no
+    relevant hit in the top k). Each whitespace word of a query must
+    analyze to one term (the ``boolean_search`` literal contract).
+    """
+    import math
+
+    from distributed_text_search_ray.pipelines.boolquery import boolean_search
+
+    qlist = [(int(q), str(s)) for q, s in queries]
+    hits = search_topk(index_dir, qlist, topk=k, concurrency=concurrency).take_all()
+    hit_set = {(r["query_id"], r["doc_id"]) for r in hits}
+
+    conj = [(qid, " AND ".join(text.split())) for qid, text in qlist]
+    rel = boolean_search(index_dir, conj, concurrency=concurrency)
+
+    n_rel_rows = rel.groupby("query_id").count().take_all()
+    n_rel = {r["query_id"]: r["count()"] for r in n_rel_rows}
+
+    def flag_hits(batch: pa.Table) -> pa.Table:
+        q = batch.column("query_id").to_numpy()
+        d = batch.column("doc_id").to_numpy()
+        keep = np.fromiter(
+            ((int(a), int(b)) in hit_set for a, b in zip(q, d)),
+            dtype=bool,
+            count=len(q),
+        )
+        return batch.filter(pa.array(keep))
+
+    rel_hits = {
+        (r["query_id"], r["doc_id"])
+        for r in rel.map_batches(flag_hits, batch_format="pyarrow").take_all()
+    }
+
+    by_q: dict[int, list[tuple[int, int]]] = {qid: [] for qid, _ in qlist}
+    for r in hits:
+        by_q[r["query_id"]].append((r["rank"], r["doc_id"]))
+
+    out = {"query_id": [], "n_rel": [], "hits_at_k": [], "ndcg": [], "mrr": [], "recall_k": []}
+    for qid, _ in sorted(qlist):
+        ranked = sorted(by_q[qid])
+        flags = [(rank, (qid, doc) in rel_hits) for rank, doc in ranked]
+        nrel = int(n_rel.get(qid, 0))
+        hits_k = sum(1 for _, f in flags if f)
+        dcg = sum(1.0 / math.log2(rank + 1) for rank, f in flags if f)
+        idcg = sum(1.0 / math.log2(i + 1) for i in range(1, min(k, nrel) + 1))
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        first = min((rank for rank, f in flags if f), default=0)
+        mrr = 1.0 / first if first else 0.0
+        recall = hits_k / nrel if nrel else 0.0
+        out["query_id"].append(qid)
+        out["n_rel"].append(nrel)
+        out["hits_at_k"].append(hits_k)
+        out["ndcg"].append(round_half_away(ndcg, 6))
+        out["mrr"].append(round_half_away(mrr, 6))
+        out["recall_k"].append(round_half_away(recall, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "n_rel": pa.array(out["n_rel"], type=pa.int64()),
+            "hits_at_k": pa.array(out["hits_at_k"], type=pa.int64()),
+            "ndcg": pa.array(out["ndcg"], type=pa.float64()),
+            "mrr": pa.array(out["mrr"], type=pa.float64()),
+            "recall_k": pa.array(out["recall_k"], type=pa.float64()),
+        }
+    )

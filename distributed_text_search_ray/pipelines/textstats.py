@@ -1527,3 +1527,84 @@ def regex_match_counts_indexed(
     for o in outs[1:]:
         ds = ds.union(o)
     return ds
+
+
+def heavy_hitter_terms(
+    docs: ray.data.Dataset,
+    k: int = 20,
+    sketch_k: int = 4096,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """Top-``k`` corpus terms by collection frequency via one-pass
+    Misra-Gries summaries: per input block a bounded sketch of at most
+    ``sketch_k`` (term, est_cf) rows, merged with ONE small groupby over
+    <= blocks x sketch_k rows — the whole-vocabulary term-count shuffle
+    (``top_terms``'s dictionary path, or a groupby over every distinct
+    term) never happens.
+
+    Guarantee (standard MG): each term's summed estimate undercounts its
+    true collection frequency by at most ``total_tokens / (sketch_k + 1)``
+    (per block, each decrement round removes ``sketch_k + 1`` token units,
+    so at most ``N_block/(sketch_k+1)`` rounds touch any term; sums of
+    block sketches keep the bound additive). Any term with
+    cf > total_tokens/(sketch_k+1) is guaranteed PRESENT in the merged
+    summary. The returned top-k order is exact whenever the (k+1)-th true
+    cf gap exceeds the bound — and bit-exact (estimates == true cf) when
+    ``sketch_k`` >= the block vocabulary, because no decrement ever fires:
+    that is the exactness-forcing conformance configuration the SQL twin
+    gates (same pattern as the ANN probe-all configs). The approximate
+    regime's undercount bound is pinned in pytest.
+
+    Scale shape: tokenize is the only corpus pass; the merge input is
+    O(blocks x sketch_k) regardless of vocabulary size — the operator for
+    "what dominates this 100 TB corpus" where the distinct-term set itself
+    is shuffle-prohibitive. Ties break by term ascending, as in the twin.
+    """
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        toks: list[str] = []
+        for text in batch.column("content").to_pylist():
+            toks.extend(tk.tokens(text))
+        if not toks:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "est_cf": pa.array([], type=pa.int64()),
+                }
+            )
+        enc = pa.array(toks, type=pa.string()).dictionary_encode()
+        counts = np.bincount(
+            enc.indices.to_numpy().astype(np.int64), minlength=len(enc.dictionary)
+        ).astype(np.int64)
+        if counts.size > sketch_k:
+            # one vectorized decrement round: subtracting the (sketch_k+1)-th
+            # largest count from every counter zeroes at least all but the
+            # top sketch_k — the batched equivalent of MG's unit decrements,
+            # with the same per-token-unit accounting
+            thresh = np.partition(counts, counts.size - (sketch_k + 1))[
+                counts.size - (sketch_k + 1)
+            ]
+            counts = counts - thresh
+        keep = counts > 0
+        return pa.table(
+            {
+                "term": pa.DictionaryArray.from_arrays(
+                    pa.array(np.flatnonzero(keep).astype(np.int32)), enc.dictionary
+                ).cast(pa.string()),
+                "est_cf": pa.array(counts[keep], type=pa.int64()),
+            }
+        )
+
+    merged = (
+        docs.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("est_cf")
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["est_cf" if c == "sum(est_cf)" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return merged.sort(["est_cf", "term"], descending=[True, False]).limit(k)

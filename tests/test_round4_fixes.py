@@ -1624,3 +1624,127 @@ def test_index_stats_match_corpus_ground_truth(code_corpus, tmp_path_factory):
     assert got["total_postings"] == float(len(postings))
     assert got["total_tokens"] == float(tokens)
     assert abs(got["avgdl"] - tokens / n_docs) < 1e-6
+
+
+# ------------------------------------------------------- heavy hitters (MG)
+
+def test_heavy_hitters_exact_config_matches_bruteforce(code_corpus):
+    """sketch_k >= vocab: no decrement fires, estimates are exact cf and
+    the top-k equals brute-force count order."""
+    from collections import Counter
+
+    import ray.data
+
+    from distributed_text_search_ray.functions.tokenize import tokenizer_for
+    from distributed_text_search_ray.pipelines.textstats import heavy_hitter_terms
+    from tests.conftest import corpus_docs
+
+    corpus_dir, _ = code_corpus
+    docs = corpus_docs(corpus_dir)
+    tk = tokenizer_for(None)
+    truth = Counter()
+    for _, content in docs:
+        truth.update(tk.tokens(content))
+    expected = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "content": c} for i, c in docs]
+    )
+    got = [
+        (r["term"], r["est_cf"])
+        for r in heavy_hitter_terms(ds, k=15, sketch_k=1_000_000).take_all()
+    ]
+    assert got == expected
+
+
+def test_heavy_hitters_mg_undercount_bound():
+    """Approximate regime: every estimate undercounts by at most
+    total_tokens/(sketch_k+1), and a term whose cf exceeds that bound is
+    guaranteed into the merged summary (the Misra-Gries guarantee,
+    summed over block sketches)."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+
+    from distributed_text_search_ray.pipelines.textstats import heavy_hitter_terms
+
+    rng = np.random.default_rng(11)
+    # zipf-ish stream: a few heavy terms + a long tail, split over many docs
+    vocab = [f"t{i}" for i in range(400)]
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    docs = []
+    for d in range(60):
+        toks = rng.choice(vocab, size=200, p=weights)
+        docs.append({"doc_id": d, "content": " ".join(toks)})
+    truth = Counter()
+    for doc in docs:
+        truth.update(doc["content"].split())
+    total = sum(truth.values())
+
+    sketch_k = 64
+    ds = ray.data.from_items(docs).repartition(8)
+    got = {
+        r["term"]: r["est_cf"]
+        for r in heavy_hitter_terms(ds, k=len(vocab), sketch_k=sketch_k).take_all()
+    }
+    bound = total / (sketch_k + 1)
+    for term, est in got.items():
+        true_cf = truth[term]
+        assert est <= true_cf
+        assert true_cf - est <= bound, (term, true_cf, est, bound)
+    for term, cf in truth.items():
+        if cf > bound:
+            assert term in got, (term, cf, bound)
+
+
+# ------------------------------------------------------------- rank_eval
+
+def test_rank_eval_matches_python_oracle(built_index_r3):
+    """nDCG/MRR/recall@k vs a from-scratch python computation: relevance =
+    docs containing every query token, ranking = the python BM25 oracle."""
+    import math
+
+    from distributed_text_search_ray.functions.tokenize import tokenizer_for
+    from distributed_text_search_ray.oracle import bm25_scores, build_oracle_index
+    from distributed_text_search_ray.pipelines.search import rank_eval
+    from distributed_text_search_ray.util import round_half_away
+    from tests.conftest import corpus_docs
+
+    corpus_dir, index_dir = built_index_r3
+    docs = corpus_docs(corpus_dir)
+    queries = [(0, "struct parse"), (1, "return"), (2, "zzz_nothing matches")]
+    k = 5
+
+    oi = build_oracle_index(docs)
+    tk = tokenizer_for(None)
+    got = rank_eval(index_dir, queries, k=k)
+    rows = {r["query_id"]: r for r in got.to_pylist()}
+    assert [r for r in sorted(rows)] == [0, 1, 2]
+
+    for qid, qtext in queries:
+        qtoks = set(tk.tokens(qtext))
+        rel = {
+            d
+            for d, content in docs
+            if qtoks and qtoks.issubset(set(tk.tokens(content)))
+        }
+        # engine rank contract: 6-dp-rounded score desc, doc_id asc
+        scores = bm25_scores(oi, tk.tokens(qtext))
+        ordered = sorted(
+            ((round_half_away(s, 6), d) for d, s in scores.items()),
+            key=lambda sd: (-sd[0], sd[1]),
+        )[:k]
+        top = [(r + 1, d) for r, (_, d) in enumerate(ordered)]
+        flags = [(rank, doc in rel) for rank, doc in top]
+        hits = sum(f for _, f in flags)
+        dcg = sum(1 / math.log2(rank + 1) for rank, f in flags if f)
+        idcg = sum(1 / math.log2(i + 1) for i in range(1, min(k, len(rel)) + 1))
+        first = min((rank for rank, f in flags if f), default=0)
+        r = rows[qid]
+        assert r["n_rel"] == len(rel)
+        assert r["hits_at_k"] == hits
+        assert r["ndcg"] == round_half_away(dcg / idcg if idcg else 0.0, 6)
+        assert r["mrr"] == round_half_away(1 / first if first else 0.0, 6)
+        assert r["recall_k"] == round_half_away(hits / len(rel) if rel else 0.0, 6)
