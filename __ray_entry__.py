@@ -1903,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": value_quantiles_by_type,
         "asof_purchase_click": asof_purchase_click,
         "fuzzy_term_stats": fuzzy_term_stats,
+        "fuzzy_topk": fuzzy_topk,
         "term_dictionary": term_dictionary,
         "events_window_1h": events_window_1h,
         "events_hopping": events_hopping,
