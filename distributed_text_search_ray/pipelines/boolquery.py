@@ -116,7 +116,9 @@ class _BooleanExecutor:
         return acc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_q, out_d = [], []
+        # match sets can be O(corpus) per query — assemble the output from
+        # the numpy arrays directly, never through Python int lists
+        qids, accs = [], []
         for qid, q in zip(
             batch.column("query_id").to_pylist(), batch.column("query").to_pylist()
         ):
@@ -124,12 +126,18 @@ class _BooleanExecutor:
             acc = self._eval_conj(groups[0])
             for g in groups[1:]:
                 acc = np.union1d(acc, self._eval_conj(g))
-            out_q.extend([int(qid)] * len(acc))
-            out_d.extend(acc.tolist())
+            qids.append(int(qid))
+            accs.append(acc.astype(np.int64, copy=False))
+        counts = np.fromiter((len(a) for a in accs), dtype=np.int64, count=len(accs))
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "doc_id": pa.array(out_d, type=pa.int64()),
+                "query_id": pa.array(
+                    np.repeat(np.asarray(qids, dtype=np.int64), counts), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(accs) if accs else np.empty(0, dtype=np.int64),
+                    type=pa.int64(),
+                ),
             }
         )
 
@@ -141,11 +149,14 @@ def boolean_search(
 ) -> ray.data.Dataset:
     """(query_id, doc_id) for every doc satisfying each boolean query."""
     items = [{"query_id": int(q), "query": str(s)} for q, s in queries]
+    # batch_size=1: one query = one task, so a small interactive batch uses
+    # the whole actor pool instead of serializing inside one actor (match
+    # sets are corpus-scale, so per-query work dwarfs per-task overhead)
     return ray.data.from_items(items).map_batches(
         _BooleanExecutor,
         fn_constructor_kwargs={"index_dir": index_dir},
         batch_format="pyarrow",
-        batch_size=8,
+        batch_size=1,
         concurrency=resolve_concurrency(concurrency),
     )
 

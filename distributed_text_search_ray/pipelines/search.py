@@ -2564,23 +2564,46 @@ def rank_eval(
     conj = [(qid, " AND ".join(text.split())) for qid, text in qlist]
     rel = boolean_search(index_dir, conj, concurrency=concurrency)
 
-    n_rel_rows = rel.groupby("query_id").count().take_all()
-    n_rel = {r["query_id"]: r["count()"] for r in n_rel_rows}
+    # ONE fused pass over the relevance rows (consuming the dataset twice
+    # would re-run the boolean postings pass): per batch, a per-query count
+    # partial plus the relevant-flags of only the top-k hits — both bounded.
+    # Count partials carry doc_id = -1 (real doc ids are non-negative).
+    hit_docs = {qid: np.sort(np.array(
+        [d for q2, d in hit_set if q2 == qid], dtype=np.int64
+    )) for qid, _ in qlist}
 
-    def flag_hits(batch: pa.Table) -> pa.Table:
+    def partials(batch: pa.Table) -> pa.Table:
         q = batch.column("query_id").to_numpy()
         d = batch.column("doc_id").to_numpy()
-        keep = np.fromiter(
-            ((int(a), int(b)) in hit_set for a, b in zip(q, d)),
-            dtype=bool,
-            count=len(q),
+        uq, counts = np.unique(q, return_counts=True)
+        out_q = [uq]
+        out_d = [np.full(len(uq), -1, dtype=np.int64)]
+        out_n = [counts.astype(np.int64)]
+        for qid in uq:
+            hd = hit_docs.get(int(qid))
+            if hd is None or not len(hd):
+                continue
+            mine = d[q == qid]
+            flagged = mine[np.isin(mine, hd, assume_unique=False)]
+            if len(flagged):
+                out_q.append(np.full(len(flagged), qid, dtype=np.int64))
+                out_d.append(flagged)
+                out_n.append(np.zeros(len(flagged), dtype=np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+                "n_part": pa.array(np.concatenate(out_n), type=pa.int64()),
+            }
         )
-        return batch.filter(pa.array(keep))
 
-    rel_hits = {
-        (r["query_id"], r["doc_id"])
-        for r in rel.map_batches(flag_hits, batch_format="pyarrow").take_all()
-    }
+    n_rel: dict[int, int] = {}
+    rel_hits: set[tuple[int, int]] = set()
+    for r in rel.map_batches(partials, batch_format="pyarrow").take_all():
+        if r["doc_id"] < 0:
+            n_rel[r["query_id"]] = n_rel.get(r["query_id"], 0) + r["n_part"]
+        else:
+            rel_hits.add((r["query_id"], r["doc_id"]))
 
     by_q: dict[int, list[tuple[int, int]]] = {qid: [] for qid, _ in qlist}
     for r in hits:
