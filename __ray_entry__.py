@@ -689,6 +689,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rank_eval(_index_for(sf_dir), BM25_QUERIES, k=BM25_TOPK)
 
+    def ccnet_buckets(sf_dir):
+        # CCNet head/middle/tail corpus split by unigram-logperp terciles —
+        # same vocab_size=256 model as the proven unigram_logperp gate, so
+        # the OOV-mass path is exercised; cutpoints via the distributed
+        # float_quantiles selection (the value_quantiles-proven machinery)
+        return textstats.perplexity_buckets(_docs_ds(sf_dir), vocab_size=256)
+
     def heavy_hitters(sf_dir):
         # one-pass Misra-Gries top-20 terms: per-block bounded sketches +
         # one merge over <= blocks x sketch_k rows — no whole-vocabulary
@@ -1843,7 +1850,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row; the camelCase/snake_case QUERY strings only match via
         # identifier splitting, so the row genuinely gates the feature
         "bm25_topk_subtoken": bm25_topk_subtoken,
-        "bm25_topk_merged": bm25_topk_merged,
+        # new this round: CCNet perplexity bucketing — takes the first-50
+        # slot of bm25_topk_merged (green r2/r3; moved to the tail)
+        "ccnet_buckets": ccnet_buckets,
         "apm_counts": apm_counts,
         "apm_counts_concat": apm_counts_concat,
         # new in this session: whole-term regexp term queries — take the
@@ -1880,6 +1889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
         "embedding_dup_pairs": embedding_dup_pairs,  # green r1/r2/r3
+        "bm25_topk_merged": bm25_topk_merged,  # green r2/r3
         "ann_cosine_topk": ann_cosine_topk,  # green r1/r3
         "prefix_stats": prefix_stats,
         "prefix_topk": prefix_topk,
@@ -3172,6 +3182,34 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(v), 6) AS logperp
 FROM nll GROUP BY 1
 """
 
+    # ccnet_buckets twin: the unigram-logperp CTEs verbatim, then
+    # quantile_disc tercile cutpoints and the <=-chain CASE (ties at a
+    # cutpoint go to the lower bucket, matching the engine's side='left'
+    # searchsorted)
+    ccnet_buckets_sql = f"""
+WITH {_TOK_CTE},
+counts AS (SELECT term, count(*)::BIGINT c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE t FROM counts),
+topv AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT 256),
+oovm AS (SELECT (SELECT t FROM tot) - (SELECT sum(c)::DOUBLE FROM topv) o),
+nll AS (
+  SELECT tok.doc_id,
+         CASE WHEN topv.term IS NOT NULL THEN -ln(topv.c / (SELECT t FROM tot))
+              ELSE -ln((SELECT o FROM oovm) / (SELECT t FROM tot)) END v
+  FROM tok LEFT JOIN topv ON tok.term = topv.term
+),
+lp AS (SELECT doc_id, round(avg(v), 6) AS logperp FROM nll GROUP BY 1),
+cuts AS (
+  SELECT quantile_disc(logperp, 1.0/3.0) c1, quantile_disc(logperp, 2.0/3.0) c2
+  FROM lp
+)
+SELECT lp.doc_id, lp.logperp,
+       CASE WHEN lp.logperp <= cuts.c1 THEN 'head'
+            WHEN lp.logperp <= cuts.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lp, cuts
+"""
+
     # index-stats twin: every bookkeeping number recomputed from the raw
     # corpus — a mismatch means the build's dictionary/stat accounting
     # drifted from the data
@@ -4392,6 +4430,7 @@ FROM walk
         "length_quantiles": quantiles_sql,
         "repetition_scores": repetition_sql,
         "unigram_logperp": unigram_logperp_sql,
+        "ccnet_buckets": ccnet_buckets_sql,
         "bigram_logperp": bigram_logperp_sql,
         "redact_props": redact_sql,
         "curated_corpus": curated_sql,

@@ -1608,3 +1608,46 @@ def heavy_hitter_terms(
         )
     )
     return merged.sort(["est_cf", "term"], descending=[True, False]).limit(k)
+
+
+def perplexity_buckets(
+    docs: ray.data.Dataset,
+    vocab_size: int = 4096,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """CCNet-style head/middle/tail corpus split by per-document unigram
+    log-perplexity terciles (Wenzek et al. 2020: keep the "head" of the
+    perplexity distribution as the highest-quality slice, sample the rest).
+
+    Composition of two existing distributed primitives, no new shuffle
+    machinery: ``unigram_logperp`` (one corpus pass against the broadcast
+    truncated-vocab model) materialized once, then exact tercile cutpoints
+    via ``float_quantiles`` distributed selection (bounded driver state),
+    then one assign pass against the two broadcast cutpoints. Output:
+    ``(doc_id, logperp, bucket)`` with bucket in {'head','middle','tail'};
+    ties at a cutpoint go to the LOWER bucket (v <= cut), mirroring the
+    SQL twin's CASE chain on ``quantile_disc`` cutpoints. Zero-token docs
+    are omitted (no logperp is defined for them), as in
+    ``unigram_logperp``.
+    """
+    from distributed_text_search_ray.pipelines.relational import float_quantiles
+
+    lp = unigram_logperp(docs, vocab_size=vocab_size, analyzer=analyzer).materialize()
+    cut_rows = float_quantiles(lp, "logperp", qs=(1.0 / 3.0, 2.0 / 3.0)).take_all()
+    cuts = np.array(
+        [r["value"] for r in sorted(cut_rows, key=lambda r: r["q"])], dtype=np.float64
+    )
+    labels = np.array(["head", "middle", "tail"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch.column("logperp").to_numpy()
+        b = np.searchsorted(cuts, v, side="left")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "logperp": batch.column("logperp"),
+                "bucket": pa.array(labels[b], type=pa.string()),
+            }
+        )
+
+    return lp.map_batches(assign, batch_format="pyarrow")

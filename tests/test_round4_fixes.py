@@ -1748,3 +1748,40 @@ def test_rank_eval_matches_python_oracle(built_index_r3):
         assert r["ndcg"] == round_half_away(dcg / idcg if idcg else 0.0, 6)
         assert r["mrr"] == round_half_away(1 / first if first else 0.0, 6)
         assert r["recall_k"] == round_half_away(hits / len(rel) if rel else 0.0, 6)
+
+
+def test_perplexity_buckets_tercile_masses_and_tie_rule():
+    """Bucket masses follow ceil-rank tercile cutpoints (head gets ceil(N/3)
+    rows incl. cutpoint ties), every doc bucketed exactly once, and bucket
+    membership is monotone in logperp."""
+    import numpy as np
+    import ray.data
+
+    from distributed_text_search_ray.pipelines.textstats import (
+        perplexity_buckets,
+        unigram_logperp,
+    )
+
+    rng = np.random.default_rng(3)
+    docs = []
+    vocab = [f"w{i}" for i in range(50)]
+    for d in range(90):
+        toks = rng.choice(vocab, size=rng.integers(5, 40))
+        docs.append({"doc_id": d, "content": " ".join(toks)})
+    ds = ray.data.from_items(docs).repartition(4)
+
+    got = perplexity_buckets(ds, vocab_size=16).take_all()
+    lp = {r["doc_id"]: r["logperp"] for r in unigram_logperp(ds, vocab_size=16).take_all()}
+    assert len(got) == len(lp)  # every scored doc bucketed exactly once
+    assert {r["doc_id"] for r in got} == set(lp)
+    for r in got:
+        assert r["logperp"] == lp[r["doc_id"]]
+
+    vals = np.sort(np.array(list(lp.values())))
+    n = len(vals)
+    c1 = vals[int(np.ceil(n / 3.0)) - 1]          # quantile_disc(1/3)
+    c2 = vals[int(np.ceil(2.0 * n / 3.0)) - 1]    # quantile_disc(2/3)
+    for r in got:
+        v = r["logperp"]
+        want = "head" if v <= c1 else ("middle" if v <= c2 else "tail")
+        assert r["bucket"] == want, (r, c1, c2)
