@@ -696,6 +696,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # float_quantiles selection (the value_quantiles-proven machinery)
         return textstats.perplexity_buckets(_docs_ds(sf_dir), vocab_size=256)
 
+    def collocations_q(sf_dir):
+        # top-20 within-doc bigrams by PMI (word2vec-style phrase
+        # detection); min_count=5 drops noise-PMI tail pairs; the PMI
+        # floating expression is mirrored shape-for-shape in the twin
+        return textstats.collocations(_docs_ds(sf_dir), top_n=20, min_count=5)
+
     def heavy_hitters(sf_dir):
         # one-pass Misra-Gries top-20 terms: per-block bounded sketches +
         # one merge over <= blocks x sketch_k rows — no whole-vocabulary
@@ -1873,7 +1879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_mix": token_budget_mix,
         "doc_chunks": doc_chunks,
         "pack_sequences": pack_sequences,
-        "curated_corpus": curated_corpus,
+        # new this round: PMI collocations — takes the first-50 slot of
+        # curated_corpus (green r2/r3; moved to the tail)
+        "collocations": collocations_q,
         # newly SQL-gated in r4 (recall-exact shingle-bucket config) —
         # needs a first-50 slot for its first driver-verified row
         "near_dedup": near_dedup,
@@ -1890,6 +1898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- position 51+ (driver budget permitting) ---------
         "embedding_dup_pairs": embedding_dup_pairs,  # green r1/r2/r3
         "bm25_topk_merged": bm25_topk_merged,  # green r2/r3
+        "curated_corpus": curated_corpus,  # green r2/r3
         "ann_cosine_topk": ann_cosine_topk,  # green r1/r3
         "prefix_stats": prefix_stats,
         "prefix_topk": prefix_topk,
@@ -4027,6 +4036,37 @@ SELECT bigram, count(*)::BIGINT n FROM big GROUP BY 1
 ORDER BY n DESC, bigram LIMIT 20
 """
 
+    # collocations twin: unigram + bigram counts from the same split, PMI
+    # in the engine's exact floating expression shape, min_count>=5 filter
+    collocations_sql = f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+uni AS (
+  SELECT l[t.i] term
+  FROM toks, unnest(range(1, len(l) + 1)) AS t(i)
+),
+ucnt AS (SELECT term, count(*)::DOUBLE c FROM uni GROUP BY 1),
+tot AS (SELECT sum(c) t FROM ucnt),
+big AS (
+  SELECT l[t.i] a, l[t.i + 1] b2, l[t.i] || ' ' || l[t.i + 1] AS bigram
+  FROM toks, unnest(range(1, len(l))) AS t(i)
+),
+btot AS (SELECT count(*)::DOUBLE bt FROM big),
+bcnt AS (
+  SELECT a, b2, bigram, count(*)::BIGINT n
+  FROM big GROUP BY 1, 2, 3 HAVING count(*) >= 5
+),
+pmi AS (
+  SELECT bigram, n,
+         round(ln((n::DOUBLE / btot.bt) / ((ua.c / tot.t) * (ub.c / tot.t))), 6) pmi
+  FROM bcnt
+  JOIN ucnt ua ON ua.term = bcnt.a
+  JOIN ucnt ub ON ub.term = bcnt.b2, tot, btot
+)
+SELECT bigram, n, pmi FROM pmi ORDER BY pmi DESC, bigram LIMIT 20
+"""
+
     kmv_sql = f"""
 WITH {_TOK_CTE},
 hs AS (SELECT DISTINCT md5_number_lower(term) % 9007199254740992 AS h FROM tok),
@@ -4466,6 +4506,7 @@ FROM walk
         "doc_chunks": doc_chunks_sql,
         "pack_sequences": pack_sql,
         "bigram_top20": bigram_sql,
+        "collocations": collocations_sql,
         "distinct_terms_kmv": kmv_sql,
         "top_docs_lang": top_docs_lang_sql,
         "simhash_fp": simhash_fp_sql,

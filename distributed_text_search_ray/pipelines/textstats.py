@@ -1651,3 +1651,135 @@ def perplexity_buckets(
         )
 
     return lp.map_batches(assign, batch_format="pyarrow")
+
+
+def collocations(
+    docs: ray.data.Dataset,
+    top_n: int = 20,
+    min_count: int = 5,
+    analyzer: AnalyzerConfig | None = None,
+) -> ray.data.Dataset:
+    """Top-N collocations: within-document token bigrams ranked by pointwise
+    mutual information — the word2vec-style phrase-detection pass of a
+    training-data pipeline (merge "new york"-like units before tokenizer
+    training). ``pmi = ln((c_ab/B) / ((c_a/T) * (c_b/T)))`` with T = total
+    tokens, B = total bigram occurrences, computed in exactly that floating
+    expression shape on both the Ray and SQL sides; bigrams below
+    ``min_count`` are dropped (PMI is noise at tiny counts). Output
+    ``(bigram, n, pmi)``, pmi desc / bigram asc.
+
+    Shape: ONE fused tokenize pass emits per-batch partial rows for both
+    unigram and bigram counts (+ a nonempty-doc counter: B = T - D1 needs
+    no second stream); the unigram model reduces to a vocabulary-bounded
+    table broadcast via ``ray.put`` (same bounded-model convention as
+    ``unigram_logperp``), while bigrams — the vocab^2-sized side — reduce
+    inside 64 coarse hash groups with an Arrow hash aggregate and a LOCAL
+    top-N (each bigram lives in exactly one group, so the global top-N is
+    a subset of the 64 local top-Ns; the ``bigram_counts`` idiom)."""
+    import ray as _ray
+
+    from distributed_text_search_ray.functions.hashing import md5_u64
+
+    KIND_UNI, KIND_BI, KIND_D1 = 0, 1, 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        tk = tokenizer_for(analyzer)
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        d1 = 0
+        for text in batch.column("content").to_pylist():
+            toks = tk.tokens(text)
+            if toks:
+                d1 += 1
+            uni.update(toks)
+            bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        keys = list(uni.keys()) + list(bi.keys()) + [""]
+        kinds = [KIND_UNI] * len(uni) + [KIND_BI] * len(bi) + [KIND_D1]
+        ns = list(uni.values()) + list(bi.values()) + [d1]
+        return pa.table(
+            {
+                "cg": pa.array(
+                    [md5_u64(k) % 64 for k in keys], type=pa.int64()
+                ),
+                "kind": pa.array(kinds, type=pa.int8()),
+                "key": pa.array(keys, type=pa.string()),
+                "n_part": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def sum_by_key(g: pa.Table) -> pa.Table:
+        return agg_rename(
+            g.select(["key", "n_part"]).group_by("key").aggregate([("n_part", "sum")]),
+            ["key"],
+            [("n_part", "sum")],
+            ["n"],
+        )
+
+    uni_rows = (
+        parts.filter(expr="kind == 0")
+        .groupby("cg")
+        .map_groups(sum_by_key, batch_format="pyarrow")
+        .take_all()
+    )
+    c_uni = {r["key"]: float(r["n"]) for r in uni_rows}
+    T = float(sum(c_uni.values()))
+    d1 = float(parts.filter(expr="kind == 2").sum("n_part") or 0)
+    B = T - d1
+    if B <= 0 or T <= 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "bigram": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "pmi": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    uni_ref = _ray.put(c_uni)
+
+    def pmi_topn(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cu = _ray.get(uni_ref)
+        agg = sum_by_key(g)
+        n = agg.column("n").to_numpy()
+        keep = n >= min_count
+        agg = agg.filter(pa.array(keep))
+        if not agg.num_rows:
+            return pa.table(
+                {
+                    "bigram": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "pmi": pa.array([], type=pa.float64()),
+                }
+            )
+        bigrams = agg.column("key").to_pylist()
+        n = agg.column("n").to_numpy().astype(np.float64)
+        ca = np.array([cu[s.split(" ", 1)[0]] for s in bigrams])
+        cb = np.array([cu[s.split(" ", 1)[1]] for s in bigrams])
+        pmi = round_half_away(np.log((n / B) / ((ca / T) * (cb / T))), 6)
+        out = pa.table(
+            {
+                "bigram": pa.array(bigrams, type=pa.string()),
+                "n": pa.array(n.astype(np.int64), type=pa.int64()),
+                "pmi": pa.array(pmi, type=pa.float64()),
+            }
+        )
+        if out.num_rows > top_n:
+            idx = pc.select_k_unstable(
+                out, k=top_n, sort_keys=[("pmi", "descending"), ("bigram", "ascending")]
+            )
+            out = out.take(idx)
+        return out
+
+    return (
+        parts.filter(expr="kind == 1")
+        .groupby("cg")
+        .map_groups(pmi_topn, batch_format="pyarrow")
+        .sort(["pmi", "bigram"], descending=[True, False])
+        .limit(top_n)
+    )

@@ -1785,3 +1785,53 @@ def test_perplexity_buckets_tercile_masses_and_tie_rule():
         v = r["logperp"]
         want = "head" if v <= c1 else ("middle" if v <= c2 else "tail")
         assert r["bucket"] == want, (r, c1, c2)
+
+
+def test_collocations_matches_bruteforce_pmi():
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+
+    from distributed_text_search_ray.functions.tokenize import tokenizer_for
+    from distributed_text_search_ray.pipelines.textstats import collocations
+    from distributed_text_search_ray.util import round_half_away
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(80):
+        toks = list(rng.choice(vocab, size=rng.integers(0, 30)))
+        if rng.random() < 0.5:
+            toks += ["new", "york"] * rng.integers(1, 4)  # a planted collocation
+        docs.append({"doc_id": d, "content": " ".join(toks)})
+
+    tk = tokenizer_for(None)
+    uni, bi = Counter(), Counter()
+    d1 = 0
+    for doc in docs:
+        toks = tk.tokens(doc["content"])
+        d1 += bool(toks)
+        uni.update(toks)
+        bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    T = float(sum(uni.values()))
+    B = T - d1
+    exp = []
+    for s, n in bi.items():
+        if n < 3:
+            continue
+        a, b = s.split(" ", 1)
+        exp.append(
+            (s, n, round_half_away(math.log((n / B) / ((uni[a] / T) * (uni[b] / T))), 6))
+        )
+    exp.sort(key=lambda r: (-r[2], r[0]))
+    exp = exp[:10]
+
+    ds = ray.data.from_items(docs).repartition(5)
+    got = [
+        (r["bigram"], r["n"], r["pmi"])
+        for r in collocations(ds, top_n=10, min_count=3).take_all()
+    ]
+    assert got == exp
+    assert any(b == "new york" for b, _, _ in got)  # the planted phrase surfaces
