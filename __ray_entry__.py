@@ -183,6 +183,18 @@ TOK_SQL = "list_filter(string_split_regex(lower({col}), '[^a-z0-9_]+'), x -> x <
 DSIR_BUCKETS = 1024
 DSIR_TARGET_LANG = "en"
 
+# Naive Bayes language classifier (pipelines/classify.py): train on the
+# even-id half (labels = lang), predict the odd-id half. Same 1024-bucket
+# hashed-feature space as DSIR.
+NB_BUCKETS = 1024
+NB_ALPHA = 1.0
+
+# BPE tokenizer training (pipelines/bpe.py): number of merge rounds the
+# driver gate learns (each is one chained-CTE round in the SQL twin) and
+# the vocabulary cap (top words by count desc, term asc).
+BPE_MERGES = 6
+BPE_MAX_VOCAB = 100_000
+
 # tombstone-delete demo set: doc_id % DELETE_MOD == DELETE_REM (10% of docs)
 DELETE_MOD, DELETE_REM = 10, 7
 # upsert demo set: docs with doc_id % UPSERT_MOD == UPSERT_REM are REPLACED
@@ -501,6 +513,31 @@ def _docs_side(sf_dir: str, rem: int):
         return t.filter(pa.array(ids % 2 == rem))
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _docs_with_lang(sf_dir: str, rem: int | None = None):
+    """(doc_id, content, lang), optionally restricted to doc_id % 2 == rem."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "content": t.column("text"),
+                "lang": t.column("lang"),
+            }
+        )
+        if rem is None:
+            return out
+        ids = out.column("doc_id").to_numpy()
+        return out.filter(pa.array(ids % 2 == rem))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def _band_index_for(sf_dir: str) -> str:
@@ -967,6 +1004,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # target is a slice of the pool -> fused single-pass model fit
         return dsir_importance_weights(
             docs, buckets=DSIR_BUCKETS, alpha=0.5, target_flag="is_target"
+        )
+
+    # NB classifier: the model is fit once per sf_dir and the odd-half
+    # predictions materialized once — nb_lang_predict and nb_confusion are
+    # two readouts of the same artifact (the _dup_state sharing pattern)
+    _nb_state: dict[str, Any] = {}
+
+    def _nb_preds_for(sf_dir):
+        if sf_dir not in _nb_state:
+            from distributed_text_search_ray.pipelines import classify
+
+            model = classify.nb_fit(
+                _docs_with_lang(sf_dir, rem=0),
+                label_col="lang",
+                buckets=NB_BUCKETS,
+                alpha=NB_ALPHA,
+            )
+            _nb_state[sf_dir] = classify.nb_predict(
+                _docs_with_lang(sf_dir, rem=1), model, keep_cols=("lang",)
+            ).materialize()
+        return _nb_state[sf_dir]
+
+    def nb_lang_predict(sf_dir):
+        # fastText-style hashed-NB language ID: train even-id docs, score
+        # odd-id docs; (doc_id, predicted, score 6dp) — argmax + tie rule
+        # mirrored exactly in the twin
+        return _nb_preds_for(sf_dir).select_columns(
+            ["doc_id", "predicted", "score"]
+        )
+
+    def nb_confusion(sf_dir):
+        # classifier evaluation readout: (lang, predicted, n_docs) over the
+        # same prediction artifact
+        from distributed_text_search_ray.pipelines import classify
+
+        return classify.nb_confusion(_nb_preds_for(sf_dir), truth_col="lang")
+
+    # BPE training: merges learned once per sf_dir, shared by both readouts
+    _bpe_state: dict[str, Any] = {}
+
+    def _bpe_merges_for(sf_dir):
+        if sf_dir not in _bpe_state:
+            from distributed_text_search_ray.pipelines import bpe
+
+            _bpe_state[sf_dir] = bpe.bpe_train(
+                _docs_ds(sf_dir),
+                num_merges=BPE_MERGES,
+                max_vocab=BPE_MAX_VOCAB,
+            )
+        return _bpe_state[sf_dir]
+
+    def bpe_merges(sf_dir):
+        # distributed BPE tokenizer training: the learned merge table
+        # (rank, lhs, rhs, pair_count) — twin replays every round via
+        # chained wrapped-string replace CTEs
+        return _bpe_merges_for(sf_dir)
+
+    def bpe_token_counts(sf_dir):
+        # apply side: per-doc token/subtoken counts under the learned
+        # merges (the sequence-length accounting a packing/budget stage
+        # would consume)
+        from distributed_text_search_ray.pipelines import bpe
+
+        return bpe.bpe_encode_token_counts(
+            _docs_ds(sf_dir), _bpe_merges_for(sf_dir)
         )
 
     def bm25_topk_filtered(sf_dir):
@@ -1795,21 +1897,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # redact_props, lang_stats) to positions 51+. Oracle-gated entries still
     # run before rows-only ones within each region.
     return {
-        "bm25_topk": bm25_topk,
-        # new this round: ranking-quality evaluation (nDCG/MRR/recall@k) —
-        # takes the first-50 slot of embedding_dup_pairs (green r1/r2/r3;
-        # moved to the tail section)
+        # The driver evaluates the FIRST 50 entries. Every slot below is
+        # either (a) never driver-checked in any round, or (b) new this
+        # round — multi-round-green entries all sit at position 51+.
+        # new in r5: distributed BPE tokenizer training + apply — take the
+        # first-50 slots of bm25_topk / ann_hard_negatives (green r1-r3)
+        "bpe_merges": bpe_merges,
+        "bpe_token_counts": bpe_token_counts,
+        # new in r5: hashed-NB language classifier — takes the first-50
+        # slot of ann_lsh_topk (green r3)
+        "nb_lang_predict": nb_lang_predict,
+        # new in r4: ranking-quality evaluation (nDCG/MRR/recall@k)
         "rank_eval_bm25": rank_eval_bm25,
-        # new this round: exact substring search over the trigram index —
-        # takes the first-50 slot of embedding_deduped (green r3; moved to
-        # the tail section)
+        # new in r4: exact substring search over the trigram index
         "substring_counts": substring_counts,
-        # new this round: one-pass Misra-Gries heavy hitters — takes the
-        # first-50 slot of ann_cosine_topk (green r1/r3; moved to the tail)
+        # new in r4: one-pass Misra-Gries heavy hitters
         "heavy_hitters": heavy_hitters,
-        "ann_hard_negatives": ann_hard_negatives,
-        "ann_lsh_topk": ann_lsh,
-        "ann_ivf_topk": ann_ivf,
         "ann_filtered_topk": ann_filtered,
         "significant_terms": significant_terms_q,
         "bm25_topk_rescored": bm25_topk_rescored,
@@ -1859,19 +1962,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round: CCNet perplexity bucketing — takes the first-50
         # slot of bm25_topk_merged (green r2/r3; moved to the tail)
         "ccnet_buckets": ccnet_buckets,
-        "apm_counts": apm_counts,
-        "apm_counts_concat": apm_counts_concat,
+        # never-driver-checked through r3 — take the first-50 slots of
+        # apm_counts / apm_counts_concat (both green r1-r3)
+        "bm25f_true_topk": bm25f_true_topk,
+        "top_hits_per_lang": top_hits_per_lang,
         # new in this session: whole-term regexp term queries — take the
         # first-50 slots of prefix_stats/prefix_topk (green r3; same
         # expansion family, so the shared machinery stays driver-covered)
         "regexp_stats": regexp_stats,
         "regexp_topk": regexp_topk,
-        "bm25_topk_boolfiltered": bm25_topk_boolfiltered,
-        "bm25_topk_rangefiltered": bm25_topk_rangefiltered,
+        # never-driver-checked through r3 — take the first-50 slots of
+        # bm25_topk_boolfiltered / bm25_topk_rangefiltered (green r3)
+        "bigram_logperp": bigram_logperp,
+        "phrase_suggest": phrase_suggest,
         # new in this session: Dirichlet query-likelihood ranking — takes
         # the first-50 slot of fuzzy_topk (green r3; the fuzzy family stays
         # covered by fuzzy_term_stats' r3 row)
         "ql_topk": ql_topk,
+        # never-driver-checked through r3 — takes the freed slot from the
+        # net -1 of the bpe/nb swap block above
+        "index_stats": index_stats,
         # --- never-driver-checked through r3, oracle-gated (VERDICT item 1)
         "dup_span_edited": dup_span_edited,
         "proximity_search": proximity,
@@ -1896,6 +2006,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of top_terms_nostop (green r2+r3) so it gets a driver row at once
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
+        # second readout of the nb prediction artifact (its per-doc sibling
+        # holds the first-50 slot); crosscheck gates it every session
+        "nb_confusion": nb_confusion,
+        "bm25_topk": bm25_topk,  # green r1/r2/r3
+        "ann_hard_negatives": ann_hard_negatives,  # green r3
+        "ann_lsh_topk": ann_lsh,  # green r3
+        "ann_ivf_topk": ann_ivf,  # green r3
+        "apm_counts": apm_counts,  # green r1-r3
+        "apm_counts_concat": apm_counts_concat,  # green r1-r3
+        "bm25_topk_boolfiltered": bm25_topk_boolfiltered,  # green r3
+        "bm25_topk_rangefiltered": bm25_topk_rangefiltered,  # green r3
         "embedding_dup_pairs": embedding_dup_pairs,  # green r1/r2/r3
         "bm25_topk_merged": bm25_topk_merged,  # green r2/r3
         "curated_corpus": curated_corpus,  # green r2/r3
@@ -1913,8 +2034,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "term_dictionary_stemmed": term_dictionary_stemmed,
         "synonym_topk": synonym_topk,
-        "bm25f_true_topk": bm25f_true_topk,
-        "top_hits_per_lang": top_hits_per_lang,
         "tpch_q1": tpch_q1,
         "tpch_q6": tpch_q6,
         "user_event_gaps": user_event_gaps,
@@ -1937,7 +2056,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": length_quantiles,
         "repetition_scores": repetition_scores,
         "unigram_logperp": unigram_logperp,
-        "bigram_logperp": bigram_logperp,
         "redact_props": redact_props,
         "lang_stats": lang_stats,
         "embedding_deduped": embedding_deduped,
@@ -1956,8 +2074,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": search_snippets,
         "more_like_this": more_like_this,
         "spell_suggest": spell_suggest,
-        "phrase_suggest": phrase_suggest,
-        "index_stats": index_stats,
         "doc_keywords": doc_keywords,
         "regex_counts": regex_counts,
         "facet_lang": facet_lang,
@@ -2719,6 +2835,121 @@ SELECT db.doc_id,
 FROM db JOIN lr USING (bucket)
 GROUP BY db.doc_id
 """
+
+    # Naive Bayes language classifier (pipelines/classify.py): same bucket
+    # hash as the DSIR twin; Laplace-smoothed log p(bucket|lang) over every
+    # (test-doc bucket, train lang) pair; per-(doc, lang) scores accumulate
+    # per (doc, bucket) — the engine's addend multiset — and round to 6 dp
+    # BEFORE the argmax; ties break to the smallest lang on both sides.
+    _NB, _NA = NB_BUCKETS, NB_ALPHA
+    nb_sql = f"""
+WITH {_TOK_CTE},
+b AS (SELECT doc_id, (md5_number_lower(term) % {_NB})::BIGINT bucket FROM tok),
+langs AS (SELECT DISTINCT lang FROM documents WHERE doc_id % 2 = 0),
+trainb AS (
+  SELECT b.bucket, d.lang, count(*)::DOUBLE c
+  FROM b JOIN documents d USING (doc_id) WHERE d.doc_id % 2 = 0 GROUP BY 1, 2
+),
+ltot AS (
+  SELECT l.lang, coalesce(sum(t.c), 0)::DOUBLE t
+  FROM langs l LEFT JOIN trainb t USING (lang) GROUP BY 1
+),
+prior AS (SELECT lang, count(*)::DOUBLE n FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+ntrain AS (
+  SELECT count(*)::DOUBLE n, count(DISTINCT lang)::DOUBLE l
+  FROM documents WHERE doc_id % 2 = 0
+),
+tb AS (
+  SELECT b.doc_id, b.bucket, count(*)::DOUBLE c
+  FROM b JOIN documents d USING (doc_id) WHERE d.doc_id % 2 = 1 GROUP BY 1, 2
+),
+tbk AS (SELECT DISTINCT bucket FROM tb),
+lp AS (
+  SELECT k.bucket, l.lang,
+         ln((coalesce(t.c, 0) + {_NA}) / (lt.t + {_NA} * {_NB})) lp
+  FROM tbk k CROSS JOIN langs l
+  LEFT JOIN trainb t ON t.bucket = k.bucket AND t.lang = l.lang
+  JOIN ltot lt ON lt.lang = l.lang
+),
+sc AS (
+  SELECT tb.doc_id, lp.lang,
+         round(ln((p.n + {_NA}) / (nt.n + {_NA} * nt.l)) + sum(tb.c * lp.lp), 6) score
+  FROM tb JOIN lp USING (bucket) JOIN prior p ON p.lang = lp.lang, ntrain nt
+  GROUP BY tb.doc_id, lp.lang, p.n, nt.n, nt.l
+),
+best AS (
+  SELECT doc_id, lang predicted, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) rn
+  FROM sc
+)"""
+    nb_predict_sql = (
+        nb_sql + "\nSELECT doc_id, predicted, score FROM best WHERE rn = 1"
+    )
+    nb_confusion_sql = (
+        nb_sql
+        + """,
+pred AS (SELECT doc_id, predicted FROM best WHERE rn = 1)
+SELECT d.lang, p.predicted, count(*)::BIGINT n_docs
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY 1, 2"""
+    )
+
+    # BPE tokenizer training (pipelines/bpe.py): word counts -> top
+    # BPE_MAX_VOCAB vocabulary -> BPE_MERGES unrolled merge rounds. Each
+    # word is a '|sym1||sym2|...'-wrapped symbol string; a round counts
+    # adjacent pairs (list_zip over the split symbols, weighted by word
+    # count), picks argmax by (count desc, lhs, rhs), and applies the merge
+    # via replace('|l||r|' -> '|lr|') — non-overlapping left-to-right,
+    # exactly the engine's greedy per-word scan (pipelines/bpe.py
+    # _merge_word). The kmeans/semantic_dedup unrolled-CTE twin pattern.
+    # MATERIALIZED is load-bearing: each w_k is referenced twice (p_{k+1}
+    # and w_{k+1}) and each b_k three times, so DuckDB's default CTE
+    # inlining re-evaluates the chain exponentially in the round count —
+    # measured 86 s (merges) / 399 s (counts) inlined vs 0.12 s / 0.06 s
+    # materialized at sf0.01, identical results.
+    bpe_parts = [
+        "WITH " + _TOK_CTE.replace("tok AS (", "tok AS MATERIALIZED (", 1) + ",",
+        "wc0 AS (SELECT term, count(*)::BIGINT cnt FROM tok GROUP BY 1),",
+        f"wc AS (SELECT term, cnt FROM wc0 ORDER BY cnt DESC, term LIMIT {BPE_MAX_VOCAB}),",
+        "w0 AS MATERIALIZED (SELECT term, cnt,"
+        " '|' || array_to_string(string_split(term, ''), '||') || '|' s FROM wc),",
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        bpe_parts.append(
+            f"""p{k} AS (
+  SELECT z[1] lhs, z[2] rhs, sum(cnt)::BIGINT c
+  FROM (SELECT cnt, unnest(list_zip(string_split(trim(s, '|'), '||'),
+                                    string_split(trim(s, '|'), '||')[2:])) z
+        FROM w{k - 1})
+  WHERE z[2] IS NOT NULL GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{k} ORDER BY c DESC, lhs, rhs LIMIT 1),
+w{k} AS MATERIALIZED (
+  SELECT term, cnt,
+         replace(s, '|' || (SELECT lhs FROM b{k}) || '||' || (SELECT rhs FROM b{k}) || '|',
+                    '|' || (SELECT lhs || rhs FROM b{k}) || '|') s
+  FROM w{k - 1}
+),"""
+        )
+    bpe_prefix = "\n".join(bpe_parts).rstrip(",")
+    bpe_merges_sql = (
+        bpe_prefix
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT {k} rank, lhs, rhs, c pair_count FROM b{k}"
+            for k in range(1, BPE_MERGES + 1)
+        )
+    )
+    bpe_counts_sql = (
+        "\n".join(bpe_parts)
+        + f"""
+encoded AS (
+  SELECT term, len(string_split(trim(s, '|'), '||'))::BIGINT n_sub FROM w{BPE_MERGES}
+)
+SELECT t.doc_id, count(*)::BIGINT n_tokens, sum(e.n_sub)::BIGINT n_subtokens
+FROM tok t JOIN encoded e USING (term)
+GROUP BY 1"""
+    )
 
     apm = f"""
 WITH pats(query_id, p, k) AS (VALUES {_values(APM_PATTERNS)})
@@ -4442,6 +4673,10 @@ FROM walk
         "bm25_topk_mmr": mmr_sql,
         "bm25_topk_collapsed": bm25_collapsed,
         "dsir_weights": dsir_sql,
+        "nb_lang_predict": nb_predict_sql,
+        "nb_confusion": nb_confusion_sql,
+        "bpe_merges": bpe_merges_sql,
+        "bpe_token_counts": bpe_counts_sql,
         "bm25_topk_merged": bm25,
         "revenue_by_nation": revenue_nation,
         "sessionize_30m": sessions,

@@ -1,0 +1,228 @@
+"""Hashed-feature multinomial Naive Bayes text classification.
+
+The fastText-style shallow classifier every large-scale curation stack
+carries (language ID, quality tiers, domain tagging — e.g. the CCNet /
+RedPajama filtering classifiers): token features hashed into a fixed
+bucket space, a multinomial Naive Bayes model fit on a labeled slice,
+and the whole pool scored against it. NB is the distributed-friendly
+member of that family because BOTH halves are pure count algebra:
+
+  train:   count(bucket, label) and count(label)        — one corpus pass,
+           output bounded by buckets x labels rows (the model)
+  predict: argmax_label [ log prior(label)
+                          + sum_b tf(doc,b) * log p(b | label) ]
+                                                        — one corpus pass,
+           model broadcast via ray.put
+
+Scale shape: the fit is a ``map_batches`` partial count reduced by a
+``groupby(bucket)`` whose output is at most ``buckets x labels`` rows —
+the only thing that ever reaches the driver, regardless of corpus size
+(the DSIR bucket-model contract, pipelines/dsir.py). Scoring is a
+stateless vectorized pass: one md5 hash per DISTINCT token per batch,
+one ``np.add.at`` accumulation per batch, no Python loop over rows.
+
+Determinism / oracle contract: bucket hash ``md5_u64(token) % buckets``
+(bit-equal to DuckDB ``md5_number_lower % buckets``); per-(doc, label)
+scores accumulate per (doc, bucket) in bucket-ascending order — the same
+multiset of addends as the SQL twin's GROUP BY — and round to 6 dp
+BEFORE the argmax; ties break to the lexicographically smallest label on
+both sides. See ``__ray_entry__.oracle_sql()['nb_lang_predict']``.
+
+Smoothing: Laplace over the bucket space, ``p(b | l) = (c_{b,l} + alpha)
+/ (tot_l + alpha * buckets)``; priors ``(n_l + alpha) / (n + alpha *
+labels)``. Zero-token docs are omitted from predictions (they carry no
+evidence; matches the twin's inner join through the token stream).
+
+The reference engine (FabienRoger/Distributed-Text-Search) has no
+classification stage; this operator is part of the LLM-training-data
+surface this repo adds on top of the reference's search capabilities.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from distributed_text_search_ray.config import AnalyzerConfig
+from distributed_text_search_ray.functions.tokenize import tokenizer_for
+from distributed_text_search_ray.pipelines.dsir import _flat_buckets
+from distributed_text_search_ray.util import agg_rename, round_half_away
+
+
+@dataclass
+class NBModel:
+    """A fit multinomial NB model — the bounded broadcastable artifact."""
+
+    labels: list[str]  # sorted ascending; argmax tie-break order
+    log_prob: np.ndarray  # (buckets, n_labels) log p(bucket | label)
+    log_prior: np.ndarray  # (n_labels,)
+    buckets: int
+    alpha: float
+    analyzer: AnalyzerConfig | None = field(default=None, repr=False)
+
+
+def nb_fit(
+    docs: ray.data.Dataset,
+    label_col: str = "label",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+    analyzer: AnalyzerConfig | None = None,
+) -> NBModel:
+    """Fit NB on a labeled (doc_id, content, <label_col>) dataset.
+
+    ONE pass: each batch emits its (bucket, label, token-count) partials
+    plus per-label doc counts carried as ``bucket = -1`` rows (so priors
+    need no second corpus pass); a ``groupby(bucket)`` + in-group Arrow
+    hash aggregate reduces to at most ``(buckets + 1) x labels`` rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        labels = batch.column(label_col).to_pylist()
+        enc = pa.array(labels, type=pa.string()).dictionary_encode()
+        lcodes = enc.indices.to_numpy().astype(np.int64)
+        ldict = np.array(enc.dictionary.to_pylist(), dtype=object)
+        # doc-count rows (bucket = -1): priors from the same pass
+        dc = np.bincount(lcodes, minlength=len(ldict))
+        out_b = [np.full(len(ldict), -1, dtype=np.int64)]
+        out_l = [ldict]
+        out_c = [dc.astype(np.int64)]
+        flat = _flat_buckets(batch.column("content").to_pylist(), tk, buckets)
+        if flat is not None:
+            b, doc_idx, _ = flat
+            key = lcodes[doc_idx] * buckets + b
+            uk, tf = np.unique(key, return_counts=True)
+            out_b.append(uk % buckets)
+            out_l.append(ldict[uk // buckets])
+            out_c.append(tf.astype(np.int64))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "label": pa.array(np.concatenate(out_l), type=pa.string()),
+                "c": pa.array(np.concatenate(out_c), type=pa.int64()),
+            }
+        )
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        return agg_rename(
+            g.group_by(["bucket", "label"]).aggregate([("c", "sum")]),
+            ["bucket", "label"],
+            [("c", "sum")],
+            ["c"],
+        )
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_group, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: <= (buckets + 1) x labels rows by construction
+
+    labels = sorted({r["label"] for r in rows})
+    lidx = {l: i for i, l in enumerate(labels)}
+    cnt = np.zeros((buckets, len(labels)), dtype=np.float64)
+    n_docs = np.zeros(len(labels), dtype=np.float64)
+    for r in rows:
+        if r["bucket"] < 0:
+            n_docs[lidx[r["label"]]] += r["c"]
+        else:
+            cnt[r["bucket"], lidx[r["label"]]] += r["c"]
+    tot = cnt.sum(axis=0)
+    log_prob = np.log((cnt + alpha) / (tot + alpha * buckets))
+    log_prior = np.log((n_docs + alpha) / (n_docs.sum() + alpha * len(labels)))
+    return NBModel(labels, log_prob, log_prior, buckets, alpha, analyzer)
+
+
+def nb_predict(
+    docs: ray.data.Dataset,
+    model: NBModel,
+    keep_cols: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """Score a (doc_id, content, ...) dataset against a fit model.
+
+    Output: (doc_id, *keep_cols, predicted, score) — ``predicted`` =
+    argmax label (6-dp-rounded scores, ties to smallest label), ``score``
+    its rounded log-posterior. ``keep_cols`` pass through untouched (e.g.
+    the true label, for a downstream confusion matrix).
+    """
+    model_ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m: NBModel = ray.get(model_ref)
+        tk = tokenizer_for(m.analyzer)
+        texts = batch.column("content").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy()
+        nl = len(m.labels)
+        empty = {
+            "doc_id": pa.array([], type=pa.int64()),
+            **{c: batch.column(c).slice(0, 0) for c in keep_cols},
+            "predicted": pa.array([], type=pa.string()),
+            "score": pa.array([], type=pa.float64()),
+        }
+        flat = _flat_buckets(texts, tk, m.buckets)
+        if flat is None:
+            return pa.table(empty)
+        b, doc_idx, counts = flat
+        # per-(doc, bucket) tf, accumulated bucket-ascending per doc — the
+        # same addend multiset as the twin's GROUP BY doc, label
+        key = doc_idx * m.buckets + b
+        uk, tf = np.unique(key, return_counts=True)
+        d_of, b_of = uk // m.buckets, uk % m.buckets
+        scores = np.zeros((len(texts), nl), dtype=np.float64)
+        np.add.at(scores, d_of, tf[:, None] * m.log_prob[b_of, :])
+        scores += m.log_prior[None, :]
+        scores = round_half_away(scores, 6)
+        pred = scores.argmax(axis=1)  # first max = smallest label (sorted)
+        keep = counts > 0
+        larr = np.array(m.labels, dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], type=pa.int64()),
+                **{
+                    c: batch.column(c).filter(pa.array(keep))
+                    for c in keep_cols
+                },
+                "predicted": pa.array(larr[pred[keep]], type=pa.string()),
+                "score": pa.array(
+                    scores[keep, pred[keep]], type=pa.float64()
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def nb_confusion(
+    preds: ray.data.Dataset, truth_col: str = "label"
+) -> ray.data.Dataset:
+    """Confusion matrix of an ``nb_predict`` output that kept the truth
+    column: (``truth_col``, predicted, n_docs). Partial counts per batch,
+    reduced by one tiny ``groupby`` — at most labels^2 rows ever move."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return agg_rename(
+            batch.select([truth_col, "predicted"])
+            .group_by([truth_col, "predicted"])
+            .aggregate([([], "count_all")]),
+            [truth_col, "predicted"],
+            [("count", "all")],
+            ["n_part"],
+        )
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        return agg_rename(
+            g.group_by([truth_col, "predicted"]).aggregate([("n_part", "sum")]),
+            [truth_col, "predicted"],
+            [("n_part", "sum")],
+            ["n_docs"],
+        )
+
+    return (
+        preds.map_batches(partial, batch_format="pyarrow")
+        .groupby(truth_col)
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )
