@@ -540,6 +540,26 @@ def _docs_with_lang(sf_dir: str, rem: int | None = None):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _docs_with_source(sf_dir: str):
+    """(doc_id, content, source)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "content": t.column("text"),
+                "source": t.column("source"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _band_index_for(sf_dir: str) -> str:
     """Frozen LSH fingerprint index (minhash_band_rows parquet) of the BASE
     (even-id) half of the corpus — the artifact a continuous-ingestion
@@ -1070,6 +1090,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bpe.bpe_encode_token_counts(
             _docs_ds(sf_dir), _bpe_merges_for(sf_dir)
         )
+
+    def source_overlap(sf_dir):
+        # cross-source 5-gram overlap matrix (contamination / mixture
+        # analytics): distinct-shingle Jaccard per source pair
+        return textstats.source_overlap(_docs_with_source(sf_dir), shingle_n=5)
+
+    def explain_scores(sf_dir):
+        # ES-style explain: per-term BM25 contribution breakdown of every
+        # (query, top-k doc) pair — same ranked set/order as bm25_topk
+        from distributed_text_search_ray.pipelines.search import explain_topk
+
+        return explain_topk(_index_for(sf_dir), BM25_QUERIES, topk=BM25_TOPK)
 
     def bm25_topk_filtered(sf_dir):
         from distributed_text_search_ray.pipelines.search import search_topk_filtered
@@ -2006,8 +2038,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of top_terms_nostop (green r2+r3) so it gets a driver row at once
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
+        # new in r5, position 51+ (the window is full of first-row
+        # candidates); crosscheck gates them every session
+        "explain_scores": explain_scores,
+        "source_overlap": source_overlap,
         # second readout of the nb prediction artifact (its per-doc sibling
-        # holds the first-50 slot); crosscheck gates it every session
+        # holds the first-50 slot)
         "nb_confusion": nb_confusion,
         "bm25_topk": bm25_topk,  # green r1/r2/r3
         "ann_hard_negatives": ann_hard_negatives,  # green r3
@@ -2314,6 +2350,46 @@ kfinal AS (
 
 def oracle_sql() -> dict[str, str]:
     bm25 = _BM25_SQL.format(queries=_values(BM25_QUERIES))
+
+    # ES-style explain (pipelines/search.py explain_topk): the bm25 twin's
+    # sc CTE kept UN-aggregated as per-(query, doc, term) contributions,
+    # joined back to the ranked top-k. Contribution is a single product
+    # expression (idf x tf saturation) — same double math both sides, no
+    # accumulation — rounded 6 dp; score/rank identical to the bm25 twin.
+    explain_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+q(query_id, qtext) AS (VALUES {_values(BM25_QUERIES)}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)
+),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, qt.term,
+         ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) c
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+),
+sc AS (SELECT query_id, doc_id, sum(c) score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT c.query_id, r.rank, c.doc_id, c.term, round(c.c, 6) contribution, r.score
+FROM contrib c
+JOIN ranked r ON r.query_id = c.query_id AND r.doc_id = c.doc_id
+WHERE r.rank <= {BM25_TOPK}
+"""
     ql = _QL_SQL.format(queries=_values(BM25_QUERIES))
     rank_eval_sql = _RANK_EVAL_SQL.format(queries=_values(BM25_QUERIES))
 
@@ -4673,6 +4749,28 @@ FROM walk
         "bm25_topk_mmr": mmr_sql,
         "bm25_topk_collapsed": bm25_collapsed,
         "dsir_weights": dsir_sql,
+        "explain_scores": explain_sql,
+        "source_overlap": f"""
+WITH tokl AS MATERIALIZED (
+  SELECT doc_id, {TOK_SQL.format(col="text")} toks FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT d.source, array_to_string(t.toks[i.i:i.i + 4], ' ') sh
+  FROM tokl t JOIN documents d USING (doc_id),
+       unnest(range(1, len(t.toks) - 5 + 2)) AS i(i)
+),
+tot AS (SELECT source, count(*)::BIGINT n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.source source_a, b.source source_b, count(*)::BIGINT n_shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       round(p.n_shared / (ta.n + tb.n - p.n_shared), 6) jaccard
+FROM pairs p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b
+""",
         "nb_lang_predict": nb_predict_sql,
         "nb_confusion": nb_confusion_sql,
         "bpe_merges": bpe_merges_sql,

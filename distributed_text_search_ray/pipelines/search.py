@@ -2637,3 +2637,95 @@ def rank_eval(
             "recall_k": pa.array(out["recall_k"], type=pa.float64()),
         }
     )
+
+
+class ExplainExecutor(QueryExecutor):
+    """Per-term score breakdown of the final top-k (the Elasticsearch
+    ``explain`` API shape): for every (query, ranked doc) pair, one row per
+    matching query term with its exact BM25 contribution.
+
+    Reuses the loaded ``IndexView`` and the TAAT scorer for the ranking
+    itself (overfetch + rounded re-rank, the same (round(score,6) desc,
+    doc_id asc) order as every other gated ranking), then re-reads the
+    (actor-cached) postings of each term to slice out the contributions of
+    the surviving docs — per query that is O(terms x postings) work against
+    warm cache, no second index scan.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: C901
+        from distributed_text_search_ray.functions import bm25
+
+        out = {
+            "query_id": [], "rank": [], "doc_id": [],
+            "term": [], "contribution": [], "score": [],
+        }
+        qids = batch.column("query_id").to_pylist()
+        qtexts = batch.column("query").to_pylist()
+        v = self.view
+        cfg = v.cfg
+        for qid, qtext in zip(qids, qtexts):
+            terms = sorted(set(self.tokenizer.tokens(qtext)))
+            docs_top, scores_top = self._score_taat(terms, self.topk + 10)
+            if not len(docs_top):
+                continue
+            rs = round_half_away(scores_top, 6)
+            order = np.lexsort((docs_top, -rs))[: self.topk]
+            sel = docs_top[order]
+            sel_s = rs[order]
+            rank_of = {
+                int(d): (i + 1, float(s))
+                for i, (d, s) in enumerate(zip(sel.tolist(), sel_s.tolist()))
+            }
+            sel_sorted = np.sort(sel)
+            for term in terms:
+                docs, tfs, dls, df = v.term_postings(term)
+                if df == 0 or not len(docs):
+                    continue
+                w = bm25.idf(v.N, df)
+                contrib = w * bm25.tf_part(
+                    tfs, dls, v.avgdl, cfg.bm25_k1, cfg.bm25_b
+                )
+                pos = np.searchsorted(sel_sorted, docs)
+                pos_c = np.minimum(pos, len(sel_sorted) - 1)
+                m = sel_sorted[pos_c] == docs
+                for d, c in zip(
+                    docs[m].tolist(), round_half_away(contrib[m], 6).tolist()
+                ):
+                    rk, s = rank_of[int(d)]
+                    out["query_id"].append(qid)
+                    out["rank"].append(rk)
+                    out["doc_id"].append(int(d))
+                    out["term"].append(term)
+                    out["contribution"].append(float(c))
+                    out["score"].append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "rank": pa.array(out["rank"], type=pa.int64()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "term": pa.array(out["term"], type=pa.string()),
+                "contribution": pa.array(out["contribution"], type=pa.float64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+            }
+        )
+
+
+def explain_topk(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    topk: int = 10,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """ES-style ``explain``: (query_id, rank, doc_id, term, contribution,
+    score) for the top-k of each query — contribution the exact per-term
+    BM25 addend (rounded 6 dp), score the doc's rounded total. The ranked
+    doc set and order are identical to ``search_topk`` + rounded re-rank.
+    """
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        ExplainExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "topk": topk},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )

@@ -1783,3 +1783,133 @@ def collocations(
         .sort(["pmi", "bigram"], descending=[True, False])
         .limit(top_n)
     )
+
+
+def source_overlap(
+    docs: ray.data.Dataset,
+    shingle_n: int = 5,
+    source_col: str = "source",
+    analyzer: AnalyzerConfig | None = None,
+) -> pa.Table:
+    """Cross-source n-gram overlap matrix — the contamination / mixture
+    analytics a corpus-assembly pipeline runs before weighting sources:
+    for every source pair, the number of DISTINCT token ``shingle_n``-grams
+    they share and the Jaccard similarity of their shingle sets.
+
+    Returns (source_a, source_b, n_shared, jaccard) for pairs with at
+    least one shared shingle, source_a < source_b, jaccard rounded 6 dp
+    = n_shared / (|A| + |B| - n_shared).
+
+    Scale shape: each batch emits its DISTINCT (shingle, source) rows
+    (batch-level dedup bounds the emit at the batch's shingle vocabulary);
+    64 coarse md5 hash groups then dedup globally and count pairs INSIDE
+    each group — a shingle lives in exactly one group, so per-group pair
+    counts are disjoint partials. Only the bounded per-group partials
+    (<= sources^2 + sources rows per group) ever reach the driver; the
+    corpus-sized shingle table never does. Pair fan-out per shingle is
+    C(m,2) over the m <= |sources| holders — bounded by the source count,
+    not the corpus (unlike document-pair dedup, where the near_dedup
+    anchor-edge design exists for exactly that reason).
+    """
+    from collections import Counter
+
+    from distributed_text_search_ray.functions.hashing import md5_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        seen: set[tuple[str, str]] = set()
+        for text, src in zip(
+            batch.column("content").to_pylist(),
+            batch.column(source_col).to_pylist(),
+        ):
+            toks = tk.tokens(text)
+            for i in range(len(toks) - shingle_n + 1):
+                seen.add((" ".join(toks[i : i + shingle_n]), src))
+        if not seen:
+            return pa.table(
+                {
+                    "sh": pa.array([], type=pa.string()),
+                    "src": pa.array([], type=pa.string()),
+                    "cg": pa.array([], type=pa.int64()),
+                }
+            )
+        sh = [s for s, _ in seen]
+        return pa.table(
+            {
+                "sh": pa.array(sh, type=pa.string()),
+                "src": pa.array([s for _, s in seen], type=pa.string()),
+                "cg": pa.array([md5_u64(s) % 64 for s in sh], type=pa.int64()),
+            }
+        )
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        # global dedup inside the group, then run-scan the shingle-sorted
+        # rows: per shingle, its (tiny) holder set expands to C(m,2) pairs
+        d = (
+            g.select(["sh", "src"])
+            .group_by(["sh", "src"])
+            .aggregate([])
+            .sort_by([("sh", "ascending"), ("src", "ascending")])
+        )
+        shs = d.column("sh").to_pylist()
+        srcs = d.column("src").to_pylist()
+        pairs: Counter = Counter()
+        totals: Counter = Counter()
+        i, n = 0, len(shs)
+        while i < n:
+            j = i
+            while j < n and shs[j] == shs[i]:
+                j += 1
+            grp = srcs[i:j]
+            for s in grp:
+                totals[s] += 1
+            for x in range(len(grp)):
+                for y in range(x + 1, len(grp)):
+                    pairs[(grp[x], grp[y])] += 1
+            i = j
+        return pa.table(
+            {
+                "a": pa.array(
+                    [p[0] for p in pairs] + list(totals), type=pa.string()
+                ),
+                "b": pa.array(
+                    [p[1] for p in pairs] + [""] * len(totals),
+                    type=pa.string(),
+                ),
+                "n": pa.array(
+                    list(pairs.values()) + list(totals.values()),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(reduce_group, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: 64 groups x (sources^2 + sources) rows
+    pair_n: Counter = Counter()
+    tot_n: Counter = Counter()
+    for r in rows:
+        if r["b"]:
+            pair_n[(r["a"], r["b"])] += r["n"]
+        else:
+            tot_n[r["a"]] += r["n"]
+    out_a, out_b, out_n, out_j = [], [], [], []
+    for (a, b) in sorted(pair_n):
+        n_sh = pair_n[(a, b)]
+        out_a.append(a)
+        out_b.append(b)
+        out_n.append(n_sh)
+        out_j.append(
+            float(round_half_away(n_sh / (tot_n[a] + tot_n[b] - n_sh), 6))
+        )
+    return pa.table(
+        {
+            "source_a": pa.array(out_a, type=pa.string()),
+            "source_b": pa.array(out_b, type=pa.string()),
+            "n_shared": pa.array(out_n, type=pa.int64()),
+            "jaccard": pa.array(out_j, type=pa.float64()),
+        }
+    )

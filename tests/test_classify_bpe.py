@@ -250,3 +250,48 @@ def test_nb_model_is_bounded_and_layout_invariant():
     assert np.array_equal(a.log_prob, b.log_prob)
     assert np.array_equal(a.log_prior, b.log_prior)
     assert a.log_prob.shape == (64, len(a.labels))
+
+
+# -------------------------------------------------------- source overlap
+
+
+def test_source_overlap_matches_python_reference():
+    from distributed_text_search_ray.pipelines.textstats import source_overlap
+
+    rows = [
+        # srcA and srcB share the 3-gram "x y z"; srcC shares nothing
+        (0, "x y z q", "srcA"),
+        (1, "p x y z", "srcB"),
+        (2, "m n o p q", "srcC"),
+        (3, "x y z q r", "srcA"),  # duplicate shingles within a source dedup
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "content": t, "source": s} for i, t, s in rows]
+    ).repartition(3)
+    got = source_overlap(ds, shingle_n=3).to_pylist()
+
+    # python replay
+    sets = {}
+    for _, t, s in rows:
+        toks = t.split()
+        sets.setdefault(s, set()).update(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+    want = []
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a < b:
+                n = len(sets[a] & sets[b])
+                if n:
+                    j = n / len(sets[a] | sets[b])
+                    want.append(
+                        {
+                            "source_a": a,
+                            "source_b": b,
+                            "n_shared": n,
+                            "jaccard": float(np.round(j, 6)),
+                        }
+                    )
+    assert got == want
+    assert any(r["source_a"] == "srcA" and r["source_b"] == "srcB" for r in got)
+    assert not any("srcC" in (r["source_a"], r["source_b"]) for r in got)

@@ -297,3 +297,45 @@ def test_synonym_topk_matches_oracle(built_index):
     assert got == sorted(expected)
     # "ghost" alone matches nothing; its synonym "import" must produce hits
     assert any(q == 2 for q, *_ in got)
+
+
+def test_explain_contributions_sum_to_score(built_index):
+    """explain_topk: per-(query, doc) contributions sum to the rounded
+    score (within rounding slack), the ranked set/order equals search_topk
+    under the rounded re-rank, and every term row is a real query term."""
+    from distributed_text_search_ray.pipelines.search import explain_topk
+    from distributed_text_search_ray.util import round_half_away
+
+    _, index_dir, _ = built_index
+    k = 5
+    rows = explain_topk(index_dir, QUERIES, topk=k).take_all()
+    assert rows
+
+    by_qd = {}
+    for r in rows:
+        by_qd.setdefault((r["query_id"], r["doc_id"]), []).append(r)
+    for (qid, doc), rs in by_qd.items():
+        ranks = {r["rank"] for r in rs}
+        scores = {r["score"] for r in rs}
+        assert len(ranks) == 1 and len(scores) == 1
+        total = sum(r["contribution"] for r in rs)
+        # each contribution is rounded 6dp, so the sum drifts <= n*5e-7
+        assert abs(total - next(iter(scores))) <= len(rs) * 5e-7 + 1e-9
+        terms = [r["term"] for r in rs]
+        assert len(terms) == len(set(terms))
+
+    # ranked set identical to search_topk + rounded re-rank
+    base = search_topk(index_dir, QUERIES, topk=k + 10).take_all()
+    by_q = {}
+    for r in base:
+        by_q.setdefault(r["query_id"], []).append(
+            (round_half_away(r["score"], 6), r["doc_id"])
+        )
+    want = set()
+    for qid, lst in by_q.items():
+        for rank, (s, d) in enumerate(
+            sorted(lst, key=lambda t: (-t[0], t[1]))[:k], start=1
+        ):
+            want.add((qid, rank, d, s))
+    got = {(r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows}
+    assert got == want
