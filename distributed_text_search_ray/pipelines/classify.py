@@ -172,8 +172,16 @@ def nb_predict(
         key = doc_idx * m.buckets + b
         uk, tf = np.unique(key, return_counts=True)
         d_of, b_of = uk // m.buckets, uk % m.buckets
-        scores = np.zeros((len(texts), nl), dtype=np.float64)
-        np.add.at(scores, d_of, tf[:, None] * m.log_prob[b_of, :])
+        # per-label bincount instead of one np.add.at scatter: bincount's
+        # weight accumulation is sequential in input order (uk is doc-major,
+        # bucket-ascending — the twin's addend order), and it is ~3x faster
+        # than unbuffered add.at at 10^8-row batches (2.3M-doc spot-check)
+        tff = tf.astype(np.float64)
+        scores = np.empty((len(texts), nl), dtype=np.float64)
+        for li in range(nl):
+            scores[:, li] = np.bincount(
+                d_of, weights=tff * m.log_prob[b_of, li], minlength=len(texts)
+            )
         scores += m.log_prior[None, :]
         scores = round_half_away(scores, 6)
         pred = scores.argmax(axis=1)  # first max = smallest label (sorted)
