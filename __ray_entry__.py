@@ -36,6 +36,28 @@ BM25_QUERIES = [
 ]
 BM25_TOPK = 10
 
+# routed search: one member index per lang (the per-tenant layout); each
+# query is answered ONLY by its route's member, with that member's own
+# corpus stats. Route 'xx' has no member on either side (0 rows, pinned).
+ROUTE_LANGS = ["de", "en", "es", "fr", "zh"]
+ROUTED_QUERIES = [
+    (qid, text, ROUTE_LANGS[qid % len(ROUTE_LANGS)]) for qid, text in BM25_QUERIES
+] + [(7, "customer value", "xx")]
+
+# must_not ranked retrieval: '-term' excludes every doc containing the term
+# (candidate mask; surviving scores are the unrestricted BM25 scores).
+# Shapes covered: plain exclusion, high-df exclusion, negating an absent
+# term (no-op), self-negation (empty), negation-only query (empty).
+NEG_QUERIES = [
+    (0, "spark table join -customer"),
+    (1, "customer value -table"),
+    (2, "window agg stream -the"),
+    (3, "merge sort batch query -zzz_missing_term"),
+    (4, "vector -vector"),
+    (5, "-customer"),
+    (6, "the fast scan -window -merge"),
+]
+
 # exact substring needles for the trigram (Zoekt-style) index — raw
 # character strings, NOT token queries: cross-token spans, repeated words
 # (overlap counting), punctuation-free corpus text, and a guaranteed miss
@@ -454,6 +476,51 @@ def _merged_index_for(sf_dir: str) -> str:
     return merged
 
 
+def _lang_indexes_for(sf_dir: str) -> dict[str, str]:
+    """One member index per ``lang`` value over the cached corpus — the
+    routed-search substrate (``bm25_topk_routed``). Unlike the parity halves
+    (which recombine into the full corpus), each member here is a standalone
+    per-tenant corpus: its index stats (N, avgdl, df) are the member's own,
+    which is exactly what the routed oracle computes per route."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from distributed_text_search_ray.config import IndexConfig
+    from distributed_text_search_ray.pipelines.build import build_index
+    from distributed_text_search_ray.sources.corpus import corpus_files
+
+    _index_for(sf_dir)  # ensures the resharded corpus exists
+    key = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_CACHE_ROOT, key)
+    corpus_dir = os.path.join(root, "corpus")
+    with open(os.path.join(root, "source.json")) as f:
+        sig = json.load(f)
+    cfg = IndexConfig(num_partitions=4)
+    members: dict[str, str] = {}
+    for lang in ROUTE_LANGS:
+        member_corpus = os.path.join(root, f"corpus_lang_{lang}")
+        marker = member_corpus + ".json"
+        have = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                have = json.load(f)
+        if have != sig:
+            shutil.rmtree(member_corpus, ignore_errors=True)
+            ds = ray.data.read_parquet(corpus_files(corpus_dir))
+            ds.map_batches(
+                lambda t, lg=lang: t.filter(pc.equal(t.column("lang"), lg)),
+                batch_format="pyarrow",
+            ).write_parquet(member_corpus)
+            with open(marker, "w") as f:
+                json.dump(sig, f)
+        idx = os.path.join(root, f"index_lang_{lang}")
+        build_index(member_corpus, idx, cfg)
+        members[lang] = idx
+    return members
+
+
 def _deleted_index_for(sf_dir: str) -> str:
     """Hardlink-clone the cached full index, then tombstone every doc with
     ``doc_id % DELETE_MOD == DELETE_REM`` (Lucene-style delete-in-place:
@@ -793,6 +860,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         idx = _half_indexes_for(sf_dir)
         rows = search_topk_federated(idx, BM25_QUERIES, topk=BM25_TOPK + 10).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
+    def bm25_topk_routed(sf_dir):
+        # routed (partition-pruned) search: each query answered ONLY by its
+        # lang's member index, with member-local stats; route 'xx' has no
+        # member → contributes no rows on either side
+        from distributed_text_search_ray.pipelines.search import search_topk_routed
+
+        members = _lang_indexes_for(sf_dir)
+        rows = search_topk_routed(
+            members, ROUTED_QUERIES, topk=BM25_TOPK + 10
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
+    def bm25_topk_negated(sf_dir):
+        # must_not ranked retrieval: '-term' masks candidates, survivors
+        # keep exact unrestricted BM25 scores
+        from distributed_text_search_ray.pipelines.search import search_topk_negated
+
+        rows = search_topk_negated(
+            _index_for(sf_dir), NEG_QUERIES, topk=BM25_TOPK + 10
+        ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
     def bm25_topk_deleted(sf_dir):
@@ -1985,7 +2074,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_collapsed": bm25_topk_collapsed,
         "dsir_weights": dsir_weights,
         "wildcard_stats": wildcard_stats,
-        "wildcard_topk": wildcard_topk,
+        # new in this session: routed (per-lang member) search and must_not
+        # ranked retrieval — take the first-50 slots of wildcard_topk /
+        # regexp_topk (their *_stats siblings keep first-50 rows, and the
+        # expansion→topk composition is driver-green via prefix_topk r3)
+        "bm25_topk_routed": bm25_topk_routed,
+        "bm25_topk_negated": bm25_topk_negated,
         # new in r4: code-subtoken analyzer (split_identifiers) — takes the
         # first-50 slot of range_join_1h (green r3) for an immediate driver
         # row; the camelCase/snake_case QUERY strings only match via
@@ -2002,7 +2096,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first-50 slots of prefix_stats/prefix_topk (green r3; same
         # expansion family, so the shared machinery stays driver-covered)
         "regexp_stats": regexp_stats,
-        "regexp_topk": regexp_topk,
         # never-driver-checked through r3 — take the first-50 slots of
         # bm25_topk_boolfiltered / bm25_topk_rangefiltered (green r3)
         "bigram_logperp": bigram_logperp,
@@ -2045,6 +2138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # second readout of the nb prediction artifact (its per-doc sibling
         # holds the first-50 slot)
         "nb_confusion": nb_confusion,
+        # displaced from the first 50 this session (siblings cover the
+        # machinery: wildcard_stats / regexp_stats rows + prefix_topk r3)
+        "wildcard_topk": wildcard_topk,
+        "regexp_topk": regexp_topk,
         "bm25_topk": bm25_topk,  # green r1/r2/r3
         "ann_hard_negatives": ann_hard_negatives,  # green r3
         "ann_lsh_topk": ann_lsh,  # green r3
@@ -2350,6 +2447,99 @@ kfinal AS (
 
 def oracle_sql() -> dict[str, str]:
     bm25 = _BM25_SQL.format(queries=_values(BM25_QUERIES))
+
+    # routed search (pipelines/search.py search_topk_routed): every query is
+    # answered ONLY inside its route's member corpus (docs with lang=route),
+    # with MEMBER-LOCAL stats — N/avgdl/df computed per lang, not globally.
+    # Route 'xx' matches no docs → contributes no rows, matching the
+    # no-member behavior on the Ray side.
+    routed_sql = f"""
+WITH tokl AS (
+  SELECT doc_id, lang, t.term
+  FROM documents, unnest({TOK_SQL.format(col="text")}) AS t(term)
+),
+tf AS (SELECT lang, doc_id, term, count(*)::DOUBLE tf FROM tokl GROUP BY 1, 2, 3),
+dl AS (SELECT lang, doc_id, count(*)::DOUBLE dl FROM tokl GROUP BY 1, 2),
+nd AS (SELECT lang, count(*)::DOUBLE N FROM documents GROUP BY 1),
+st AS (
+  SELECT nd.lang, nd.N, coalesce(sdl.s, 0) / nd.N avgdl
+  FROM nd LEFT JOIN (SELECT lang, sum(dl) s FROM dl GROUP BY 1) sdl USING (lang)
+),
+df AS (SELECT lang, term, count(*)::DOUBLE df FROM tf GROUP BY 1, 2),
+q(query_id, qtext, route) AS (VALUES {_values(ROUTED_QUERIES)}),
+qterms AS (
+  SELECT DISTINCT query_id, route, t.term
+  FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)
+),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term AND tf.lang = qt.route
+  JOIN df ON df.term = qt.term AND df.lang = qt.route
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.lang = qt.route
+  JOIN st s ON s.lang = qt.route
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+    # must_not retrieval (pipelines/search.py search_topk_negated): the
+    # '-term' split happens ONCE here via the same parser the engine uses,
+    # so both sides analyze identical positive/negative text; excluded =
+    # any doc containing any negated term; survivors keep their exact
+    # unrestricted BM25 scores (global stats, untouched df).
+    from distributed_text_search_ray.pipelines.search import parse_negated_query
+
+    neg_split = [
+        (qid, *parse_negated_query(qtext)) for qid, qtext in NEG_QUERIES
+    ]
+    negated_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+q(query_id, ptext, ntext) AS (VALUES {_values(neg_split)}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="ptext")}) AS t(term)
+),
+nterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="ntext")}) AS t(term)
+),
+excl AS (SELECT DISTINCT n.query_id, tf.doc_id FROM nterms n JOIN tf ON tf.term = n.term),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM excl e WHERE e.query_id = qt.query_id AND e.doc_id = tf.doc_id
+  )
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+"""
 
     # ES-style explain (pipelines/search.py explain_topk): the bm25 twin's
     # sc CTE kept UN-aggregated as per-(query, doc, term) contributions,
@@ -4723,6 +4913,8 @@ FROM walk
 
     return {
         "bm25_topk": bm25,
+        "bm25_topk_routed": routed_sql,
+        "bm25_topk_negated": negated_sql,
         "rank_eval_bm25": rank_eval_sql,
         "heavy_hitters": heavy_hitters_sql,
         "ql_topk": ql,

@@ -2729,3 +2729,197 @@ def explain_topk(
         batch_size=8,
         concurrency=resolve_concurrency(concurrency),
     )
+
+
+# ---------------------------------------------------------------------------
+# must_not ranked retrieval ("-term" exclusion) and routed search
+# ---------------------------------------------------------------------------
+
+class _ExcludedView:
+    """Complement of :class:`_FilteredView`: every posting list is masked
+    AGAINST a sorted excluded doc-id set (membership via searchsorted).
+    Global stats (N, avgdl, df) stay untouched, so a surviving doc's score
+    is bit-identical to its unrestricted score — the ES ``bool`` contract
+    where ``must_not`` filters candidates without changing scoring."""
+
+    def __init__(self, view, excluded_sorted: np.ndarray):
+        self._view = view
+        self._excluded = excluded_sorted
+
+    def __getattr__(self, name):
+        return getattr(self._view, name)
+
+    def term_postings(self, term: str):
+        docs, tfs, dls, df = self._view.term_postings(term)
+        if not len(docs) or not len(self._excluded):
+            return docs, tfs, dls, df
+        pos = np.searchsorted(self._excluded, docs)
+        pos_c = np.minimum(pos, len(self._excluded) - 1)
+        keep = self._excluded[pos_c] != docs
+        return docs[keep], tfs[keep], dls[keep], df
+
+
+def parse_negated_query(qtext: str) -> tuple[str, str]:
+    """Split a query with Lucene-style ``-term`` exclusions into
+    (positive_text, negated_text). A lone ``-`` is ignored; everything after
+    a leading ``-`` goes through the index analyzer like any query text, so
+    one ``-camelCaseWord`` may expand to several negated terms."""
+    pos, neg = [], []
+    for w in qtext.split():
+        if w.startswith("-") and len(w) > 1:
+            neg.append(w[1:])
+        elif w != "-":
+            pos.append(w)
+    return " ".join(pos), " ".join(neg)
+
+
+class NegatedQueryExecutor(QueryExecutor):
+    """Actor-pool stage: top-k BM25 with ``must_not`` term exclusion.
+
+    Per query, the excluded doc set is assembled from the INDEX (the union
+    of the negated terms' posting doc-ids — no corpus scan), then the
+    positive terms are scored through the standard TAAT/MaxScore kernels
+    over an exclusion-masked view. MaxScore's df-based upper bounds stay
+    valid under masking for the same reason they do in
+    :class:`FilteredQueryExecutor` (global df, fewer postings). A query
+    with no positive terms has no candidates and returns no rows."""
+
+    def __init__(self, index_dir: str, topk: int = 10, mode: str = "maxscore"):
+        if mode == "wand":
+            raise ValueError("negated search supports taat/maxscore modes")
+        super().__init__(index_dir, topk=topk, mode=mode)
+        self._base_view = self.view
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return super().__call__(batch)
+        out = []
+        qids = batch.column("query_id").to_pylist()
+        qtexts = batch.column("query").to_pylist()
+        for i, (qid, qtext) in enumerate(zip(qids, qtexts)):
+            pos_text, neg_text = parse_negated_query(qtext)
+            neg_terms = sorted(set(self.tokenizer.tokens(neg_text)))
+            excl_parts = [
+                d for t in neg_terms
+                for d in (self._base_view.term_postings(t)[0],) if len(d)
+            ]
+            self.view = (
+                _ExcludedView(self._base_view, np.unique(np.concatenate(excl_parts)))
+                if excl_parts
+                else self._base_view
+            )
+            try:
+                sub = pa.table(
+                    {
+                        "query_id": pa.array([qid], type=pa.int64()),
+                        "query": pa.array([pos_text], type=pa.string()),
+                    }
+                )
+                out.append(super().__call__(sub))
+            finally:
+                self.view = self._base_view
+        return pa.concat_tables(out)
+
+
+def search_topk_negated(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]] | ray.data.Dataset,
+    topk: int = 10,
+    mode: str = "maxscore",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k BM25 where query tokens prefixed ``-`` EXCLUDE every document
+    containing them (ES bool must + must_not). Surviving docs keep their
+    exact unrestricted BM25 scores. Negating a term absent from the corpus
+    is a no-op; a query that is only negations returns no rows."""
+    qds = _queries_dataset(queries)
+    return qds.map_batches(
+        NegatedQueryExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "topk": topk, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+class RoutedQueryExecutor:
+    """Actor-pool stage for ROUTED search: each query carries a routing key
+    that selects exactly ONE member index (the per-tenant / per-shard-group
+    layout). Unlike :func:`search_topk_filtered` (global index, global
+    stats, candidate mask), a routed query is answered entirely inside its
+    member — N, avgdl and df are the member corpus's own, and no other
+    member's dictionary or postings are touched. That is the partition-
+    pruning contract that matters at 10^12 files: a query for one tenant
+    costs one tenant's index, not a masked scan of the world.
+
+    Member executors open lazily per actor and live for the actor's
+    lifetime (segment readers + postings LRU per member). Queries with a
+    routing key that has no member produce no rows (documented; raising
+    would poison a whole batch of otherwise-valid queries)."""
+
+    def __init__(self, members: dict[str, str], topk: int = 10, mode: str = "maxscore"):
+        self.members = dict(members)
+        self.topk = topk
+        self.mode = mode
+        self._execs: dict[str, QueryExecutor] = {}
+
+    def _exec_for(self, route: str) -> QueryExecutor:
+        ex = self._execs.get(route)
+        if ex is None:
+            ex = QueryExecutor(self.members[route], topk=self.topk, mode=self.mode)
+            self._execs[route] = ex
+        return ex
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        by_route: dict[str, list[int]] = {}
+        for i, r in enumerate(batch.column("route").to_pylist()):
+            by_route.setdefault(r, []).append(i)
+        out = []
+        for route in sorted(by_route):
+            if route not in self.members:
+                continue
+            sub = batch.take(pa.array(by_route[route])).select(["query_id", "query"])
+            out.append(self._exec_for(route)(sub))
+        if not out:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.concat_tables(out)
+
+
+def search_topk_routed(
+    members: dict[str, str],
+    queries: Iterable[tuple[int, str, str]] | ray.data.Dataset,
+    topk: int = 10,
+    mode: str = "maxscore",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k BM25 with query ROUTING: ``queries`` are (query_id, text,
+    route); each is answered by the single member index ``members[route]``
+    using that member's own corpus statistics. The scale sibling of
+    :func:`search_topk_federated` — federation fans one query out to every
+    member and recombines global stats; routing prunes to one member and
+    keeps its local stats (per-tenant semantics). An actor may end up
+    holding one executor per member it has seen; when members outnumber
+    what one worker should hold, split the query stream by route and run
+    one ``search_topk`` per member instead — same results, pool-per-member
+    layout."""
+    if not isinstance(queries, ray.data.Dataset):
+        queries = ray.data.from_items(
+            [
+                {"query_id": int(q), "query": str(t), "route": str(r)}
+                for q, t, r in queries
+            ]
+        )
+    return queries.map_batches(
+        RoutedQueryExecutor,
+        fn_constructor_kwargs={"members": members, "topk": topk, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )
