@@ -175,6 +175,21 @@ PROXIMITY_QUERIES = [
 ]
 PROXIMITY_MAX_SPAN = 12
 
+# ordered span-near (Lucene span_near in_order=true): tokens in query order
+# at strictly increasing positions, min interposed-gap <= slop. Shapes:
+# plain pair, reversed pair (order-sensitive vs proximity), 3-term chain,
+# duplicate token (needs two occurrences), single term (gap 0), absent term
+# (no rows) — all pinned by tests/test_span_near.py
+SPAN_NEAR_QUERIES = [
+    (0, "customer value"),
+    (1, "value customer"),
+    (2, "data table index"),
+    (3, "data data"),
+    (4, "vector"),
+    (5, "customer zzz_missing"),
+]
+SPAN_NEAR_SLOP = 10
+
 REGEX_QUERIES = [
     (0, "[0-9]+"),
     (1, "cust[a-z]*"),
@@ -1688,6 +1703,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _index_pos_for(sf_dir), PROXIMITY_QUERIES, max_span=PROXIMITY_MAX_SPAN
         )
 
+    def span_near(sf_dir):
+        from distributed_text_search_ray.pipelines.phrase import span_near_search
+
+        return span_near_search(
+            _index_pos_for(sf_dir), SPAN_NEAR_QUERIES, slop=SPAN_NEAR_SLOP
+        )
+
     def boolean_match(sf_dir):
         from distributed_text_search_ray.pipelines.boolquery import boolean_search
 
@@ -2135,6 +2157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidates); crosscheck gates them every session
         "explain_scores": explain_scores,
         "source_overlap": source_overlap,
+        # new in r4: ordered span-near (Lucene span_near in_order=true),
+        # the ordered sibling of proximity_search (which holds a first-50
+        # slot for the shared positional machinery)
+        "span_near": span_near,
         # second readout of the nb prediction artifact (its per-doc sibling
         # holds the first-50 slot)
         "nb_confusion": nb_confusion,
@@ -4315,13 +4341,20 @@ SELECT query_id, rank, doc_id, score FROM rr WHERE rank <= {BM25_TOPK}""",
         1,
     )
 
-    from distributed_text_search_ray.pipelines.phrase import proximity_sql
+    from distributed_text_search_ray.pipelines.phrase import proximity_sql, span_near_sql
 
     proximity_sql_all = "\nUNION ALL\n".join(
         "SELECT * FROM ("
         + proximity_sql(q, qid, PROXIMITY_MAX_SPAN, TOK_SQL.format(col="text"))
         + ")"
         for qid, q in PROXIMITY_QUERIES
+    )
+
+    span_near_sql_all = "\nUNION ALL\n".join(
+        "SELECT * FROM ("
+        + span_near_sql(q, qid, SPAN_NEAR_SLOP, TOK_SQL.format(col="text"))
+        + ")"
+        for qid, q in SPAN_NEAR_QUERIES
     )
 
     from distributed_text_search_ray.pipelines.boolquery import boolean_query_sql
@@ -5015,6 +5048,7 @@ JOIN tot tb ON tb.source = p.source_b
         "phrase_counts_indexed": phrase_sql,
         "phrase_counts_positional": phrase_sql,
         "proximity_search": proximity_sql_all,
+        "span_near": span_near_sql_all,
         "boolean_match": boolean_sql,
         "search_snippets": snippets_sql,
         "more_like_this": mlt_sql,

@@ -512,3 +512,162 @@ sp AS (SELECT doc_id, pos - {least_expr} AS span FROM r WHERE {notnull})
 SELECT {query_id} AS query_id, doc_id, min(span)::BIGINT AS min_span
 FROM sp GROUP BY doc_id HAVING min(span) <= {max_span}
 """
+
+
+class _SpanNearExecutor:
+    """Actor-pool stage for ORDERED span-near search (Lucene ``span_near``
+    with ``in_order=true``): query tokens, in QUERY ORDER and with
+    duplicates preserved, must appear at strictly increasing positions
+    p1 < p2 < ... < pk; the match's gap is ``pk - p1 - (k-1)`` (the number
+    of interposed non-matching positions, Lucene's slop measure).
+
+    Minimal-gap search is greedy and fully vectorized: for every occurrence
+    of the first token, chain each next token to its SMALLEST position
+    strictly after the current one (one ``searchsorted`` per chain step
+    over the merged global ``doc_ordinal<<32 | pos`` array — choosing the
+    smallest valid successor is optimal because any later choice only
+    shrinks the downstream option set). Complements ``_ProximityExecutor``,
+    which is the UNORDERED within-window variant."""
+
+    def __init__(self, index_dir: str, slop: int):
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+        from distributed_text_search_ray.stages.executor import IndexView
+
+        if not (0 <= slop < (1 << 31)):
+            raise ValueError(f"slop must be in [0, 2^31): {slop}")
+        self.view = IndexView(index_dir)
+        self.tokenizer = Tokenizer(self.view.cfg.analyzer)
+        self.slop = slop
+
+    def _one(self, qid: int, query: str, out_q, out_d, out_g) -> None:
+        terms = self.tokenizer.tokens(query)  # order kept, duplicates kept
+        if not terms:
+            return
+        data: dict[str, tuple] = {}
+        for t in set(terms):
+            docs, tfs, pos = self.view.term_positions(t)
+            if not len(docs):
+                return  # ALL chain steps required
+            data[t] = (docs, tfs, pos)
+        cand: np.ndarray | None = None
+        for t in sorted(set(terms), key=lambda t: len(data[t][0])):
+            docs = data[t][0]
+            cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
+            if not len(cand):
+                return
+        gpos = {t: _gather_global(cand, *data[t]) for t in set(terms)}
+        start = gpos[terms[0]]
+        cur = start
+        alive = np.ones(len(cur), dtype=bool)
+        for t in terms[1:]:
+            nxt = gpos[t]
+            i = np.searchsorted(nxt, cur + 1, side="left")
+            ok = alive & (i < len(nxt))
+            i_c = np.minimum(i, len(nxt) - 1)
+            step = nxt[i_c]
+            # landing in a later doc's region means no successor in-doc
+            ok &= (step >> np.int64(32)) == (cur >> np.int64(32))
+            cur = np.where(ok, step, cur)
+            alive = ok
+            if not alive.any():
+                return
+        k = len(terms)
+        gap = (cur - start) - np.int64(k - 1)
+        ords = (start >> np.int64(32)).astype(np.int64)
+        best = np.full(len(cand), np.int64(1 << 62), dtype=np.int64)
+        np.minimum.at(best, ords[alive], gap[alive])
+        hit = np.flatnonzero(best <= self.slop)
+        if not len(hit):
+            return
+        out_q.append(np.full(len(hit), np.int64(qid)))
+        out_d.append(cand[hit])
+        out_g.append(best[hit])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_g: list[np.ndarray] = []
+        for qid, query in zip(
+            batch.column("query_id").to_pylist(), batch.column("query").to_pylist()
+        ):
+            self._one(qid, query, out_q, out_d, out_g)
+        z = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.concatenate(out_q) if out_q else z, type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else z, type=pa.int64()
+                ),
+                "min_gap": pa.array(
+                    np.concatenate(out_g) if out_g else z, type=pa.int64()
+                ),
+            }
+        )
+
+
+def span_near_search(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]],
+    slop: int,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """ORDERED span-near search over a positional (v4) index: (query_id,
+    doc_id, min_gap) for docs where the query tokens appear in query order
+    at strictly increasing positions with at most ``slop`` interposed
+    positions total (min_gap = minimal ``p_last - p_first - (k-1)``).
+    ``slop=0`` degenerates to exact-phrase matching (for distinct-token
+    phrases); a single-token query matches every containing doc with
+    min_gap 0; a query with any index-absent token matches nothing."""
+    items = [{"query_id": int(q), "query": str(p)} for q, p in queries]
+    return ray.data.from_items(items).map_batches(
+        _SpanNearExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "slop": slop},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+def span_near_sql(
+    query: str, query_id: int, slop: int, tok_sql: str, analyzer=None
+) -> str:
+    """DuckDB oracle for one ordered span-near query: the same greedy
+    minimal chain, one min-join CTE per chain step (for each partial chain
+    ending at ``cur``, the next step's position is ``min(pos) > cur`` in
+    the same doc — greedy is optimal, see ``_SpanNearExecutor``)."""
+    from distributed_text_search_ray.config import AnalyzerConfig
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+    terms = Tokenizer(analyzer or AnalyzerConfig()).tokens(query)
+    if not terms:
+        return (
+            f"SELECT {query_id} AS query_id, doc_id, 0 AS min_gap "
+            "FROM documents WHERE FALSE"
+        )
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    k = len(terms)
+    ctes = [
+        f"s1 AS (SELECT doc_id, pos AS p1, pos AS cur FROM tok WHERE term = {q(terms[0])})"
+    ]
+    for j, t in enumerate(terms[1:], start=2):
+        ctes.append(
+            f"s{j} AS (SELECT s.doc_id, s.p1, min(n.pos) AS cur\n"
+            f"  FROM s{j-1} s JOIN tok n ON n.doc_id = s.doc_id"
+            f" AND n.term = {q(t)} AND n.pos > s.cur\n"
+            f"  GROUP BY 1, 2)"
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH toks AS (SELECT doc_id, {tok_sql} AS l FROM documents),
+tok AS (SELECT doc_id, l[i] AS term, i AS pos
+        FROM toks, unnest(generate_series(1, len(l))) AS s(i)),
+{chain}
+SELECT {query_id} AS query_id, doc_id,
+       min(cur - p1 - {k - 1})::BIGINT AS min_gap
+FROM s{k} GROUP BY doc_id HAVING min(cur - p1 - {k - 1}) <= {slop}
+"""
