@@ -2009,6 +2009,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def asof_purchase_click(sf_dir):
         return relational.asof_join_latest(sf_dir, "purchase", "click")
 
+    def funnel_steps(sf_dir):
+        # ordered funnel (CEP sequence detection): view -> click -> purchase
+        # within 24h of the view, greedy minimal chain per start; 24h window
+        # so all three steps are nonzero at sf0.001 AND sf0.01
+        return relational.funnel_counts(sf_dir, window_minutes=1440)
+
     def range_join_1h(sf_dir):
         return relational.range_join_window(sf_dir, "purchase", "click", 60)
 
@@ -2161,6 +2167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the ordered sibling of proximity_search (which holds a first-50
         # slot for the shared positional machinery)
         "span_near": span_near,
+        # new this session: ordered funnel analysis over the events stream —
+        # the event-stream transplant of span_near's greedy-chain argument
+        "funnel_steps": funnel_steps,
         # second readout of the nb prediction artifact (its per-doc sibling
         # holds the first-50 slot)
         "nb_confusion": nb_confusion,
@@ -4342,6 +4351,9 @@ SELECT query_id, rank, doc_id, score FROM rr WHERE rank <= {BM25_TOPK}""",
     )
 
     from distributed_text_search_ray.pipelines.phrase import proximity_sql, span_near_sql
+    from distributed_text_search_ray.pipelines.relational import funnel_sql
+
+    funnel_steps_sql = funnel_sql(window_minutes=1440)
 
     proximity_sql_all = "\nUNION ALL\n".join(
         "SELECT * FROM ("
@@ -5049,6 +5061,7 @@ JOIN tot tb ON tb.source = p.source_b
         "phrase_counts_positional": phrase_sql,
         "proximity_search": proximity_sql_all,
         "span_near": span_near_sql_all,
+        "funnel_steps": funnel_steps_sql,
         "boolean_match": boolean_sql,
         "search_snippets": snippets_sql,
         "more_like_this": mlt_sql,

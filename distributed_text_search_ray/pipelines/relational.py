@@ -1099,3 +1099,134 @@ def grouped_float_quantiles(
             }
         )
     )
+
+
+def funnel_counts(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_minutes: int = 60,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Ordered funnel analysis (CEP sequence detection) over the events
+    stream: for each step prefix j, the number of users with events of
+    types ``steps[0..j]`` at strictly increasing stream positions (ts,
+    event_id tiebreak) whose step-j event is within ``window_minutes`` of
+    the step-1 event. Output: (step 1-based, event_type, n_users), exactly
+    ``len(steps)`` rows, monotone nonincreasing in step.
+
+    Matching is the greedy minimal chain (the ``span_near`` argument
+    transplanted from token positions to event streams): for each step-1
+    occurrence, each next step takes its SMALLEST stream position strictly
+    after the current one — greedy minimizes the final position, hence the
+    final ts, so a window-satisfying chain from that start exists iff the
+    greedy one satisfies it. Repeated step types ("view view") work
+    unchanged (the next occurrence must be a strictly later event).
+
+    Scale shape: the type filter prunes the stream BEFORE the shuffle;
+    survivors hash-bucket by user into ``n_buckets`` coarse groups (a user
+    never splits), the per-bucket chain is vectorized across ALL users at
+    once (one searchsorted per step), and bucket-disjoint partial distinct-
+    user counts sum exactly in a k-row final aggregate — no per-user Python
+    and nothing user-count-sized on the driver.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    window_us = window_minutes * 60 * 1_000_000
+    k = len(steps)
+    step_list = list(steps)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.is_in(batch.column("event_type"), value_set=pa.array(step_list))
+        )
+        cg = (batch.column("user_id").to_numpy() % n_buckets).astype(np.int64)
+        return batch.append_column("cg", pa.array(cg))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy()
+        t = g.column("ts").cast(pa.int64()).to_numpy()
+        e = g.column("event_id").to_numpy()
+        typ = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((e, t, u))
+        u, t, typ = u[order], t[order], typ[order]
+        counts = np.zeros(k, dtype=np.int64)
+        gpos = {s: np.flatnonzero(typ == s) for s in set(step_list)}
+        starts = gpos[step_list[0]]
+        if len(starts):
+            counts[0] = len(np.unique(u[starts]))
+            cur = starts
+            alive = np.ones(len(starts), dtype=bool)
+            for j, s in enumerate(step_list[1:], start=1):
+                nxt = gpos[s]
+                if not len(nxt):
+                    break
+                i = np.searchsorted(nxt, cur + 1, side="left")
+                ok = alive & (i < len(nxt))
+                step = nxt[np.minimum(i, len(nxt) - 1)]
+                ok &= u[step] == u[starts]
+                cur = np.where(ok, step, cur)
+                alive = ok
+                done = alive & (t[cur] - t[starts] <= window_us)
+                if not done.any():
+                    break
+                counts[j] = len(np.unique(u[starts[done]]))
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, k + 1), type=pa.int64()),
+                "event_type": pa.array(step_list, type=pa.string()),
+                "n_users": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["step", "event_type"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def funnel_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_minutes: int = 60,
+) -> str:
+    """DuckDB oracle for :func:`funnel_counts`: the same greedy chain as
+    min-seq join CTEs over per-user row_number stream positions, one
+    count-distinct readout per step prefix."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    window_us = window_minutes * 60 * 1_000_000
+    in_list = ", ".join(q(s) for s in dict.fromkeys(steps))
+    ctes = [
+        f"""ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events WHERE event_type IN ({in_list}))""",
+        f"s1 AS (SELECT user_id, seq AS p1, tus AS t1, seq AS cur FROM ev WHERE event_type = {q(steps[0])})",
+    ]
+    for j, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{j} AS (SELECT s.user_id, s.p1, s.t1, min(n.seq) AS cur\n"
+            f"  FROM s{j-1} s JOIN ev n ON n.user_id = s.user_id"
+            f" AND n.event_type = {q(s)} AND n.seq > s.cur\n"
+            f"  GROUP BY 1, 2, 3)"
+        )
+    selects = [
+        f"SELECT 1 AS step, {q(steps[0])} AS event_type, "
+        "count(DISTINCT user_id) AS n_users FROM s1"
+    ]
+    for j, s in enumerate(steps[1:], start=2):
+        selects.append(
+            f"SELECT {j}, {q(s)}, count(DISTINCT s.user_id)\n"
+            f"FROM s{j} s JOIN ev n ON n.user_id = s.user_id AND n.seq = s.cur\n"
+            f"WHERE n.tus - s.t1 <= {window_us}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
