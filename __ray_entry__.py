@@ -1260,6 +1260,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def rm3_topk(sf_dir):
+        # RM3 pseudo-relevance feedback: BM25 top-10 feedback docs, top-10
+        # expansion terms by tf/dl relevance model, lam=0.6 interpolation,
+        # weighted-TAAT second pass — the Anserini default feedback shape
+        rows = search.rm3_topk(
+            _index_for(sf_dir), BM25_QUERIES, _docs_ds(sf_dir),
+            fb_docs=10, fb_terms=10, lam=0.6, topk=BM25_TOPK + 10,
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
     def substring_counts(sf_dir):
         # exact substring search (Zoekt-style): phrase-adjacency chain over
         # the positional char-trigram index — case-insensitive, overlapping
@@ -2170,6 +2180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session: ordered funnel analysis over the events stream —
         # the event-stream transplant of span_near's greedy-chain argument
         "funnel_steps": funnel_steps,
+        # new this session: RM3 pseudo-relevance-feedback expansion — a
+        # second full ranking mode (feedback + weighted-TAAT second pass)
+        "rm3_topk": rm3_topk,
         # second readout of the nb prediction artifact (its per-doc sibling
         # holds the first-50 slot)
         "nb_confusion": nb_confusion,
@@ -2300,6 +2313,90 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
          doc_id, round(score, 6) score
   FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+# RM3 twin (pipelines/search.py rm3_topk): pass 1 is the exact _BM25_SQL
+# scorer; feedback = rounded-rank top-10 docs; relevance model
+# p(t) = sum_fb(tf/dl) / k0, expansion = top-10 terms by (round(p,12) DESC,
+# term); weights w = 0.6*[t in Q]/|Q| + 0.4*(p/psum); pass 2 sums
+# w * (idf * tf_part) per doc — the same association the weighted TAAT
+# executor evaluates, so 6-dp rounding absorbs only summation-order drift.
+_RM3_SQL = f"""
+WITH {{tok_cte}},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+q(query_id, qtext) AS (VALUES {{queries}}),
+qterms AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest({TOK_SQL.format(col="qtext")}) AS t(term)
+),
+nq AS (SELECT query_id, count(*)::DOUBLE nq FROM qterms GROUP BY 1),
+sc1 AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) r
+    FROM sc1
+  ) WHERE r <= {{fb_docs}}
+),
+k0 AS (SELECT query_id, count(*)::DOUBLE k0 FROM fb GROUP BY 1),
+rm AS (
+  SELECT f.query_id, tf.term, sum(tf.tf / dl.dl) / max(k.k0) p
+  FROM fb f
+  JOIN tf ON tf.doc_id = f.doc_id
+  JOIN dl ON dl.doc_id = f.doc_id
+  JOIN k0 k ON k.query_id = f.query_id
+  GROUP BY 1, 2
+),
+expsel AS (
+  SELECT query_id, term, p FROM (
+    SELECT query_id, term, p,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(p, 12) DESC, term) r
+    FROM rm
+  ) WHERE r <= {{fb_terms}}
+),
+psum AS (SELECT query_id, sum(p) ps FROM expsel GROUP BY 1),
+wts AS (
+  SELECT coalesce(e.query_id, o.query_id) query_id,
+         coalesce(e.term, o.term) term,
+         (CASE WHEN o.term IS NOT NULL THEN {{lam}} / o.nq ELSE 0 END)
+         + (CASE WHEN e.term IS NOT NULL THEN {{onemlam}} * (e.p / ps.ps) ELSE 0 END) w
+  FROM expsel e
+  FULL OUTER JOIN (
+    SELECT qt.query_id, qt.term, n.nq FROM qterms qt JOIN nq n USING (query_id)
+  ) o ON e.query_id = o.query_id AND e.term = o.term
+  LEFT JOIN psum ps ON ps.query_id = coalesce(e.query_id, o.query_id)
+),
+sc2 AS (
+  SELECT w.query_id, tf.doc_id,
+         sum(w.w * (ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * ((tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))))) score
+  FROM wts w
+  JOIN tf ON tf.term = w.term
+  JOIN df ON df.term = w.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc2
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
@@ -4963,6 +5060,14 @@ FROM walk
         "rank_eval_bm25": rank_eval_sql,
         "heavy_hitters": heavy_hitters_sql,
         "ql_topk": ql,
+        "rm3_topk": _RM3_SQL.format(
+            tok_cte=_TOK_CTE,
+            queries=_values(BM25_QUERIES),
+            fb_docs=10,
+            fb_terms=10,
+            lam=repr(0.6),
+            onemlam=repr(1.0 - 0.6),
+        ),
         "substring_counts": substring_sql,
         "bm25_topk_subtoken": bm25_subtoken,
         # federated = logical union of the two disjoint halves = the full

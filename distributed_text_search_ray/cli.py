@@ -81,6 +81,17 @@ def main(argv: list[str] | None = None) -> int:
         "terms are scored (taat path)",
     )
 
+    r3 = sub.add_parser(
+        "rm3", help="RM3 pseudo-relevance-feedback expanded retrieval"
+    )
+    r3.add_argument("index_dir")
+    r3.add_argument("corpus_dir", help="corpus parquet dir (feedback doc texts)")
+    r3.add_argument("queries", nargs="+")
+    r3.add_argument("--topk", type=int, default=10)
+    r3.add_argument("--fb-docs", type=int, default=10)
+    r3.add_argument("--fb-terms", type=int, default=10)
+    r3.add_argument("--lam", type=float, default=0.6)
+
     f = sub.add_parser("fuzzy")
     f.add_argument("index_dir")
     f.add_argument("patterns", nargs="+")
@@ -282,6 +293,21 @@ def main(argv: list[str] | None = None) -> int:
 
         rows = search_topk_federated(
             args.index_dirs, list(enumerate(args.queries)), topk=args.topk
+        ).take_all()
+        for r in rows:
+            print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+    elif args.cmd == "rm3":
+        from distributed_text_search_ray.pipelines.search import rm3_topk
+        from distributed_text_search_ray.sources.corpus import read_corpus
+
+        rows = rm3_topk(
+            args.index_dir,
+            list(enumerate(args.queries)),
+            read_corpus(args.corpus_dir, columns=["doc_id", "content"]),
+            fb_docs=args.fb_docs,
+            fb_terms=args.fb_terms,
+            lam=args.lam,
+            topk=args.topk,
         ).take_all()
         for r in rows:
             print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")

@@ -2923,3 +2923,183 @@ def search_topk_routed(
         batch_size=8,
         concurrency=resolve_concurrency(concurrency),
     )
+
+
+class WeightedTermExecutor(QueryExecutor):
+    """Actor-pool stage scoring PRE-EXPANDED weighted queries (the RM3
+    second pass): batches of (query_id, terms: list<string>, weights:
+    list<double>) -> top-k rows with
+
+        score(d) = sum_t w_t * (idf(t) * tf_part(t, d))
+
+    accumulated in ascending term order (the TAAT determinism discipline —
+    reference parity: SURVEY.md section 7 "hard parts"). Weights must be
+    > 0: the dense accumulator treats score 0 as unscored, exactly like the
+    base scorer treats absent postings."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        out_q, out_r, out_d, out_s = [], [], [], []
+        qids = batch.column("query_id").to_pylist()
+        terms_col = batch.column("terms").to_pylist()
+        weights_col = batch.column("weights").to_pylist()
+        self._wmap: dict[str, float] | None = None
+        for qid, terms, ws in zip(qids, terms_col, weights_col):
+            self._wmap = {t: float(w) for t, w in zip(terms, ws)}
+            try:
+                docs, scores = self._score_taat(sorted(self._wmap), self.topk)
+            finally:
+                self._wmap = None
+            for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), start=1):
+                out_q.append(qid)
+                out_r.append(r)
+                out_d.append(d)
+                out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def _term_contribs(self, terms):
+        from distributed_text_search_ray.functions import bm25 as _bm25
+
+        v = self.view
+        cfg = v.cfg
+        all_docs, all_contrib = [], []
+        for term in terms:
+            docs, tfs, dls, df = v.term_postings(term)
+            if df == 0 or not len(docs):
+                continue
+            wt = self._wmap[term] if self._wmap else 1.0
+            # association mirrors the SQL twin exactly: w * (idf * tf_part)
+            contrib = wt * (
+                _bm25.idf(v.N, df)
+                * _bm25.tf_part(tfs, dls, v.avgdl, cfg.bm25_k1, cfg.bm25_b)
+            )
+            all_docs.append(docs)
+            all_contrib.append(contrib)
+        return all_docs, all_contrib
+
+
+def rm3_topk(
+    index_dir: str,
+    queries: Iterable[tuple[int, str]],
+    docs_ds: ray.data.Dataset,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    lam: float = 0.6,
+    topk: int = 10,
+    fetch_pad: int = 10,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft
+    relevance models; the Anserini/ES default feedback pipeline shape):
+
+    1. feedback = BM25 top-``fb_docs`` per query (6-dp rounded rank,
+       doc_id tie-break — the driver's rerank discipline, so both gate
+       sides pick the identical feedback set);
+    2. relevance model p(t) = (1/k0) * sum over feedback docs of
+       tf(t,d)/dl(d); the top-``fb_terms`` terms by (p rounded to 12 dp
+       DESC, term ASC) are the expansion set, renormalized to sum 1;
+    3. expanded weights w(t) = lam * [t in Q]/|Q distinct| +
+       (1-lam) * p(t)/psum, scored as a weighted TAAT pass
+       (:class:`WeightedTermExecutor`).
+
+    Scale shape: the feedback set is O(queries x fb_docs) rows and the
+    expanded vocabulary O(queries x (|Q| + fb_terms)) — both bounded driver
+    state, like the MMR window. Fetching feedback texts is one vectorized
+    ``is_in`` filter pass over ``docs_ds`` (columns doc_id, content) — no
+    shuffle; the only corpus-sized work is the two scoring passes, both
+    actor-pool streaming. Returns UNROUNDED (query_id, rank, doc_id,
+    score); callers re-rank rounded like every other scorer here.
+    """
+    import pyarrow.compute as pc
+
+    qlist = [(int(q), str(t)) for q, t in queries]
+    view = IndexView(index_dir)
+    from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+    tokenizer = Tokenizer(view.cfg.analyzer)
+
+    hits = search_topk(
+        index_dir, qlist, topk=fb_docs + fetch_pad, concurrency=concurrency
+    ).take_all()
+    by_q: dict[int, list[tuple[int, float]]] = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    fb: dict[int, list[int]] = {}
+    for qid, rows in by_q.items():
+        d = np.array([x[0] for x in rows], dtype=np.int64)
+        s = round_half_away(np.array([x[1] for x in rows], dtype=np.float64), 6)
+        order = np.lexsort((d, -s))[: int(fb_docs)]
+        fb[qid] = sorted(d[order].tolist())
+
+    all_ids = sorted({d for ids in fb.values() for d in ids})
+    ids_arr = pa.array(all_ids, type=pa.int64())
+    texts = docs_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=ids_arr)),
+        batch_format="pyarrow",
+    ).take_all()
+    tok_by_doc = {row["doc_id"]: tokenizer.tokens(row["content"]) for row in texts}
+
+    onemlam = 1.0 - float(lam)
+    expanded = []
+    for qid, qtext in qlist:
+        qterms = sorted(set(tokenizer.tokens(qtext)))
+        if not qterms:
+            continue  # SQL twin produces no rows for token-free queries
+        nq = float(len(qterms))
+        fbids = fb.get(qid, [])
+        p: dict[str, float] = {}
+        k0 = float(len(fbids))
+        for d in fbids:  # ascending doc order -> deterministic sum order
+            toks = tok_by_doc.get(d, [])
+            dl = float(len(toks))
+            if dl == 0.0:
+                continue
+            from collections import Counter
+
+            for t, c in sorted(Counter(toks).items()):
+                p[t] = p.get(t, 0.0) + float(c) / dl
+        weights = {t: float(lam) / nq for t in qterms}
+        if p and k0 > 0.0:
+            pq = {t: v / k0 for t, v in p.items()}
+            rp = {
+                t: float(round_half_away(np.float64(v), 12)) for t, v in pq.items()
+            }
+            sel = sorted(pq, key=lambda t: (-rp[t], t))[: int(fb_terms)]
+            psum = 0.0
+            for t in sorted(sel):  # ascending-term sum order
+                psum += pq[t]
+            if psum > 0.0:
+                for t in sel:
+                    weights[t] = weights.get(t, 0.0) + onemlam * (pq[t] / psum)
+        terms = sorted(weights)
+        expanded.append(
+            {
+                "query_id": qid,
+                "terms": terms,
+                "weights": [weights[t] for t in terms],
+            }
+        )
+    if not expanded:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    return ray.data.from_items(expanded).map_batches(
+        WeightedTermExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "topk": topk},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=resolve_concurrency(concurrency),
+    )

@@ -198,3 +198,16 @@ def test_cli_clusters(cli_env, capsys):
     assert len(ids) == len(pairs)  # one row per doc
     assert all(c in ids for _, c in pairs)  # cluster reps are real docs
     assert all(c <= d for d, c in pairs)  # rep = component min
+
+
+def test_cli_rm3(cli_env, capsys):
+    corpus_dir, index_dir = cli_env
+    assert main(
+        ["rm3", index_dir, corpus_dir, "def tokenize", "--topk", "3", "--lam", "1.0"]
+    ) in (0, None)
+    rm3 = _lines(capsys)
+    assert rm3 and all(len(ln.split("\t")) == 4 for ln in rm3)
+    # lam=1 -> ranking identical to plain search (scores scale by 1/|Q|)
+    assert main(["search", index_dir, "def tokenize", "--topk", "3"]) in (0, None)
+    plain = _lines(capsys)
+    assert [ln.split("\t")[2] for ln in rm3] == [ln.split("\t")[2] for ln in plain]
