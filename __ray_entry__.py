@@ -491,6 +491,20 @@ def _merged_index_for(sf_dir: str) -> str:
     return merged
 
 
+def _resharded_index_for(sf_dir: str) -> str:
+    """Split of the main cached index to 2x partitions (no re-tokenize) —
+    the ES split analog; search over it must be bit-identical to the
+    source, so the plain BM25 SQL is its oracle."""
+    from distributed_text_search_ray.pipelines.build import read_index_meta
+    from distributed_text_search_ray.pipelines.merge import reshard_index
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    src = _index_for(sf_dir)
+    out = os.path.join(_CACHE_ROOT, key, "index_split")
+    reshard_index(src, out, 2 * int(read_index_meta(src)["num_partitions"]))
+    return out
+
+
 def _lang_indexes_for(sf_dir: str) -> dict[str, str]:
     """One member index per ``lang`` value over the cached corpus — the
     routed-search substrate (``bm25_topk_routed``). Unlike the parity halves
@@ -864,6 +878,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from distributed_text_search_ray.pipelines.search import search_topk
 
         index_dir = _merged_index_for(sf_dir)
+        rows = search_topk(index_dir, BM25_QUERIES, topk=BM25_TOPK + 10).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
+    def bm25_topk_resharded(sf_dir):
+        # split of the serving index to 2x partitions (reshard_index, no
+        # re-tokenize) — search must be bit-identical, oracle = plain BM25
+        from distributed_text_search_ray.pipelines.search import search_topk
+
+        index_dir = _resharded_index_for(sf_dir)
         rows = search_topk(index_dir, BM25_QUERIES, topk=BM25_TOPK + 10).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
@@ -2183,6 +2206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session: RM3 pseudo-relevance-feedback expansion — a
         # second full ranking mode (feedback + weighted-TAAT second pass)
         "rm3_topk": rm3_topk,
+        # new this session: index split (reshard, ES split analog) serving
+        # bit-identical results — gated against the plain BM25 twin
+        "bm25_topk_resharded": bm25_topk_resharded,
         # second readout of the nb prediction artifact (its per-doc sibling
         # holds the first-50 slot)
         "nb_confusion": nb_confusion,
@@ -5118,6 +5144,7 @@ JOIN tot tb ON tb.source = p.source_b
         "bpe_merges": bpe_merges_sql,
         "bpe_token_counts": bpe_counts_sql,
         "bm25_topk_merged": bm25,
+        "bm25_topk_resharded": bm25,
         "revenue_by_nation": revenue_nation,
         "sessionize_30m": sessions,
         "embedding_dup_pairs": emb_dups,

@@ -161,6 +161,15 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("index_dir")
     cp.add_argument("out_dir")
 
+    rs = sub.add_parser(
+        "reshard",
+        help="split/shrink a built index to k*P or P/k partitions "
+        "(segment-level, no re-tokenization; results bit-identical)",
+    )
+    rs.add_argument("index_dir")
+    rs.add_argument("out_dir")
+    rs.add_argument("num_partitions", type=int)
+
     dsr = sub.add_parser(
         "dsir",
         help="DSIR importance weights: score a corpus against a target "
@@ -408,6 +417,18 @@ def main(argv: list[str] | None = None) -> int:
             args.sources, args.out_dir, validate_disjoint=args.validate_disjoint
         )
         print(json.dumps({k: report[k] for k in ("fingerprint", "N", "complete")}))
+    elif args.cmd == "reshard":
+        from distributed_text_search_ray.pipelines.merge import reshard_index
+
+        report = reshard_index(args.index_dir, args.out_dir, args.num_partitions)
+        print(
+            json.dumps(
+                {
+                    k: report[k]
+                    for k in ("fingerprint", "mode", "num_partitions", "complete")
+                }
+            )
+        )
     elif args.cmd == "compact":
         from distributed_text_search_ray.pipelines.merge import compact_index
 

@@ -849,3 +849,363 @@ def upsert_docs(
     report["n_upserted"] = int(len(ids))
     report["compact"] = {k: report_c[k] for k in ("fingerprint",) if k in report_c}
     return report
+
+
+class _ReshardPart:
+    """map_batches stage for :func:`reshard_index`.
+
+    ``mode="split"``: one row = one OLD partition; decodes it once and
+    writes its ``factor`` child segments (term-level routing, no shuffle —
+    with new_P = old_P * factor, ``h % new_P`` of every term routed to old
+    part p is congruent to p mod old_P, so a parent's terms land only in
+    its own children; same for every salt probe ``h(term#s)``).
+
+    ``mode="shrink"``: one row = one NEW partition; decodes its ``factor``
+    parent segments (old parts q with q % new_P == part) and re-encodes
+    their concatenated pair streams. A salted term may appear in several
+    parents (doc-disjoint by construction); docs legitimately repeat across
+    different terms, so no doc-disjointness check applies here (unlike the
+    cross-index merge).
+    """
+
+    def __init__(self, index_dir: str, out_dir: str, fingerprint: str,
+                 cfg: IndexConfig, old_P: int, new_P: int,
+                 N: int, avgdl: float, salted: list[str], mode: str):
+        self.index_dir = index_dir
+        self.out_dir = out_dir
+        self.fingerprint = fingerprint
+        self.cfg = cfg  # already carries num_partitions = new_P
+        self.old_P = old_P
+        self.new_P = new_P
+        self.N = N
+        self.avgdl = avgdl
+        self.salted = set(salted)
+        self.mode = mode
+
+    # ---- routing -----------------------------------------------------
+    def _split_target(self, term: str, parent: int) -> int:
+        from distributed_text_search_ray.functions.hashing import (
+            stable_u64,
+            term_partition,
+        )
+
+        base = term_partition(term, self.new_P)
+        if term not in self.salted:
+            return base
+        cand = {base} | {
+            stable_u64(f"{term}#{s}") % self.new_P
+            for s in range(self.cfg.salt_buckets)
+        }
+        mine = sorted(c for c in cand if c % self.old_P == parent)
+        # at least one candidate is a child of the parent: whichever probe
+        # routed these pairs to `parent` under old_P maps to one under new_P
+        return mine[0]
+
+    def _encode(self, part: int, union_terms, codes, docs, tfs, dls, positions):
+        seg_dir = os.path.join(self.out_dir, "segments", f"part={part:05d}")
+        built = build_segment_tables(
+            codes, union_terms, docs, tfs, dls, self.N, self.avgdl, self.cfg,
+            positions=positions,
+        )
+        if self.cfg.store_positions:
+            terms_table, docs_b, tfs_b, dls_b, stats, pos_b = built
+        else:
+            terms_table, docs_b, tfs_b, dls_b, stats = built
+            pos_b = None
+        with mf.AtomicDir(seg_dir) as tmp:
+            checks = write_segment(
+                tmp, terms_table, docs_b, tfs_b, dls_b, pos_stream=pos_b
+            )
+            mf.write_manifest(
+                tmp,
+                {"kind": "segment", "part": part,
+                 "fingerprint": self.fingerprint, "checksums": checks, **stats},
+            )
+        return stats
+
+    @staticmethod
+    def _empty_positions(with_pos: bool):
+        if not with_pos:
+            return None
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(1, dtype=np.int32)),
+            pa.array(np.empty(0, dtype=np.int32)),
+        )
+
+    # ---- split: parent -> factor children ------------------------------
+    def _split_one(self, parent: int) -> list[dict]:
+        factor = self.new_P // self.old_P
+        children = [parent + i * self.old_P for i in range(factor)]
+        done = [
+            c for c in children
+            if mf.is_complete(
+                os.path.join(self.out_dir, "segments", f"part={c:05d}"),
+                self.fingerprint,
+            )
+        ]
+        if len(done) == len(children):
+            out = []
+            for c in children:
+                m = mf.read_manifest(
+                    os.path.join(self.out_dir, "segments", f"part={c:05d}")
+                )
+                out.append({"part": c, "n_terms": m["n_terms"],
+                            "n_postings": m["n_postings"], "skipped": True})
+            return out
+        with_pos = self.cfg.store_positions
+        rec = read_segment_pairs(
+            os.path.join(self.index_dir, "segments", f"part={parent:05d}"),
+            with_positions=with_pos,
+        )
+        terms, df = rec[0], rec[1]
+        docs, tfs, dls = rec[2], rec[3], rec[4]
+        flat_pos = rec[5] if with_pos else None
+        targets = np.fromiter(
+            (self._split_target(t, parent) for t in terms),
+            dtype=np.int64, count=len(terms),
+        )
+        pair_target = np.repeat(targets, df)
+        out = []
+        for child in children:
+            tmask = targets == child
+            child_terms = [t for t, m in zip(terms, tmask) if m]
+            pmask = pair_target == child
+            c_docs, c_tfs, c_dls = docs[pmask], tfs[pmask], dls[pmask]
+            # terms stay sorted; pairs stay doc-sorted within each term
+            codes = np.repeat(
+                np.arange(len(child_terms), dtype=np.int64), df[tmask]
+            )
+            positions = self._empty_positions(with_pos)
+            if with_pos and len(c_tfs):
+                pos_mask = np.repeat(pmask, tfs)
+                cpos = flat_pos[pos_mask].astype(np.int32)
+                offsets = np.concatenate(([0], np.cumsum(c_tfs))).astype(np.int32)
+                positions = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(cpos)
+                )
+            stats = self._encode(child, child_terms, codes, c_docs, c_tfs, c_dls, positions)
+            out.append({"part": child, "n_terms": stats["n_terms"],
+                        "n_postings": stats["n_postings"], "skipped": False})
+        return out
+
+    # ---- shrink: factor parents -> one child ----------------------------
+    def _shrink_one(self, part: int) -> list[dict]:
+        seg_dir = os.path.join(self.out_dir, "segments", f"part={part:05d}")
+        if mf.is_complete(seg_dir, self.fingerprint):
+            m = mf.read_manifest(seg_dir)
+            return [{"part": part, "n_terms": m["n_terms"],
+                     "n_postings": m["n_postings"], "skipped": True}]
+        with_pos = self.cfg.store_positions
+        factor = self.old_P // self.new_P
+        parents = [part + i * self.new_P for i in range(factor)]
+        per_src = [
+            read_segment_pairs(
+                os.path.join(self.index_dir, "segments", f"part={q:05d}"),
+                with_positions=with_pos,
+            )
+            for q in parents
+        ]
+        union: set[str] = set()
+        for rec in per_src:
+            union.update(rec[0])
+        union_terms = sorted(union)
+        code_of = {t: i for i, t in enumerate(union_terms)}
+        codes_parts, docs_parts, tfs_parts, dls_parts, pos_parts = [], [], [], [], []
+        for rec in per_src:
+            terms, df = rec[0], rec[1]
+            if not len(rec[2]):
+                continue
+            codes_parts.append(
+                np.repeat(
+                    np.fromiter((code_of[t] for t in terms), dtype=np.int64,
+                                count=len(terms)),
+                    df,
+                )
+            )
+            docs_parts.append(rec[2])
+            tfs_parts.append(rec[3])
+            dls_parts.append(rec[4])
+            if with_pos:
+                pos_parts.append(rec[5])
+        positions = self._empty_positions(with_pos)
+        if codes_parts:
+            codes = np.concatenate(codes_parts)
+            docs = np.concatenate(docs_parts)
+            tfs_pre = np.concatenate(tfs_parts)
+            dls_pre = np.concatenate(dls_parts)
+            order = np.lexsort((docs, codes))
+            codes, docs = codes[order], docs[order]
+            tfs, dls = tfs_pre[order], dls_pre[order]
+            if with_pos:
+                flat = np.concatenate(pos_parts)
+                pre_starts = np.concatenate(([0], np.cumsum(tfs_pre)[:-1]))
+                out_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                total = int(tfs.sum())
+                take = np.repeat(pre_starts[order], tfs) + (
+                    np.arange(total, dtype=np.int64) - np.repeat(out_starts, tfs)
+                )
+                offsets = np.concatenate(([0], np.cumsum(tfs))).astype(np.int32)
+                positions = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(flat[take].astype(np.int32))
+                )
+        else:
+            codes = np.empty(0, np.int64)
+            docs = tfs = dls = np.empty(0, np.int64)
+        stats = self._encode(part, union_terms, codes, docs, tfs, dls, positions)
+        return [{"part": part, "n_terms": stats["n_terms"],
+                 "n_postings": stats["n_postings"], "skipped": False}]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"part": [], "n_terms": [], "n_postings": [], "skipped": []}
+        for part in batch.column("part").to_pylist():
+            rows = (
+                self._split_one(int(part))
+                if self.mode == "split"
+                else self._shrink_one(int(part))
+            )
+            for r in rows:
+                for k in out:
+                    out[k].append(r[k])
+        return pa.table(
+            {
+                "part": pa.array(out["part"], type=pa.int64()),
+                "n_terms": pa.array(out["n_terms"], type=pa.int64()),
+                "n_postings": pa.array(out["n_postings"], type=pa.int64()),
+                "skipped": pa.array(out["skipped"]),
+            }
+        )
+
+
+def reshard_index(index_dir: str, out_dir: str, num_partitions: int) -> dict:
+    """Re-partition a complete index to ``num_partitions`` WITHOUT
+    re-tokenizing the corpus — the ES shrink/split analog for elasticity
+    (more partitions = more query/build parallelism; fewer = less per-query
+    fan-out on small tenants).
+
+    Requires the new count to be an integer multiple (split) or divisor
+    (shrink) of the old one — the Lucene/ES split contract, and what makes
+    the data movement ZERO-shuffle here: with new_P = old_P * k, every term
+    (and every salt probe) routed to old part p satisfies
+    ``h % new_P ≡ p (mod old_P)``, so a split is one task per OLD partition
+    writing its k children, and a shrink is one task per NEW partition
+    reading its k parents. Global stats (N, avgdl, df, hot_df) are
+    unchanged; the dictionary is copied; block-max bounds are re-derived
+    from each new segment's local df (local df <= global df keeps them
+    valid upper bounds, same argument as the build). Search over the
+    resharded index is rank- AND score-identical to the source (pinned by
+    tests/test_reshard.py). Resumable via per-segment lineage manifests.
+    """
+    import pyarrow.parquet as pq
+
+    meta = load_meta(index_dir)
+    if not meta.get("complete"):
+        raise ValueError(f"source index {index_dir} is not complete")
+    cfg = config_from_meta(meta)
+    old_P = int(cfg.num_partitions)
+    new_P = int(num_partitions)
+    if new_P == old_P:
+        raise ValueError("new partition count equals the current one")
+    if new_P > old_P:
+        if new_P % old_P:
+            raise ValueError(
+                f"split requires a multiple of {old_P}, got {new_P}"
+            )
+        mode = "split"
+    else:
+        if new_P < 1 or old_P % new_P:
+            raise ValueError(
+                f"shrink requires a divisor of {old_P}, got {new_P}"
+            )
+        mode = "shrink"
+    h = hashlib.sha256(f"{meta['fingerprint']}|{new_P}".encode())
+    fp = "reshard-" + h.hexdigest()[:16]
+    os.makedirs(out_dir, exist_ok=True)
+    report: dict = {"fingerprint": fp, "phases": {}, "mode": mode}
+
+    meta_path = os.path.join(out_dir, "index_meta.json")
+    if os.path.exists(meta_path):
+        m = load_meta(out_dir)
+        if m.get("fingerprint") == fp and m.get("complete"):
+            report["skipped"] = True
+            report.update(m)
+            return report
+
+    from dataclasses import replace as _replace
+
+    new_cfg = _replace(cfg, num_partitions=new_P)
+    N = int(meta["N"])
+    total_tokens = int(meta["total_tokens"])
+    avgdl = float(meta["avgdl"])
+    hot_df = {k: int(v) for k, v in meta.get("hot_df", {}).items()}
+
+    # ---- segment pass: one task per parent (split) / child (shrink) ----
+    t0 = time.perf_counter()
+    n_tasks = old_P if mode == "split" else new_P
+    parts_ds = ray.data.from_items([{"part": p} for p in range(n_tasks)])
+    stage = _ReshardPart(
+        index_dir, out_dir, fp, new_cfg, old_P, new_P, N, avgdl,
+        sorted(hot_df), mode,
+    )
+    results = (
+        parts_ds.map_batches(stage, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    report["phases"]["segments"] = {
+        "sec": time.perf_counter() - t0,
+        "built": sum(1 for r in results if not r["skipped"]),
+        "skipped": sum(1 for r in results if r["skipped"]),
+    }
+
+    # ---- dictionary (unchanged content) + stats + meta ----
+    t0 = time.perf_counter()
+    dict_dir = os.path.join(out_dir, "dictionary")
+    src_dict = os.path.join(index_dir, "dictionary", "dictionary.parquet")
+    with mf.AtomicDir(dict_dir) as tmp:
+        shutil.copyfile(src_dict, os.path.join(tmp, "dictionary.parquet"))
+        mf.write_manifest(tmp, {"kind": "dictionary", "fingerprint": fp})
+    stats_path = os.path.join(out_dir, "stats.json")
+    with open(stats_path + ".tmp", "w") as f:
+        json.dump(
+            {"fingerprint": fp, "N": N, "total_tokens": total_tokens,
+             "avgdl": avgdl, "hot_df": hot_df},
+            f, indent=1, sort_keys=True,
+        )
+    os.replace(stats_path + ".tmp", stats_path)
+
+    # attribute sidecars and tombstones carry over unchanged (doc-keyed)
+    src_attr = os.path.join(index_dir, "attributes")
+    if os.path.isdir(src_attr):
+        dst_attr = os.path.join(out_dir, "attributes")
+        os.makedirs(dst_attr, exist_ok=True)
+        for name in sorted(os.listdir(src_attr)):
+            if name.endswith(".attrs.parquet"):
+                shutil.copyfile(
+                    os.path.join(src_attr, name), os.path.join(dst_attr, name)
+                )
+    src_tomb = os.path.join(index_dir, "deleted.parquet")
+    if os.path.exists(src_tomb):
+        shutil.copyfile(src_tomb, os.path.join(out_dir, "deleted.parquet"))
+
+    part_stats = {}
+    for p in range(new_P):
+        m = mf.read_manifest(os.path.join(out_dir, "segments", f"part={p:05d}"))
+        part_stats[p] = {k: m[k] for k in ("n_terms", "n_postings", "sum_tf")}
+    out_meta = {
+        "max_doc_id": int(meta.get("max_doc_id", -1)),
+        "fingerprint": fp,
+        "resharded_from": meta["fingerprint"],
+        "config": asdict(new_cfg),
+        "N": N,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        "hot_df": hot_df,
+        "num_partitions": new_P,
+        "part_stats": part_stats,
+        "complete": True,
+    }
+    report["phases"]["dictionary"] = {"sec": time.perf_counter() - t0}
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(out_meta, f, indent=1, sort_keys=True)
+    os.replace(meta_path + ".tmp", meta_path)
+    report.update(out_meta)
+    return report

@@ -211,3 +211,17 @@ def test_cli_rm3(cli_env, capsys):
     assert main(["search", index_dir, "def tokenize", "--topk", "3"]) in (0, None)
     plain = _lines(capsys)
     assert [ln.split("\t")[2] for ln in rm3] == [ln.split("\t")[2] for ln in plain]
+
+
+def test_cli_reshard(cli_env, capsys, tmp_path):
+    import json as _json
+
+    _, index_dir = cli_env
+    out = str(tmp_path / "split")
+    assert main(["reshard", index_dir, out, "8"]) in (0, None)
+    rep = _json.loads(_lines(capsys)[-1])
+    assert rep["mode"] == "split" and rep["num_partitions"] == 8
+    assert main(["search", out, "def tokenize", "--topk", "3"]) in (0, None)
+    split_rows = _lines(capsys)
+    assert main(["search", index_dir, "def tokenize", "--topk", "3"]) in (0, None)
+    assert split_rows == _lines(capsys)
