@@ -36,6 +36,9 @@ BM25_QUERIES = [
 ]
 BM25_TOPK = 10
 
+# termvectors request set (bounded doc-addressed API, like fetch/explain)
+TV_DOC_IDS = [3, 17, 101, 202, 404]
+
 # routed search: one member index per lang (the per-tenant layout); each
 # query is answered ONLY by its route's member, with that member's own
 # corpus stats. Route 'xx' has no member on either side (0 rows, pinned).
@@ -1283,6 +1286,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def term_vectors_q(sf_dir):
+        # ES termvectors API analog: per-(doc, term) tf/dl with corpus df/cf
+        # from the index dictionary, for a bounded requested doc set
+        from distributed_text_search_ray.pipelines.search import term_vectors
+
+        return term_vectors(_index_for(sf_dir), _docs_ds(sf_dir), TV_DOC_IDS)
+
     def rm3_topk(sf_dir):
         # RM3 pseudo-relevance feedback: BM25 top-10 feedback docs, top-10
         # expansion terms by tf/dl relevance model, lam=0.6 interpolation,
@@ -2206,6 +2216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session: RM3 pseudo-relevance-feedback expansion — a
         # second full ranking mode (feedback + weighted-TAAT second pass)
         "rm3_topk": rm3_topk,
+        # new this session: termvectors API (bounded doc-addressed stats)
+        "term_vectors": term_vectors_q,
         # new this session: index split (reshard, ES split analog) serving
         # bit-identical results — gated against the plain BM25 twin
         "bm25_topk_resharded": bm25_topk_resharded,
@@ -2425,6 +2437,19 @@ ranked AS (
   FROM sc2
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+# termvectors twin: in-doc tf/dl for the requested docs + global df/cf from
+# the full corpus — all BIGINT counts, so equality is exact by construction
+_TERM_VECTORS_SQL = f"""
+WITH {_TOK_CTE},
+sel AS (SELECT doc_id, term FROM tok WHERE doc_id IN ({{ids}})),
+tfq AS (SELECT doc_id, term, count(*)::BIGINT tf FROM sel GROUP BY 1, 2),
+dlq AS (SELECT doc_id, count(*)::BIGINT dl FROM sel GROUP BY 1),
+tfall AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*)::BIGINT df, sum(tf)::BIGINT cf FROM tfall GROUP BY 1)
+SELECT t.doc_id, t.term, t.tf, d.dl, f.df, f.cf
+FROM tfq t JOIN dlq d USING (doc_id) JOIN dfq f USING (term)
 """
 
 # rank_eval twin: the BM25 ranked CTE (identical to _BM25_SQL), relevance =
@@ -5086,6 +5111,9 @@ FROM walk
         "rank_eval_bm25": rank_eval_sql,
         "heavy_hitters": heavy_hitters_sql,
         "ql_topk": ql,
+        "term_vectors": _TERM_VECTORS_SQL.format(
+            ids=", ".join(str(i) for i in TV_DOC_IDS)
+        ),
         "rm3_topk": _RM3_SQL.format(
             tok_cte=_TOK_CTE,
             queries=_values(BM25_QUERIES),

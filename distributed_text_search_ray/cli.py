@@ -170,6 +170,14 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("out_dir")
     rs.add_argument("num_partitions", type=int)
 
+    fk = sub.add_parser(
+        "fsck",
+        help="distributed index integrity verification (manifests, "
+        "checksums, dictionary/stats consistency; --deep decodes segments)",
+    )
+    fk.add_argument("index_dir")
+    fk.add_argument("--deep", action="store_true")
+
     dsr = sub.add_parser(
         "dsir",
         help="DSIR importance weights: score a corpus against a target "
@@ -429,6 +437,12 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "fsck":
+        from distributed_text_search_ray.pipelines.merge import verify_index
+
+        report = verify_index(args.index_dir, deep=args.deep)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
     elif args.cmd == "compact":
         from distributed_text_search_ray.pipelines.merge import compact_index
 

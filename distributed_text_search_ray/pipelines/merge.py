@@ -1209,3 +1209,181 @@ def reshard_index(index_dir: str, out_dir: str, num_partitions: int) -> dict:
     os.replace(meta_path + ".tmp", meta_path)
     report.update(out_meta)
     return report
+
+
+class _VerifyPart:
+    """map_batches stage for :func:`verify_index`: one row = one partition."""
+
+    def __init__(self, index_dir: str, fingerprint: str, deep: bool,
+                 store_positions: bool):
+        self.index_dir = index_dir
+        self.fingerprint = fingerprint
+        self.deep = deep
+        self.store_positions = store_positions
+
+    def _check(self, part: int) -> list[str]:
+        from distributed_text_search_ray.state.segment import (
+            POS_STREAM,
+            STREAMS,
+            TERMS_FILE,
+        )
+
+        errs: list[str] = []
+        seg = os.path.join(self.index_dir, "segments", f"part={part:05d}")
+        m = mf.read_manifest(seg)
+        if m is None:
+            return [f"part {part}: missing or unreadable MANIFEST"]
+        if m.get("status") != "complete":
+            errs.append(f"part {part}: manifest status {m.get('status')!r}")
+        if m.get("fingerprint") != self.fingerprint:
+            errs.append(
+                f"part {part}: manifest fingerprint {m.get('fingerprint')!r} "
+                f"!= index {self.fingerprint!r}"
+            )
+        names = list(STREAMS) + ([POS_STREAM] if self.store_positions else [])
+        for name in names:
+            p = os.path.join(seg, name)
+            if not os.path.exists(p):
+                errs.append(f"part {part}: missing stream {name}")
+                continue
+            want = m.get("checksums", {}).get(name)
+            if want is None:
+                errs.append(f"part {part}: manifest records no checksum for {name}")
+                continue
+            with open(p, "rb") as f:
+                got = hashlib.md5(f.read()).hexdigest()
+            if got != want:
+                errs.append(
+                    f"part {part}: {name} checksum {got} != manifest {want}"
+                )
+        import pyarrow.parquet as pq
+
+        try:
+            t = pq.read_table(os.path.join(seg, TERMS_FILE), columns=["term", "df", "cf"])
+        except Exception as e:  # corrupt parquet is a finding, not a crash
+            return errs + [f"part {part}: unreadable {TERMS_FILE}: {e}"]
+        df = t.column("df").to_numpy()
+        if int(df.sum()) != int(m.get("n_postings", -1)):
+            errs.append(
+                f"part {part}: terms df sum {int(df.sum())} != manifest "
+                f"n_postings {m.get('n_postings')}"
+            )
+        if t.num_rows != int(m.get("n_terms", -1)):
+            errs.append(
+                f"part {part}: {t.num_rows} terms != manifest n_terms "
+                f"{m.get('n_terms')}"
+            )
+        terms_list = t.column("term").to_pylist()
+        if terms_list != sorted(terms_list):
+            errs.append(f"part {part}: term dictionary not sorted")
+        if self.deep and not errs:
+            # full decode: validates varbyte/delta stream integrity and the
+            # pair-level invariants the readers rely on
+            rec = read_segment_pairs(seg, with_positions=self.store_positions)
+            terms, rdf, docs, tfs, dls = rec[:5]
+            if not np.array_equal(rdf, df):
+                errs.append(f"part {part}: decoded df differs from {TERMS_FILE}")
+            if int(tfs.sum()) != int(m.get("sum_tf", -1)):
+                errs.append(
+                    f"part {part}: decoded sum_tf {int(tfs.sum())} != "
+                    f"manifest {m.get('sum_tf')}"
+                )
+            if len(docs) and int(docs.max()) > int(m.get("max_doc_id", -1)):
+                errs.append(f"part {part}: decoded doc id beyond manifest max")
+            if (tfs <= 0).any() or (dls <= 0).any():
+                errs.append(f"part {part}: non-positive tf or dl")
+            cf_tab = t.column("cf").to_numpy()
+            seg_ids = np.repeat(np.arange(len(rdf)), rdf)
+            cf_dec = np.bincount(seg_ids, weights=tfs, minlength=len(rdf)).astype(np.int64)
+            if not np.array_equal(cf_dec, cf_tab):
+                errs.append(f"part {part}: decoded cf differs from {TERMS_FILE}")
+            # per-term doc ids strictly increasing (posting-list contract)
+            d = np.diff(docs)
+            bad = (d <= 0) & (np.diff(seg_ids) == 0)
+            if bad.any():
+                errs.append(f"part {part}: non-increasing doc ids within a term")
+        return errs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_pylist()
+        errors = ["\n".join(self._check(int(p))) for p in parts]
+        return pa.table(
+            {
+                "part": pa.array(parts, type=pa.int64()),
+                "errors": pa.array(errors, type=pa.string()),
+            }
+        )
+
+
+def verify_index(index_dir: str, deep: bool = False) -> dict:
+    """Index fsck — distributed integrity verification of a built index
+    (the restore-side half of snapshot/restore: a copied or rsynced index
+    is trustworthy iff this passes).
+
+    One map_batches task per partition checks: manifest present/complete
+    and fingerprint-matched to the index meta, stream md5 checksums equal
+    the manifest's recorded values, ``terms.parquet`` consistent with the
+    manifest (df sum == n_postings, row count == n_terms, sorted terms).
+    ``deep=True`` additionally decodes every segment (one vectorized
+    varbyte/delta pass, the merge path's reader) and re-derives
+    df/cf/sum_tf/doc-order invariants from the raw pairs. Driver-side
+    (vocabulary-sized, bounded): dictionary df/cf totals must equal the
+    segment sums recorded in part manifests, and stats.json must agree
+    with index_meta. Returns {"ok", "errors", "parts", "deep"}.
+    """
+    import pyarrow.parquet as pq
+
+    meta = load_meta(index_dir)
+    cfg = config_from_meta(meta)
+    P = int(cfg.num_partitions)
+    errors: list[str] = []
+    if not meta.get("complete"):
+        errors.append("index_meta: complete flag not set")
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            st = json.load(f)
+        for k in ("N", "total_tokens"):
+            if int(st.get(k, -1)) != int(meta.get(k, -2)):
+                errors.append(f"stats.json {k} {st.get(k)} != meta {meta.get(k)}")
+    else:
+        errors.append("missing stats.json")
+
+    parts_ds = ray.data.from_items([{"part": p} for p in range(P)])
+    stage = _VerifyPart(index_dir, meta["fingerprint"], deep, cfg.store_positions)
+    res = parts_ds.map_batches(stage, batch_size=1, batch_format="pyarrow").take_all()
+    for r in res:
+        if r["errors"]:
+            errors.extend(r["errors"].split("\n"))
+
+    # dictionary totals vs per-part manifest sums (vocabulary-sized read,
+    # aggregated columnar — the dictionary itself is never pulled row-wise)
+    dict_path = os.path.join(index_dir, "dictionary", "dictionary.parquet")
+    if os.path.exists(dict_path):
+        dt = pq.read_table(dict_path, columns=["df", "cf"])
+        dict_df = int(np.sum(dt.column("df").to_numpy()))
+        dict_cf = int(np.sum(dt.column("cf").to_numpy()))
+        man_post = sum(
+            int(v.get("n_postings", 0)) for v in meta.get("part_stats", {}).values()
+        )
+        man_tf = sum(
+            int(v.get("sum_tf", 0)) for v in meta.get("part_stats", {}).values()
+        )
+        if dict_df != man_post:
+            errors.append(
+                f"dictionary df total {dict_df} != part manifests {man_post}"
+            )
+        if dict_cf != man_tf:
+            errors.append(
+                f"dictionary cf total {dict_cf} != part manifests {man_tf}"
+            )
+        if dict_cf != int(meta.get("total_tokens", -1)):
+            errors.append(
+                f"dictionary cf total {dict_cf} != meta total_tokens "
+                f"{meta.get('total_tokens')}"
+            )
+    else:
+        errors.append("missing dictionary/dictionary.parquet")
+
+    errors = [e for e in errors if e]
+    return {"ok": not errors, "errors": errors, "parts": P, "deep": deep}

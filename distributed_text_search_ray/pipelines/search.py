@@ -3103,3 +3103,90 @@ def rm3_topk(
         batch_size=8,
         concurrency=resolve_concurrency(concurrency),
     )
+
+
+def term_vectors(
+    index_dir: str,
+    docs_ds: ray.data.Dataset,
+    doc_ids: Iterable[int],
+) -> pa.Table:
+    """ES termvectors-API analog: per-(doc, term) statistics for a BOUNDED
+    requested doc set — in-doc ``tf`` and ``dl`` (re-derived with the
+    index's analyzer, the ES realtime-termvectors contract) joined with
+    corpus-wide ``df``/``cf`` from the index dictionary.
+
+    Scale shape: one vectorized ``is_in`` filter + tokenize pass over
+    ``docs_ds`` (columns doc_id, content) emits O(requested docs x distinct
+    terms) pair rows; the dictionary (vocabulary-sized, never collected
+    whole) is probed with a second ``is_in`` filter over exactly those
+    terms. Both intermediates are bounded by the request, like every
+    doc-addressed API here (fetch_docs, explain). Returns an arrow table
+    (doc_id, term, tf, dl, df, cf) sorted by (doc_id, term); terms absent
+    from the dictionary (a requested doc re-tokenized after index build
+    drift) would carry df=0/cf=0 rather than error.
+    """
+    import pyarrow.compute as pc
+
+    from distributed_text_search_ray.functions.tokenize import (
+        Tokenizer,
+        batch_pairs_dict,
+    )
+
+    ids = sorted({int(d) for d in doc_ids})
+    ids_arr = pa.array(ids, type=pa.int64())
+    view = IndexView(index_dir)
+    analyzer = view.cfg.analyzer
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("doc_id"), value_set=ids_arr))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "dl": pa.array([], type=pa.int64()),
+                }
+            )
+        terms, pdoc, tfs, dls, _ = batch_pairs_dict(
+            Tokenizer(analyzer),
+            t.column("doc_id").to_numpy(),
+            t.column("content").to_pylist(),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(pdoc, type=pa.int64()),
+                "term": terms.cast(pa.string())
+                if isinstance(terms, (pa.Array, pa.ChunkedArray))
+                else pa.array([str(x) for x in terms], type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
+                "dl": pa.array(dls, type=pa.int64()),
+            }
+        )
+
+    pairs_rows = docs_ds.map_batches(explode, batch_format="pyarrow").take_all()
+    term_set = sorted({r["term"] for r in pairs_rows})
+    dict_path = os.path.join(index_dir, "dictionary", "dictionary.parquet")
+    dict_ds = ray.data.read_parquet(dict_path, columns=["term", "df", "cf"])
+    tset = pa.array(term_set, type=pa.string())
+    stats_rows = dict_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("term"), value_set=tset)),
+        batch_format="pyarrow",
+    ).take_all()
+    df_of = {r["term"]: int(r["df"]) for r in stats_rows}
+    cf_of = {r["term"]: int(r["cf"]) for r in stats_rows}
+    pairs_rows.sort(key=lambda r: (r["doc_id"], r["term"]))
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in pairs_rows], type=pa.int64()),
+            "term": pa.array([r["term"] for r in pairs_rows], type=pa.string()),
+            "tf": pa.array([r["tf"] for r in pairs_rows], type=pa.int64()),
+            "dl": pa.array([r["dl"] for r in pairs_rows], type=pa.int64()),
+            "df": pa.array(
+                [df_of.get(r["term"], 0) for r in pairs_rows], type=pa.int64()
+            ),
+            "cf": pa.array(
+                [cf_of.get(r["term"], 0) for r in pairs_rows], type=pa.int64()
+            ),
+        }
+    )

