@@ -183,6 +183,20 @@ PROXIMITY_MAX_SPAN = 12
 # plain pair, reversed pair (order-sensitive vs proximity), 3-term chain,
 # duplicate token (needs two occurrences), single term (gap 0), absent term
 # (no rows) — all pinned by tests/test_span_near.py
+# match_phrase_prefix (ES search-as-you-type): last token is a PREFIX that
+# expands to the first PP_MAX_EXP dictionary terms in sorted order (the
+# Lucene cap); preceding tokens chain exactly. 'val' and 'cust' expand to
+# several terms; 'da' exercises the expansion cap; bare 'vec' is the
+# single-token (pure prefix) case; a missing prefix yields no rows
+PHRASE_PREFIX_QUERIES = [
+    (0, "customer val"),
+    (1, "data tab"),
+    (2, "vec"),
+    (3, "the da"),
+    (4, "customer zzzq"),
+]
+PP_MAX_EXP = 8
+
 SPAN_NEAR_QUERIES = [
     (0, "customer value"),
     (1, "value customer"),
@@ -1746,6 +1760,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _index_pos_for(sf_dir), PROXIMITY_QUERIES, max_span=PROXIMITY_MAX_SPAN
         )
 
+    def phrase_prefix_counts(sf_dir):
+        # ES match_phrase_prefix (search-as-you-type) on the positional index
+        from distributed_text_search_ray.pipelines.phrase import match_phrase_prefix
+
+        return match_phrase_prefix(
+            _index_pos_for(sf_dir), PHRASE_PREFIX_QUERIES, max_expansions=PP_MAX_EXP
+        )
+
     def span_near(sf_dir):
         from distributed_text_search_ray.pipelines.phrase import span_near_search
 
@@ -2218,6 +2240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_topk": rm3_topk,
         # new this session: termvectors API (bounded doc-addressed stats)
         "term_vectors": term_vectors_q,
+        # new this session: match_phrase_prefix (search-as-you-type)
+        "phrase_prefix_counts": phrase_prefix_counts,
         # new this session: index split (reshard, ES split analog) serving
         # bit-identical results — gated against the plain BM25 twin
         "bm25_topk_resharded": bm25_topk_resharded,
@@ -4449,6 +4473,52 @@ tokp AS (
         + "\nUNION ALL\n".join(phrase_selects)
     )
 
+    # match_phrase_prefix twin: same positional-join chain, the LAST slot
+    # joins a per-query expansion CTE (first PP_MAX_EXP distinct corpus
+    # terms with the prefix, sorted — the executor's Lucene cap exactly)
+    pp_ctes, pp_selects = [], []
+    for qid, p in PHRASE_PREFIX_QUERIES:
+        terms = _phrase_terms(p)
+        if not terms:
+            continue
+        exact, prefix = terms[:-1], terms[-1]
+        pp_ctes.append(
+            f"exp{qid} AS (SELECT DISTINCT term FROM tokp WHERE term LIKE "
+            f"'{prefix}%' ORDER BY term LIMIT {PP_MAX_EXP})"
+        )
+        k = len(terms)
+        if k == 1:
+            pp_selects.append(
+                f"SELECT {qid}::BIGINT query_id, p0.doc_id, "
+                f"count(*)::BIGINT n_occurrences"
+                f"\nFROM tokp p0 JOIN exp{qid} e ON p0.term = e.term"
+                f"\nGROUP BY 1, 2"
+            )
+            continue
+        joins = "".join(
+            f"\nJOIN tokp p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+            for i in range(1, k)
+        )
+        conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(exact))
+        pp_selects.append(
+            f"SELECT {qid}::BIGINT query_id, p0.doc_id, count(*)::BIGINT n_occurrences"
+            f"\nFROM tokp p0{joins}\nJOIN exp{qid} e ON p{k-1}.term = e.term"
+            f"\nWHERE {conds}\nGROUP BY 1, 2"
+        )
+    phrase_prefix_sql = (
+        f"""
+WITH toks AS (
+  SELECT doc_id, {TOK_SQL.format(col="text")} l FROM documents
+),
+tokp AS (
+  SELECT doc_id, t.i pos, l[t.i] term FROM toks, unnest(range(1, len(l) + 1)) AS t(i)
+),
+"""
+        + ",\n".join(pp_ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(pp_selects)
+    )
+
     # two-phase rescore twin: the bm25 ranked CTE re-windowed to
     # RESCORE_WINDOW, phrase-occurrence counts of each query's own text
     # (match_phrase rescorer) LEFT-joined in, combined score re-ranked —
@@ -5219,6 +5289,7 @@ JOIN tot tb ON tb.source = p.source_b
         "phrase_counts": phrase_sql,
         "phrase_counts_indexed": phrase_sql,
         "phrase_counts_positional": phrase_sql,
+        "phrase_prefix_counts": phrase_prefix_sql,
         "proximity_search": proximity_sql_all,
         "span_near": span_near_sql_all,
         "funnel_steps": funnel_steps_sql,

@@ -671,3 +671,133 @@ SELECT {query_id} AS query_id, doc_id,
        min(cur - p1 - {k - 1})::BIGINT AS min_gap
 FROM s{k} GROUP BY doc_id HAVING min(cur - p1 - {k - 1}) <= {slop}
 """
+
+
+class _PhrasePrefixExecutor:
+    """Actor-pool stage for match_phrase_prefix (ES search-as-you-type):
+    (query_id, phrase) rows where the LAST token is a prefix -> exact
+    (query_id, doc_id, n_occurrences) from a positional (v4) index.
+
+    The prefix expands over the sorted dictionary to the FIRST
+    ``max_expansions`` matching terms (the Lucene cap — deterministic by
+    term order, mirrored by the twin's ORDER BY term LIMIT E); a start
+    position matches iff the k-1 exact terms chain consecutively and the
+    token at position start+k-1 is any expanded term. Expansion positions
+    merge into ONE sorted membership array, so the final chain step is the
+    same searchsorted the exact phrase path uses — no per-term loop."""
+
+    def __init__(self, index_dir: str, max_expansions: int = 50):
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+        from distributed_text_search_ray.pipelines.search import DictionaryExpander
+        from distributed_text_search_ray.stages.executor import IndexView
+
+        self.view = IndexView(index_dir)
+        self.tokenizer = Tokenizer(self.view.cfg.analyzer)
+        self.expander = DictionaryExpander(index_dir)
+        self.max_expansions = int(max_expansions)
+
+    def _expand_prefix(self, prefix: str) -> list[str]:
+        import pyarrow.compute as pc
+
+        if not prefix:
+            return []
+        mask = pc.starts_with(self.expander.terms, prefix)
+        terms = self.expander.terms.filter(mask).to_pylist()
+        return sorted(set(terms))[: self.max_expansions]
+
+    def _one(self, phrase: str) -> tuple[np.ndarray, np.ndarray]:
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        terms = self.tokenizer.tokens(phrase)
+        if not terms:
+            return empty
+        exact, prefix = terms[:-1], terms[-1]
+        expansion = self._expand_prefix(prefix)
+        if not expansion:
+            return empty
+        edata = {}
+        for t in expansion:
+            docs, tfs, pos = self.view.term_positions(t)
+            if len(docs):
+                edata[t] = (docs, tfs, pos)
+        if not edata:
+            return empty
+        union_docs = np.unique(np.concatenate([edata[t][0] for t in edata]))
+        data = {}
+        for t in set(exact):
+            docs, tfs, pos = self.view.term_positions(t)
+            if not len(docs):
+                return empty
+            data[t] = (docs, tfs, pos)
+        cand = union_docs
+        for t in sorted(data, key=lambda t: len(data[t][0])):
+            cand = np.intersect1d(cand, data[t][0], assume_unique=True)
+            if not len(cand):
+                return empty
+        uni = np.sort(
+            np.concatenate([_gather_global(cand, *edata[t]) for t in edata])
+        )
+        k = len(terms)
+        if k == 1:
+            cur = uni
+        else:
+            gpos = {t: _gather_global(cand, *data[t]) for t in data}
+            cur = gpos[exact[0]]
+            for i in range(1, k - 1):
+                gi = gpos[exact[i]]
+                want = cur + i
+                j = np.searchsorted(gi, want)
+                j_c = np.minimum(j, len(gi) - 1)
+                cur = cur[gi[j_c] == want]
+                if not len(cur):
+                    return empty
+            want = cur + (k - 1)
+            j = np.searchsorted(uni, want)
+            j_c = np.minimum(j, max(len(uni) - 1, 0))
+            cur = want[uni[j_c] == want] if len(uni) else want[:0]
+        if not len(cur):
+            return empty
+        ords = (cur >> np.int64(32)).astype(np.int64)
+        counts = np.bincount(ords, minlength=len(cand))
+        hit = np.flatnonzero(counts)
+        return cand[hit], counts[hit]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_n = [], [], []
+        for qid, phrase in zip(
+            batch.column("query_id").to_pylist(), batch.column("query").to_pylist()
+        ):
+            docs, counts = self._one(phrase)
+            out_q.extend([int(qid)] * len(docs))
+            out_d.extend(docs.tolist())
+            out_n.extend(counts.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "n_occurrences": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+
+def match_phrase_prefix(
+    index_dir: str,
+    phrases: Iterable[tuple[int, str]],
+    max_expansions: int = 50,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """ES ``match_phrase_prefix`` (search-as-you-type): the last token of
+    each phrase matches any dictionary term with that prefix (capped at the
+    first ``max_expansions`` in sorted term order, the Lucene contract);
+    preceding tokens must chain consecutively, answered purely from a
+    positional (v4) index. Returns (query_id, doc_id, n_occurrences)."""
+    items = [{"query_id": int(q), "query": str(p)} for q, p in phrases]
+    return ray.data.from_items(items).map_batches(
+        _PhrasePrefixExecutor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "max_expansions": max_expansions,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=resolve_concurrency(concurrency),
+    )
