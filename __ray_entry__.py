@@ -36,6 +36,9 @@ BM25_QUERIES = [
 ]
 BM25_TOPK = 10
 
+# percentile_ranks probes (ES percentile_ranks agg over events.value)
+PCT_RANK_PROBES = (5.0, 25.0, 75.0, 200.0)
+
 # termvectors request set (bounded doc-addressed API, like fetch/explain)
 TV_DOC_IDS = [3, 17, 101, 202, 404]
 
@@ -2074,6 +2077,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def asof_purchase_click(sf_dir):
         return relational.asof_join_latest(sf_dir, "purchase", "click")
 
+    def pct_ranks(sf_dir):
+        # ES percentile_ranks: fraction of events.value <= each probe
+        return relational.percentile_ranks(sf_dir, PCT_RANK_PROBES)
+
+    def pct_ranks_by_type(sf_dir):
+        return relational.percentile_ranks(sf_dir, PCT_RANK_PROBES, by_type=True)
+
     def funnel_steps(sf_dir):
         # ordered funnel (CEP sequence detection): view -> click -> purchase
         # within 24h of the view, greedy minimal chain per start; 24h window
@@ -2242,6 +2252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": term_vectors_q,
         # new this session: match_phrase_prefix (search-as-you-type)
         "phrase_prefix_counts": phrase_prefix_counts,
+        # new this session: percentile_ranks aggregation (+ per-type)
+        "percentile_ranks": pct_ranks,
+        "percentile_ranks_by_type": pct_ranks_by_type,
         # new this session: index split (reshard, ES split analog) serving
         # bit-identical results — gated against the plain BM25 twin
         "bm25_topk_resharded": bm25_topk_resharded,
@@ -4573,6 +4586,20 @@ SELECT query_id, rank, doc_id, score FROM rr WHERE rank <= {BM25_TOPK}""",
 
     funnel_steps_sql = funnel_sql(window_minutes=1440)
 
+    def _pct_ranks_sql(by_type: bool) -> str:
+        probes = ", ".join(f"({repr(p)}::DOUBLE)" for p in PCT_RANK_PROBES)
+        key = "event_type, " if by_type else ""
+        grp = "1, 2" if by_type else "1"
+        return f"""
+WITH p(probe) AS (VALUES {probes})
+SELECT {key}p.probe,
+       round(sum(CASE WHEN e.value <= p.probe THEN 1 ELSE 0 END)::DOUBLE
+             / count(e.value), 6) pct_rank
+FROM events e, p
+GROUP BY {grp}
+HAVING count(e.value) > 0
+"""
+
     proximity_sql_all = "\nUNION ALL\n".join(
         "SELECT * FROM ("
         + proximity_sql(q, qid, PROXIMITY_MAX_SPAN, TOK_SQL.format(col="text"))
@@ -5293,6 +5320,8 @@ JOIN tot tb ON tb.source = p.source_b
         "proximity_search": proximity_sql_all,
         "span_near": span_near_sql_all,
         "funnel_steps": funnel_steps_sql,
+        "percentile_ranks": _pct_ranks_sql(False),
+        "percentile_ranks_by_type": _pct_ranks_sql(True),
         "boolean_match": boolean_sql,
         "search_snippets": snippets_sql,
         "more_like_this": mlt_sql,

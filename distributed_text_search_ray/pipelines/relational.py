@@ -1230,3 +1230,82 @@ def funnel_sql(
             f"WHERE n.tus - s.t1 <= {window_us}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def percentile_ranks(
+    sf_dir: str,
+    probes: tuple[float, ...] = (5.0, 25.0, 75.0, 200.0),
+    by_type: bool = False,
+) -> ray.data.Dataset:
+    """ES percentile_ranks aggregation: for each probe value v, the fraction
+    of (non-null) ``events.value`` rows <= v — the inverse of the percentile
+    aggregate. ``by_type=True`` buckets per ``event_type``.
+
+    Scale shape: one streaming pass; each batch emits a k-row (or
+    k x types) partial of (n_le, n_total) counts — the probe vector
+    broadcast by closure is O(k) — and a tiny groupby sums them. NaN
+    compares false against every probe (numerator excludes it) but counts
+    in the denominator, matching the twin's CASE/count(value) semantics.
+    Output: (event_type?, probe float64, pct_rank float64 rounded 6dp),
+    rows only for groups with at least one counted value.
+    """
+    pv = np.asarray(sorted(probes), dtype=np.float64)
+
+    cols = ["value"] + (["event_type"] if by_type else [])
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch.column("value"))
+        batch = batch.filter(valid)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        if by_type:
+            types = batch.column("event_type")
+            enc = types.dictionary_encode().combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            cats = enc.dictionary.to_pylist()
+            g = len(cats)
+            le = np.zeros((g, len(pv)), dtype=np.int64)
+            tot = np.bincount(codes, minlength=g)
+            for j, p in enumerate(pv):
+                le[:, j] = np.bincount(codes, weights=(v <= p), minlength=g)
+            return pa.table(
+                {
+                    "event_type": pa.array(np.repeat(cats, len(pv))),
+                    "probe": pa.array(np.tile(pv, g), type=pa.float64()),
+                    "n_le": pa.array(le.reshape(-1), type=pa.int64()),
+                    "n_total": pa.array(
+                        np.repeat(tot, len(pv)), type=pa.int64()
+                    ),
+                }
+            )
+        le = (v[:, None] <= pv[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {
+                "probe": pa.array(pv, type=pa.float64()),
+                "n_le": pa.array(le, type=pa.int64()),
+                "n_total": pa.array(
+                    np.full(len(pv), len(v), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    keys = (["event_type"] if by_type else []) + ["probe"]
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("n_le", alias_name="n_le"), Sum("n_total", alias_name="n_total"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        le = batch.column("n_le").to_numpy().astype(np.float64)
+        tot = batch.column("n_total").to_numpy().astype(np.float64)
+        keep = tot > 0
+        from distributed_text_search_ray.util import round_half_away
+
+        cols = {k: batch.column(k).filter(pa.array(keep)) for k in keys}
+        cols["pct_rank"] = pa.array(
+            round_half_away(le[keep] / tot[keep], 6), type=pa.float64()
+        )
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -149,3 +149,34 @@ def test_funnel_matches_duckdb(window):
     want = sorted(tuple(r) for r in con.execute(funnel_sql(window_minutes=window)).fetchall())
     assert got == want
     assert got[0][2] > 0  # nonempty funnel
+
+
+def test_percentile_ranks_matches_duckdb():
+    """ES percentile_ranks (global + per-type) vs direct DuckDB, including
+    a probe below the min (rank 0.0) and above the max (rank 1.0)."""
+    import duckdb
+
+    from distributed_text_search_ray.pipelines.relational import percentile_ranks
+
+    probes = (0.001, 25.0, 75.0, 1e9)
+    got = sorted(
+        (r["probe"], r["pct_rank"])
+        for r in percentile_ranks(SF, probes).take_all()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = sorted(
+        con.execute(
+            "SELECT p.probe, round(sum(CASE WHEN value <= p.probe THEN 1 "
+            "ELSE 0 END)::DOUBLE / count(value), 6) FROM events, "
+            "(VALUES (0.001::DOUBLE), (25.0::DOUBLE), (75.0::DOUBLE), "
+            "(1000000000.0::DOUBLE)) p(probe) GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == [tuple(w) for w in want]
+    assert got[0][1] == 0.0 and got[-1][1] == 1.0
+    by_t = percentile_ranks(SF, probes, by_type=True).take_all()
+    assert len(by_t) == 4 * 5  # 5 event types
+    assert all(0.0 <= r["pct_rank"] <= 1.0 for r in by_t)
