@@ -39,6 +39,10 @@ BM25_TOPK = 10
 # percentile_ranks probes (ES percentile_ranks agg over events.value)
 PCT_RANK_PROBES = (5.0, 25.0, 75.0, 200.0)
 
+# adjacency_matrix named term filters / rare_terms df ceiling
+ADJ_FILTERS = {"idx": "index", "tbl": "table", "qry": "query", "vec": "vector"}
+RARE_MAX_DF = 400
+
 # termvectors request set (bounded doc-addressed API, like fetch/explain)
 TV_DOC_IDS = [3, 17, 101, 202, 404]
 
@@ -2077,6 +2081,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def asof_purchase_click(sf_dir):
         return relational.asof_join_latest(sf_dir, "purchase", "click")
 
+    def adjacency_matrix_q(sf_dir):
+        # ES adjacency_matrix agg: pairwise doc-count intersections of named
+        # term filters, answered from posting lists
+        from distributed_text_search_ray.pipelines.search import adjacency_matrix
+
+        return adjacency_matrix(_index_for(sf_dir), ADJ_FILTERS)
+
+    def rare_terms_q(sf_dir):
+        # ES rare_terms agg: exact long-tail terms (df <= threshold) from
+        # the dictionary — no vocabulary collection
+        from distributed_text_search_ray.pipelines.search import rare_terms
+
+        return rare_terms(_index_for(sf_dir), max_df=RARE_MAX_DF)
+
     def pct_ranks(sf_dir):
         # ES percentile_ranks: fraction of events.value <= each probe
         return relational.percentile_ranks(sf_dir, PCT_RANK_PROBES)
@@ -2253,6 +2271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session: match_phrase_prefix (search-as-you-type)
         "phrase_prefix_counts": phrase_prefix_counts,
         # new this session: percentile_ranks aggregation (+ per-type)
+        "adjacency_matrix": adjacency_matrix_q,
+        "rare_terms": rare_terms_q,
         "percentile_ranks": pct_ranks,
         "percentile_ranks_by_type": pct_ranks_by_type,
         # new this session: index split (reshard, ES split analog) serving
@@ -5320,6 +5340,20 @@ JOIN tot tb ON tb.source = p.source_b
         "proximity_search": proximity_sql_all,
         "span_near": span_near_sql_all,
         "funnel_steps": funnel_steps_sql,
+        "adjacency_matrix": f"""
+WITH {_TOK_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+f(key, term) AS (VALUES {", ".join(f"('{k}', '{v}')" for k, v in sorted(ADJ_FILTERS.items()))}),
+fd AS (SELECT f.key, dt.doc_id FROM f JOIN dt USING (term))
+SELECT a.key key_a, b.key key_b, count(*)::BIGINT doc_count
+FROM fd a JOIN fd b ON a.doc_id = b.doc_id AND a.key <= b.key
+GROUP BY 1, 2
+""",
+        "rare_terms": f"""
+WITH {_TOK_CTE},
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT df FROM tok GROUP BY 1)
+SELECT term, df FROM d WHERE df <= {RARE_MAX_DF}
+""",
         "percentile_ranks": _pct_ranks_sql(False),
         "percentile_ranks_by_type": _pct_ranks_sql(True),
         "boolean_match": boolean_sql,

@@ -705,6 +705,30 @@ class _PhrasePrefixExecutor:
         terms = self.expander.terms.filter(mask).to_pylist()
         return sorted(set(terms))[: self.max_expansions]
 
+    @staticmethod
+    def _gather_global_subset(
+        cand: np.ndarray, docs: np.ndarray, tfs: np.ndarray, pos: np.ndarray
+    ) -> np.ndarray:
+        """Like ``_gather_global`` but for a term whose posting list does
+        NOT cover ``cand`` (an expansion term matches only SOME candidates):
+        gathers positions for docs ∩ cand only, ordinal-encoded in CAND
+        space — ``_gather_global``'s searchsorted assumes every cand doc is
+        present and silently gathers a neighboring doc's positions (or
+        walks off the array) otherwise; the 1.15M-doc spot-check caught
+        exactly that."""
+        _, di, ci = np.intersect1d(
+            docs, cand, assume_unique=True, return_indices=True
+        )
+        bounds = np.concatenate(([0], np.cumsum(tfs)))
+        lens = tfs[di]
+        starts = bounds[di]
+        total = int(lens.sum())
+        ends_ex = np.cumsum(lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(ends_ex - lens, lens)
+        flat = pos[np.repeat(starts, lens) + within]
+        ordinals = np.repeat(ci.astype(np.int64), lens)
+        return (ordinals << np.int64(32)) + flat
+
     def _one(self, phrase: str) -> tuple[np.ndarray, np.ndarray]:
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         terms = self.tokenizer.tokens(phrase)
@@ -734,7 +758,9 @@ class _PhrasePrefixExecutor:
             if not len(cand):
                 return empty
         uni = np.sort(
-            np.concatenate([_gather_global(cand, *edata[t]) for t in edata])
+            np.concatenate(
+                [self._gather_global_subset(cand, *edata[t]) for t in edata]
+            )
         )
         k = len(terms)
         if k == 1:

@@ -3190,3 +3190,94 @@ def term_vectors(
             ),
         }
     )
+
+
+class _AdjacencyMatrixExecutor:
+    """Actor-pool stage for the ES adjacency_matrix aggregation over term
+    filters: one input row carries the whole named-filter set; the output
+    is (key_a, key_b, doc_count) for every ordered pair key_a <= key_b with
+    a non-empty posting intersection (the diagonal is each filter's own doc
+    count). Intersections run over the sorted posting lists — linear in the
+    smaller list, index-resident, no corpus scan."""
+
+    def __init__(self, index_dir: str):
+        from distributed_text_search_ray.functions.tokenize import Tokenizer
+
+        self.view = IndexView(index_dir)
+        self.tokenizer = Tokenizer(self.view.cfg.analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_n = [], [], []
+        for keys, terms in zip(
+            batch.column("keys").to_pylist(), batch.column("terms").to_pylist()
+        ):
+            docs_of = {}
+            for key, raw in zip(keys, terms):
+                toks = self.tokenizer.tokens(raw)
+                if not toks:
+                    continue
+                docs, _tfs, _dls, df = self.view.term_postings(toks[0])
+                if len(docs):
+                    docs_of[key] = docs
+            for a in sorted(docs_of):
+                for b in sorted(docs_of):
+                    if b < a:
+                        continue
+                    n = (
+                        len(docs_of[a])
+                        if a == b
+                        else len(
+                            np.intersect1d(
+                                docs_of[a], docs_of[b], assume_unique=True
+                            )
+                        )
+                    )
+                    if n:
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_n.append(n)
+        return pa.table(
+            {
+                "key_a": pa.array(out_a, type=pa.string()),
+                "key_b": pa.array(out_b, type=pa.string()),
+                "doc_count": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+
+def adjacency_matrix(
+    index_dir: str,
+    filters: dict[str, str],
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """ES ``adjacency_matrix`` aggregation: named single-term filters ->
+    doc counts of every pairwise intersection (diagonal = the filter's own
+    count); only non-empty cells are emitted, keys ordered key_a <= key_b.
+    Answered purely from posting lists."""
+    items = [
+        {"keys": sorted(filters), "terms": [filters[k] for k in sorted(filters)]}
+    ]
+    return ray.data.from_items(items).map_batches(
+        _AdjacencyMatrixExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+def rare_terms(index_dir: str, max_df: int = 2) -> ray.data.Dataset:
+    """ES ``rare_terms`` aggregation: dictionary terms with document
+    frequency <= ``max_df`` — the long-tail counterpart of top_terms (which
+    is why ES ships it as its own agg: a terms agg ordered ascending is
+    unboundedly inaccurate sharded, while df is exact here by construction).
+    One vectorized filter pass over the dictionary; never collects the
+    vocabulary. Returns (term, df)."""
+    import pyarrow.compute as pc
+
+    dict_path = os.path.join(index_dir, "dictionary", "dictionary.parquet")
+    ds = ray.data.read_parquet(dict_path, columns=["term", "df"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("df"), max_df)),
+        batch_format="pyarrow",
+    )

@@ -373,3 +373,47 @@ def test_term_vectors_bounded_api(built_index_r3):
         zip(*(got.column(c).to_pylist() for c in ("doc_id", "term", "tf", "dl", "df", "cf")))
     )
     assert rows == want
+
+
+def test_adjacency_matrix_and_rare_terms(built_index_r3):
+    """ES adjacency_matrix + rare_terms vs direct recomputation."""
+    import re
+    from collections import Counter
+
+    from distributed_text_search_ray.pipelines.search import (
+        adjacency_matrix,
+        rare_terms,
+    )
+
+    corpus_dir, index_dir = built_index_r3
+    docs = corpus_docs(corpus_dir)
+    tok = lambda s: set(re.findall(r"[a-z0-9_]+", s.lower()))
+    toksets = {d: tok(c) for d, c in docs}
+    filters = {"idx": "index", "shd": "shard", "scn": "scan"}
+    got = sorted(
+        (r["key_a"], r["key_b"], r["doc_count"])
+        for r in adjacency_matrix(index_dir, filters).take_all()
+    )
+    want = []
+    for a in sorted(filters):
+        for b in sorted(filters):
+            if b < a:
+                continue
+            n = sum(
+                1
+                for ts in toksets.values()
+                if filters[a] in ts and filters[b] in ts
+            )
+            if n:
+                want.append((a, b, n))
+    assert got == sorted(want)
+
+    df = Counter()
+    for ts in toksets.values():
+        df.update(ts)
+    for cap in (1, 3):
+        got_rt = sorted(
+            (r["term"], r["df"]) for r in rare_terms(index_dir, max_df=cap).take_all()
+        )
+        assert got_rt == sorted((t, n) for t, n in df.items() if n <= cap)
+        assert got_rt  # numbered synthetic tokens guarantee hapaxes
