@@ -132,6 +132,8 @@ def run_suite() -> dict:
         "dsir_weights", "bm25_topk_compacted", "wildcard_topk",
         "bm25_topk_upserted", "bm25_topk_collapsed", "bm25_topk_page2",
         "dup_clusters", "dismax_topk", "search_facet_lang",
+        "rm3_topk", "bm25_topk_resharded", "funnel_steps",
+        "phrase_prefix_counts",
     ]
     out = {
         "metric": "index_build_plus_query_suite",
