@@ -2081,6 +2081,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def asof_purchase_click(sf_dir):
         return relational.asof_join_latest(sf_dir, "purchase", "click")
 
+    def embedding_matrix_stats(sf_dir):
+        # ES matrix_stats agg: pairwise covariance/correlation of the
+        # embedding dims from one pass of sufficient statistics
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        return ann.matrix_stats(ds)
+
     def adjacency_matrix_q(sf_dir):
         # ES adjacency_matrix agg: pairwise doc-count intersections of named
         # term filters, answered from posting lists
@@ -2272,6 +2282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_prefix_counts": phrase_prefix_counts,
         # new this session: percentile_ranks aggregation (+ per-type)
         "adjacency_matrix": adjacency_matrix_q,
+        "embedding_matrix_stats": embedding_matrix_stats,
         "rare_terms": rare_terms_q,
         "percentile_ranks": pct_ranks,
         "percentile_ranks_by_type": pct_ranks_by_type,
@@ -5340,6 +5351,30 @@ JOIN tot tb ON tb.source = p.source_b
         "proximity_search": proximity_sql_all,
         "span_near": span_near_sql_all,
         "funnel_steps": funnel_steps_sql,
+        "embedding_matrix_stats": """
+WITH e AS (
+  SELECT vec_id, t.i - 1 AS i, embedding[t.i]::DOUBLE x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+nn AS (SELECT count(*)::DOUBLE n FROM embeddings),
+s AS (SELECT i, sum(x) sx FROM e GROUP BY 1),
+c AS (
+  SELECT a.i i, b.i j, sum(a.x * b.x) sxy
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT c.i, c.sxy / nn.n - (s.sx / nn.n) * (s.sx / nn.n) AS var
+  FROM c JOIN s ON s.i = c.i, nn WHERE c.i = c.j
+)
+SELECT c.i dim_i, c.j dim_j,
+       round(c.sxy / nn.n - (sa.sx / nn.n) * (sb.sx / nn.n), 6) covariance,
+       round(CASE WHEN va.var * vb.var > 0 THEN
+         (c.sxy / nn.n - (sa.sx / nn.n) * (sb.sx / nn.n))
+         / sqrt(va.var * vb.var) END, 6) correlation
+FROM c JOIN s sa ON sa.i = c.i JOIN s sb ON sb.i = c.j
+       JOIN v va ON va.i = c.i JOIN v vb ON vb.i = c.j, nn
+""",
         "adjacency_matrix": f"""
 WITH {_TOK_CTE},
 dt AS (SELECT DISTINCT doc_id, term FROM tok),

@@ -843,3 +843,86 @@ def ann_hard_negatives(
     return partials.groupby("query_vec_id").map_groups(
         _merge_topk_factory(k, exclude_self=True), batch_format="pyarrow"
     )
+
+
+def matrix_stats(ds: ray.data.Dataset, column: str = "embedding") -> pa.Table:
+    """ES ``matrix_stats`` aggregation over a vector column: per-dimension
+    mean/variance plus pairwise covariance and Pearson correlation, from ONE
+    streaming pass of sufficient statistics.
+
+    Scale shape: each batch reduces to a (1 + d + d(d+1)/2)-row partial —
+    count, per-dim sums (one vectorized ``sum``), and the upper-triangular
+    cross-product matrix (one float64 ``X.T @ X``) — a tiny ``groupby().sum``
+    merges them, and the d²-bounded final assembly (cov = sxy/n −
+    (sx/n)(sy/n), corr = cov/sqrt(var_i·var_j), both 6-dp rounded like the
+    twin) happens once on the driver. Nothing row-count-sized ever leaves
+    the workers. Returns (dim_i, dim_j, covariance, correlation) for
+    i <= j; the diagonal rows carry variance and correlation 1 (when
+    variance > 0; constant dims emit null correlation, matching SQL corr).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = np.array(batch.column(column).to_pylist(), dtype=np.float64)
+        if emb.size == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], type=pa.int64()),
+                    "j": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.float64()),
+                }
+            )
+        d = emb.shape[1]
+        xtx = emb.T @ emb
+        iu, ju = np.triu_indices(d)
+        rows_i = [-2] + [-1] * d + iu.tolist()
+        rows_j = [-2] + list(range(d)) + ju.tolist()
+        vals = [float(emb.shape[0])] + emb.sum(axis=0).tolist() + xtx[iu, ju].tolist()
+        return pa.table(
+            {
+                "i": pa.array(rows_i, type=pa.int64()),
+                "j": pa.array(rows_j, type=pa.int64()),
+                "s": pa.array(vals, type=pa.float64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="s"))
+        .take_all()
+    )
+    n = 0.0
+    sx: dict[int, float] = {}
+    sxy: dict[tuple[int, int], float] = {}
+    for r in merged:
+        if r["i"] == -2:
+            n = r["s"]
+        elif r["i"] == -1:
+            sx[r["j"]] = r["s"]
+        else:
+            sxy[(r["i"], r["j"])] = r["s"]
+    d = len(sx)
+    out_i, out_j, out_cov, out_corr = [], [], [], []
+    var = {}
+    for i in range(d):
+        var[i] = sxy[(i, i)] / n - (sx[i] / n) * (sx[i] / n)
+    for i in range(d):
+        for j in range(i, d):
+            cov = sxy[(i, j)] / n - (sx[i] / n) * (sx[j] / n)
+            denom = var[i] * var[j]
+            corr = cov / float(np.sqrt(denom)) if denom > 0 else None
+            out_i.append(i)
+            out_j.append(j)
+            out_cov.append(float(round_half_away(cov, 6)))
+            out_corr.append(
+                None if corr is None else float(round_half_away(corr, 6))
+            )
+    return pa.table(
+        {
+            "dim_i": pa.array(out_i, type=pa.int64()),
+            "dim_j": pa.array(out_j, type=pa.int64()),
+            "covariance": pa.array(out_cov, type=pa.float64()),
+            "correlation": pa.array(out_corr, type=pa.float64()),
+        }
+    )

@@ -417,3 +417,41 @@ def test_adjacency_matrix_and_rare_terms(built_index_r3):
         )
         assert got_rt == sorted((t, n) for t, n in df.items() if n <= cap)
         assert got_rt  # numbered synthetic tokens guarantee hapaxes
+
+
+def test_matrix_stats_vs_numpy():
+    """ES matrix_stats: distributed sufficient-statistics pass vs a direct
+    numpy covariance/correlation on the same vectors, incl. a constant dim
+    (null correlation) and split across many small blocks."""
+    import numpy as np
+    import ray.data
+
+    from distributed_text_search_ray.pipelines.ann import matrix_stats
+    from distributed_text_search_ray.util import round_half_away
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(300, 4))
+    x[:, 2] = 7.0  # constant dim -> variance 0, correlation null
+    ds = ray.data.from_items(
+        [{"embedding": row.tolist()} for row in x], override_num_blocks=16
+    )
+    got = matrix_stats(ds)
+    n = x.shape[0]
+    mu = x.sum(axis=0) / n
+    for r in range(got.num_rows):
+        i = got.column("dim_i")[r].as_py()
+        j = got.column("dim_j")[r].as_py()
+        cov = (x[:, i] * x[:, j]).sum() / n - mu[i] * mu[j]
+        vi = (x[:, i] ** 2).sum() / n - mu[i] * mu[i]
+        vj = (x[:, j] ** 2).sum() / n - mu[j] * mu[j]
+        assert got.column("covariance")[r].as_py() == pytest.approx(
+            round_half_away(cov, 6), abs=2e-6
+        )
+        corr = got.column("correlation")[r].as_py()
+        if vi * vj <= 0:
+            assert corr is None
+        else:
+            assert corr == pytest.approx(
+                round_half_away(cov / np.sqrt(vi * vj), 6), abs=2e-6
+            )
+    assert got.num_rows == 4 * 5 // 2
