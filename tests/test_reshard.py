@@ -120,3 +120,20 @@ def test_cli_fsck(salted_index, capsys):
     assert main(["fsck", salted_index, "--deep"]) == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["ok"] is True and rep["deep"] is True
+
+
+def test_reshard_carries_tombstones(salted_index, tmp_path):
+    """Tombstoned doc ids survive a split: the resharded index serves the
+    same (deleted-filtered) results as the tombstoned source."""
+    import shutil
+
+    from distributed_text_search_ray.pipelines.build import delete_docs
+
+    src = str(tmp_path / "tomb_src")
+    shutil.copytree(salted_index, src)
+    victim = _rows(salted_index)[0][2]  # a top-ranked doc id
+    delete_docs(src, [victim])
+    out = str(tmp_path / "tomb_split")
+    reshard_index(src, out, 8)
+    assert _rows(out) == _rows(src)
+    assert all(r[2] != victim for r in _rows(out))
