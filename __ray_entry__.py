@@ -2081,6 +2081,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def asof_purchase_click(sf_dir):
         return relational.asof_join_latest(sf_dir, "purchase", "click")
 
+    def string_stats_q(sf_dir):
+        # ES string_stats agg: length stats + char entropy, one pass
+        return textstats.string_stats(
+            __import__("ray").data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+            )
+        )
+
+    def t_test_value(sf_dir):
+        # ES t_test agg (Welch): events.value, view vs purchase populations
+        return relational.welch_t_test(sf_dir, "view", "purchase")
+
     def embedding_matrix_stats(sf_dir):
         # ES matrix_stats agg: pairwise covariance/correlation of the
         # embedding dims from one pass of sufficient statistics
@@ -2283,6 +2295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session: percentile_ranks aggregation (+ per-type)
         "adjacency_matrix": adjacency_matrix_q,
         "embedding_matrix_stats": embedding_matrix_stats,
+        "string_stats": string_stats_q,
+        "t_test_value": t_test_value,
         "rare_terms": rare_terms_q,
         "percentile_ranks": pct_ranks,
         "percentile_ranks_by_type": pct_ranks_by_type,
@@ -5351,6 +5365,34 @@ JOIN tot tb ON tb.source = p.source_b
         "proximity_search": proximity_sql_all,
         "span_near": span_near_sql_all,
         "funnel_steps": funnel_steps_sql,
+        "string_stats": """
+WITH ch AS (
+  SELECT text[t.i] c FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+),
+cnt AS (SELECT c, count(*)::DOUBLE n FROM ch GROUP BY 1),
+tot AS (SELECT sum(n) tn FROM cnt),
+ent AS (SELECT sum(-(cnt.n / tot.tn) * ln(cnt.n / tot.tn)) e FROM cnt, tot)
+SELECT count(*)::BIGINT doc_count,
+       min(length(text))::BIGINT min_length,
+       max(length(text))::BIGINT max_length,
+       round(sum(length(text))::DOUBLE / count(*), 6) avg_length,
+       (SELECT round(e, 6) FROM ent) entropy
+FROM documents
+""",
+        "t_test_value": """
+WITH g AS (
+  SELECT event_type, count(value)::DOUBLE n, sum(value) sx,
+         sum(value * value) sxx
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+),
+s AS (
+  SELECT event_type, n, sx / n mu, (sxx - sx * sx / n) / (n - 1) var FROM g
+)
+SELECT a.n::BIGINT n_a, b.n::BIGINT n_b,
+       round(a.mu, 6) mean_a, round(b.mu, 6) mean_b,
+       round((a.mu - b.mu) / sqrt(a.var / a.n + b.var / b.n), 6) t_stat
+FROM s a, s b WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+""",
         "embedding_matrix_stats": """
 WITH e AS (
   SELECT vec_id, t.i - 1 AS i, embedding[t.i]::DOUBLE x

@@ -1309,3 +1309,75 @@ def percentile_ranks(
         return pa.table(cols)
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def welch_t_test(
+    sf_dir: str, type_a: str = "view", type_b: str = "purchase"
+) -> pa.Table:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch): compare
+    ``events.value`` between two event-type populations. One streaming
+    pass of per-group (n, Σx, Σx²) partials, a 2-row reduce, and the
+    closed-form statistic on the driver:
+
+        s² = (Σx² − (Σx)²/n) / (n − 1)
+        t  = (μa − μb) / sqrt(s²a/na + s²b/nb)
+
+    Returns one row (n_a, n_b, mean_a, mean_b, t_stat), means and t 6-dp
+    rounded exactly like the SQL twin's expression."""
+    tset = pa.array([type_a, type_b])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column("event_type"), value_set=tset))
+        out_g, out_n, out_sx, out_sxx = [], [], [], []
+        for t in (type_a, type_b):
+            m = pc.equal(batch.column("event_type"), t)
+            v = batch.filter(m).column("value").to_numpy(zero_copy_only=False)
+            v = v[np.isfinite(v)]
+            out_g.append(t)
+            out_n.append(len(v))
+            out_sx.append(float(v.sum()))
+            out_sxx.append(float((v * v).sum()))
+        return pa.table(
+            {
+                "g": pa.array(out_g, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+                "sx": pa.array(out_sx, type=pa.float64()),
+                "sxx": pa.array(out_sxx, type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .take_all()
+    )
+    of = {r["g"]: r for r in rows}
+    from distributed_text_search_ray.util import round_half_away
+
+    def stats(t):
+        r = of[t]
+        n = float(r["n"])
+        mu = r["sx"] / n
+        var = (r["sxx"] - r["sx"] * r["sx"] / n) / (n - 1.0)
+        return n, mu, var
+
+    na, mua, va = stats(type_a)
+    nb, mub, vb = stats(type_b)
+    t_stat = (mua - mub) / float(np.sqrt(va / na + vb / nb))
+    return pa.table(
+        {
+            "n_a": pa.array([int(na)], type=pa.int64()),
+            "n_b": pa.array([int(nb)], type=pa.int64()),
+            "mean_a": pa.array([float(round_half_away(mua, 6))], type=pa.float64()),
+            "mean_b": pa.array([float(round_half_away(mub, 6))], type=pa.float64()),
+            "t_stat": pa.array([float(round_half_away(t_stat, 6))], type=pa.float64()),
+        }
+    )

@@ -1913,3 +1913,80 @@ def source_overlap(
             "jaccard": pa.array(out_j, type=pa.float64()),
         }
     )
+
+
+def string_stats(ds: ray.data.Dataset, column: str = "text") -> pa.Table:
+    """ES ``string_stats`` aggregation over a text column: doc count,
+    min/max/avg length and the Shannon entropy of the character
+    distribution — from ONE streaming pass.
+
+    Scale shape: each batch reduces to a bounded partial — (count, sum of
+    lengths, batch min/max, 256-bin byte histogram via ``np.bincount`` over
+    the batch's concatenated bytes) — and two tiny aggregates merge them;
+    the 256-bin assembly happens once on the driver. Entropy is byte-level,
+    which equals ES's char-level definition on ASCII corpora (asserted
+    against the SQL twin, which counts characters). Returns one row
+    (doc_count, min_length, max_length, avg_length, entropy), lengths in
+    characters.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column)
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        blob = "".join(texts.to_pylist()).encode("utf-8")
+        hist = np.bincount(np.frombuffer(blob, dtype=np.uint8), minlength=256)
+        keys = ["n", "sum_len"] + [f"c{i:03d}" for i in range(256)]
+        vals = [len(lens), int(lens.sum())] + hist.astype(np.int64).tolist()
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.string()),
+                "s": pa.array(vals, type=pa.int64()),
+                # min/max ride every row (the aggregate ignores all but one)
+                "min_len": pa.array(
+                    [int(lens.min()) if len(lens) else 2**62] * len(keys),
+                    type=pa.int64(),
+                ),
+                "max_len": pa.array(
+                    [int(lens.max()) if len(lens) else -1] * len(keys),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Min("min_len", alias_name="min_len"),
+            Max("max_len", alias_name="max_len"),
+        )
+        .take_all()
+    )
+    of = {r["key"]: r for r in merged}
+    n = int(of["n"]["s"])
+    sum_len = int(of["sum_len"]["s"])
+    counts = np.array(
+        [int(of.get(f"c{i:03d}", {"s": 0})["s"]) for i in range(256)],
+        dtype=np.float64,
+    )
+    total = counts.sum()
+    nz = counts[counts > 0]
+    p = nz / total
+    entropy = float(np.sum(-(p) * np.log(p))) if total > 0 else 0.0
+    return pa.table(
+        {
+            "doc_count": pa.array([n], type=pa.int64()),
+            "min_length": pa.array([int(of["n"]["min_len"])], type=pa.int64()),
+            "max_length": pa.array([int(of["n"]["max_len"])], type=pa.int64()),
+            "avg_length": pa.array(
+                [float(round_half_away(sum_len / n, 6))] if n else [None],
+                type=pa.float64(),
+            ),
+            "entropy": pa.array(
+                [float(round_half_away(entropy, 6))], type=pa.float64()
+            ),
+        }
+    )

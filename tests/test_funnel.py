@@ -180,3 +180,56 @@ def test_percentile_ranks_matches_duckdb():
     by_t = percentile_ranks(SF, probes, by_type=True).take_all()
     assert len(by_t) == 4 * 5  # 5 event types
     assert all(0.0 <= r["pct_rank"] <= 1.0 for r in by_t)
+
+
+def test_string_stats_vs_python():
+    """ES string_stats: one-pass length + entropy vs direct Python on the
+    same docs, split across many small blocks."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from distributed_text_search_ray.pipelines.textstats import string_stats
+    from distributed_text_search_ray.util import round_half_away
+
+    texts = ["hello world", "aaa", "", "the quick brown fox", "zz top"] * 7
+    ds = ray.data.from_items([{"text": t} for t in texts], override_num_blocks=9)
+    got = string_stats(ds)
+    blob = "".join(texts)
+    cnt = Counter(blob)
+    n = len(blob)
+    ent = sum(-(c / n) * math.log(c / n) for c in cnt.values())
+    assert got.column("doc_count")[0].as_py() == len(texts)
+    assert got.column("min_length")[0].as_py() == 0
+    assert got.column("max_length")[0].as_py() == 19
+    assert got.column("avg_length")[0].as_py() == pytest.approx(
+        round_half_away(sum(map(len, texts)) / len(texts), 6), abs=1e-6
+    )
+    assert got.column("entropy")[0].as_py() == pytest.approx(
+        round_half_away(ent, 6), abs=1e-6
+    )
+
+
+def test_welch_t_test_vs_python():
+    """Welch t over the real events table vs a direct numpy computation."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray.pipelines.relational import welch_t_test
+    from distributed_text_search_ray.util import round_half_away
+
+    got = welch_t_test(SF, "view", "click")
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    va = t.filter(pa.compute.equal(t.column("event_type"), "view")).column("value").to_numpy()
+    vb = t.filter(pa.compute.equal(t.column("event_type"), "click")).column("value").to_numpy()
+
+    def s2(v):
+        return (np.sum(v * v) - np.sum(v) ** 2 / len(v)) / (len(v) - 1)
+
+    want = (va.mean() - vb.mean()) / np.sqrt(s2(va) / len(va) + s2(vb) / len(vb))
+    assert got.column("n_a")[0].as_py() == len(va)
+    assert got.column("n_b")[0].as_py() == len(vb)
+    assert got.column("t_stat")[0].as_py() == pytest.approx(
+        float(round_half_away(want, 6)), abs=2e-6
+    )
