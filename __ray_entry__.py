@@ -2089,6 +2089,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def value_mad(sf_dir):
+        # ES median_absolute_deviation agg — exact, two chained
+        # distributed-selection medians
+        return relational.median_absolute_deviation(sf_dir)
+
     def t_test_value(sf_dir):
         # ES t_test agg (Welch): events.value, view vs purchase populations
         return relational.welch_t_test(sf_dir, "view", "purchase")
@@ -2297,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_matrix_stats": embedding_matrix_stats,
         "string_stats": string_stats_q,
         "t_test_value": t_test_value,
+        "value_mad": value_mad,
         "rare_terms": rare_terms_q,
         "percentile_ranks": pct_ranks,
         "percentile_ranks_by_type": pct_ranks_by_type,
@@ -5378,6 +5384,12 @@ SELECT count(*)::BIGINT doc_count,
        round(sum(length(text))::DOUBLE / count(*), 6) avg_length,
        (SELECT round(e, 6) FROM ent) entropy
 FROM documents
+""",
+        "value_mad": """
+WITH m AS (SELECT quantile_disc(value, 0.5) med FROM events)
+SELECT round(m.med, 6) median,
+       round((SELECT quantile_disc(abs(value - m.med), 0.5) FROM events), 6) mad
+FROM m
 """,
         "t_test_value": """
 WITH g AS (

@@ -1381,3 +1381,36 @@ def welch_t_test(
             "t_stat": pa.array([float(round_half_away(t_stat, 6))], type=pa.float64()),
         }
     )
+
+
+def median_absolute_deviation(sf_dir: str) -> pa.Table:
+    """ES ``median_absolute_deviation`` aggregation over ``events.value`` —
+    EXACTLY (ES itself approximates with TDigest; the exact form is the
+    conformance-friendly choice): MAD = median(|x − median(x)|), two chained
+    runs of the distributed-selection quantile machinery
+    (:func:`float_quantiles` — histogram prune + bounded candidate set, no
+    global sort), with the deviation column derived in one streaming
+    ``map_batches`` between them. Returns one row (median, mad), 6-dp
+    rounded; the twin computes the same two nested quantile_disc medians.
+    """
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    med_rows = float_quantiles(ds, "value", qs=(0.5,)).take_all()
+    med = float(med_rows[0]["value"])
+
+    def deviate(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"dev": pa.array(np.abs(v - med), type=pa.float64())})
+
+    dev = ds.map_batches(deviate, batch_format="pyarrow")
+    mad_rows = float_quantiles(dev, "dev", qs=(0.5,)).take_all()
+    mad = float(mad_rows[0]["value"])  # float_quantiles emits (q, value)
+    from distributed_text_search_ray.util import round_half_away
+
+    return pa.table(
+        {
+            "median": pa.array([float(round_half_away(med, 6))], type=pa.float64()),
+            "mad": pa.array([float(round_half_away(mad, 6))], type=pa.float64()),
+        }
+    )

@@ -233,3 +233,27 @@ def test_welch_t_test_vs_python():
     assert got.column("t_stat")[0].as_py() == pytest.approx(
         float(round_half_away(want, 6)), abs=2e-6
     )
+
+
+def test_mad_matches_numpy():
+    """Exact MAD: two chained distributed medians vs direct numpy on the
+    same column (quantile_disc rank semantics: element at ceil(q*N))."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray.pipelines.relational import (
+        median_absolute_deviation,
+    )
+    from distributed_text_search_ray.util import round_half_away
+
+    got = median_absolute_deviation(SF)
+    v = np.sort(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])
+        .column("value")
+        .to_numpy()
+    )
+    med = v[int(np.ceil(0.5 * len(v))) - 1]
+    dev = np.sort(np.abs(v - med))
+    mad = dev[int(np.ceil(0.5 * len(dev))) - 1]
+    assert got.column("median")[0].as_py() == float(round_half_away(med, 6))
+    assert got.column("mad")[0].as_py() == float(round_half_away(mad, 6))
