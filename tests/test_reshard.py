@@ -137,3 +137,43 @@ def test_reshard_carries_tombstones(salted_index, tmp_path):
     reshard_index(src, out, 8)
     assert _rows(out) == _rows(src)
     assert all(r[2] != victim for r in _rows(out))
+
+
+def test_split_routing_lemma_fuzz():
+    """The zero-shuffle split lemma, fuzzed directly (no Ray): for random
+    terms, partition counts P and factors k, every probe location under P
+    maps to a child of itself under kP, and the executor's new probe set
+    always contains the stage's chosen target for every parent that holds
+    the term."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributed_text_search_ray.functions.hashing import (
+        stable_u64,
+        term_partition,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        term=st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1, max_size=12
+        ),
+        P=st.integers(min_value=1, max_value=64),
+        k=st.integers(min_value=2, max_value=8),
+        buckets=st.integers(min_value=0, max_value=8),
+    )
+    def check(term, P, k, buckets):
+        newP = P * k
+        probes_old = {term_partition(term, P)} | {
+            stable_u64(f"{term}#{s}") % P for s in range(buckets)
+        }
+        probes_new = {term_partition(term, newP)} | {
+            stable_u64(f"{term}#{s}") % newP for s in range(buckets)
+        }
+        for q in probes_new:
+            assert q % P in probes_old  # child-of-parent property
+        for p in probes_old:
+            mine = sorted(c for c in probes_new if c % P == p)
+            assert mine  # the stage's target exists for every parent
+
+    check()
