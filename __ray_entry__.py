@@ -39,6 +39,9 @@ BM25_TOPK = 10
 # percentile_ranks probes (ES percentile_ranks agg over events.value)
 PCT_RANK_PROBES = (5.0, 25.0, 75.0, 200.0)
 
+# composite-agg page-2 cursor: the exclusive (lang, source) after-key
+COMPOSITE_AFTER = ("de", "src12")
+
 # adjacency_matrix named term filters / rare_terms df ceiling
 ADJ_FILTERS = {"idx": "index", "tbl": "table", "qry": "query", "vec": "vector"}
 RARE_MAX_DF = 400
@@ -2089,6 +2092,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def composite_page2(sf_dir):
+        # ES composite agg: page 2 of (lang, source) buckets in key order,
+        # after-key pruned in the distributed filter
+        return relational.composite_agg(sf_dir, after=COMPOSITE_AFTER, size=10)
+
     def value_mad(sf_dir):
         # ES median_absolute_deviation agg — exact, two chained
         # distributed-selection medians
@@ -2303,6 +2311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_stats": string_stats_q,
         "t_test_value": t_test_value,
         "value_mad": value_mad,
+        "composite_page2": composite_page2,
         "rare_terms": rare_terms_q,
         "percentile_ranks": pct_ranks,
         "percentile_ranks_by_type": pct_ranks_by_type,
@@ -5384,6 +5393,12 @@ SELECT count(*)::BIGINT doc_count,
        round(sum(length(text))::DOUBLE / count(*), 6) avg_length,
        (SELECT round(e, 6) FROM ent) entropy
 FROM documents
+""",
+        "composite_page2": f"""
+SELECT lang, source, count(*)::BIGINT doc_count
+FROM documents
+WHERE (lang, source) > {COMPOSITE_AFTER!r}
+GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10
 """,
         "value_mad": """
 WITH m AS (SELECT quantile_disc(value, 0.5) med FROM events)

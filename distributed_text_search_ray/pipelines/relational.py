@@ -1414,3 +1414,48 @@ def median_absolute_deviation(sf_dir: str) -> pa.Table:
             "mad": pa.array([float(round_half_away(mad, 6))], type=pa.float64()),
         }
     )
+
+
+def composite_agg(
+    sf_dir: str,
+    after: tuple[str, str] | None = None,
+    size: int = 10,
+) -> ray.data.Dataset:
+    """ES ``composite`` aggregation over documents (lang, source): paginated
+    multi-key bucket counts in key order — the aggregation sibling of
+    search_after. ``after`` is the last (lang, source) of the previous page
+    (exclusive); ``size`` bounds the page.
+
+    Scale shape: the partial count collapses each batch to its distinct
+    key pairs BEFORE the shuffle (pyarrow group_by inside map_batches), the
+    final groupby sums the partials, and only the requested page survives
+    the sort+limit — pagination keys prune distributed (a batch filter),
+    not on the driver."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if after is not None:
+            la, sa = after
+            lang = batch.column("lang")
+            src = batch.column("source")
+            keep = pc.or_(
+                pc.greater(lang, la),
+                pc.and_(pc.equal(lang, la), pc.greater(src, sa)),
+            )
+            batch = batch.filter(keep)
+        g = batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        # select-by-name before renaming: pyarrow's key-column position in
+        # group_by output has differed across versions (ADVICE r3)
+        return g.select(["lang", "source", "count_all"]).rename_columns(
+            ["lang", "source", "n"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="doc_count"))
+        .sort(["lang", "source"])
+        .limit(size)
+    )

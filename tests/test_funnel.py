@@ -257,3 +257,27 @@ def test_mad_matches_numpy():
     mad = dev[int(np.ceil(0.5 * len(dev))) - 1]
     assert got.column("median")[0].as_py() == float(round_half_away(med, 6))
     assert got.column("mad")[0].as_py() == float(round_half_away(mad, 6))
+
+
+def test_composite_agg_pagination_covers_keyspace():
+    """ES composite agg: walking pages with after-keys enumerates every
+    (lang, source) bucket exactly once, in key order, with exact counts."""
+    import duckdb
+
+    from distributed_text_search_ray.pipelines.relational import composite_agg
+
+    pages, after = [], None
+    while True:
+        rows = composite_agg(SF, after=after, size=7).take_all()
+        if not rows:
+            break
+        pages.extend((r["lang"], r["source"], r["doc_count"]) for r in rows)
+        after = (rows[-1]["lang"], rows[-1]["source"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(
+        "SELECT lang, source, count(*)::BIGINT FROM documents GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    assert pages == [tuple(w) for w in want]
