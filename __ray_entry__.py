@@ -2092,6 +2092,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def value_boxplot(sf_dir):
+        # ES boxplot agg: exact quartiles + min/max over events.value
+        return relational.boxplot_agg(sf_dir)
+
     def composite_page2(sf_dir):
         # ES composite agg: page 2 of (lang, source) buckets in key order,
         # after-key pruned in the distributed filter
@@ -2312,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_test_value": t_test_value,
         "value_mad": value_mad,
         "composite_page2": composite_page2,
+        "value_boxplot": value_boxplot,
         "rare_terms": rare_terms_q,
         "percentile_ranks": pct_ranks,
         "percentile_ranks_by_type": pct_ranks_by_type,
@@ -5393,6 +5398,14 @@ SELECT count(*)::BIGINT doc_count,
        round(sum(length(text))::DOUBLE / count(*), 6) avg_length,
        (SELECT round(e, 6) FROM ent) entropy
 FROM documents
+""",
+        "value_boxplot": """
+SELECT round(min(value), 6) vmin,
+       round(quantile_disc(value, 0.25), 6) q1,
+       round(quantile_disc(value, 0.5), 6) median,
+       round(quantile_disc(value, 0.75), 6) q3,
+       round(max(value), 6) vmax
+FROM events
 """,
         "composite_page2": f"""
 SELECT lang, source, count(*)::BIGINT doc_count

@@ -1459,3 +1459,48 @@ def composite_agg(
         .sort(["lang", "source"])
         .limit(size)
     )
+
+
+def boxplot_agg(sf_dir: str, by_type: bool = False) -> pa.Table:
+    """ES ``boxplot`` aggregation over ``events.value``: min, q1, median,
+    q3, max — quartiles EXACT via the distributed-selection quantile
+    machinery (ES approximates with TDigest), min/max from the same
+    pass's group stats. ``by_type=False`` returns one global row."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    qrows = float_quantiles(ds, "value", qs=(0.25, 0.5, 0.75)).take_all()
+    qq = {r["q"]: float(r["value"]) for r in qrows}
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        v = v[np.isfinite(v)]
+        return pa.table(
+            {
+                "lo": pa.array(
+                    [float(v.min()) if len(v) else float("inf")], type=pa.float64()
+                ),
+                "hi": pa.array(
+                    [float(v.max()) if len(v) else float("-inf")], type=pa.float64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    )
+    from distributed_text_search_ray.util import round_half_away
+
+    r6 = lambda x: float(round_half_away(x, 6))
+    return pa.table(
+        {
+            "vmin": pa.array([r6(mm["lo"])], type=pa.float64()),
+            "q1": pa.array([r6(qq[0.25])], type=pa.float64()),
+            "median": pa.array([r6(qq[0.5])], type=pa.float64()),
+            "q3": pa.array([r6(qq[0.75])], type=pa.float64()),
+            "vmax": pa.array([r6(mm["hi"])], type=pa.float64()),
+        }
+    )

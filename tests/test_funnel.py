@@ -281,3 +281,21 @@ def test_composite_agg_pagination_covers_keyspace():
         "SELECT lang, source, count(*)::BIGINT FROM documents GROUP BY 1, 2 ORDER BY 1, 2"
     ).fetchall()
     assert pages == [tuple(w) for w in want]
+
+
+def test_boxplot_matches_numpy():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from distributed_text_search_ray.pipelines.relational import boxplot_agg
+    from distributed_text_search_ray.util import round_half_away
+
+    got = boxplot_agg(SF)
+    v = np.sort(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"]).column("value").to_numpy()
+    )
+    rank = lambda q: v[max(int(np.ceil(q * len(v))) - 1, 0)]
+    assert got.column("vmin")[0].as_py() == float(round_half_away(v[0], 6))
+    assert got.column("vmax")[0].as_py() == float(round_half_away(v[-1], 6))
+    for col, q in (("q1", 0.25), ("median", 0.5), ("q3", 0.75)):
+        assert got.column(col)[0].as_py() == float(round_half_away(rank(q), 6))
