@@ -2092,6 +2092,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def retention_weekly(sf_dir):
+        # product-analytics retention: first-event weekly cohorts x week
+        # offset distinct-user counts; cohort table stays distributed
+        return relational.retention_cohorts(sf_dir, bucket_days=7)
+
     def value_boxplot(sf_dir):
         # ES boxplot agg: exact quartiles + min/max over events.value
         return relational.boxplot_agg(sf_dir)
@@ -2317,6 +2322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad": value_mad,
         "composite_page2": composite_page2,
         "value_boxplot": value_boxplot,
+        "retention_weekly": retention_weekly,
         "rare_terms": rare_terms_q,
         "percentile_ranks": pct_ranks,
         "percentile_ranks_by_type": pct_ranks_by_type,
@@ -5398,6 +5404,17 @@ SELECT count(*)::BIGINT doc_count,
        round(sum(length(text))::DOUBLE / count(*), 6) avg_length,
        (SELECT round(e, 6) FROM ent) entropy
 FROM documents
+""",
+        "retention_weekly": """
+WITH ev AS (SELECT user_id, epoch_us(ts) tus FROM events),
+f AS (SELECT user_id, min(tus) t0 FROM ev GROUP BY 1),
+b AS (
+  SELECT DISTINCT f.t0 // 604800000000 cohort_period,
+         (ev.tus - f.t0) // 604800000000 period_k, ev.user_id
+  FROM ev JOIN f USING (user_id)
+)
+SELECT cohort_period, period_k, count(*)::BIGINT n_users
+FROM b GROUP BY 1, 2
 """,
         "value_boxplot": """
 SELECT round(min(value), 6) vmin,

@@ -299,3 +299,37 @@ def test_boxplot_matches_numpy():
     assert got.column("vmax")[0].as_py() == float(round_half_away(v[-1], 6))
     for col, q in (("q1", 0.25), ("median", 0.5), ("q3", 0.75)):
         assert got.column(col)[0].as_py() == float(round_half_away(rank(q), 6))
+
+
+def test_retention_cohorts_matches_duckdb():
+    """Retention cohorts vs direct DuckDB, at a 2-day bucket so several
+    cohorts and offsets exist at sf0.001."""
+    import duckdb
+
+    from distributed_text_search_ray.pipelines.relational import retention_cohorts
+
+    got = sorted(
+        (r["cohort_period"], r["period_k"], r["n_users"])
+        for r in retention_cohorts(SF, bucket_days=2).take_all()
+    )
+    p = 2 * 24 * 3600 * 1_000_000
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+        WITH ev AS (SELECT user_id, epoch_us(ts) tus FROM events),
+        f AS (SELECT user_id, min(tus) t0 FROM ev GROUP BY 1),
+        b AS (SELECT DISTINCT f.t0 // {p} c, (ev.tus - f.t0) // {p} k, ev.user_id
+              FROM ev JOIN f USING (user_id))
+        SELECT c, k, count(*)::BIGINT FROM b GROUP BY 1, 2
+        """
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 8  # several cohorts x offsets
+    # every user's own cohort row exists with k=0
+    assert all(any(g[0] == c and g[1] == 0 for g in got) for c in {g[0] for g in got})
