@@ -2296,6 +2296,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of top_terms_nostop (green r2+r3) so it gets a driver row at once
         "semantic_dedup": semantic_dedup,
         # ---------------- position 51+ (driver budget permitting) ---------
+        # ROUND-5 ROTATION NOTE: the 14 session additions below
+        # (funnel_steps .. retention_weekly) are oracle-gated and
+        # crosschecked at sf0.001+sf0.01 but have no driver row yet —
+        # next round, swap them into the first 50, displacing entries
+        # that will then hold fresh r4 driver rows.
         # new in r5, position 51+ (the window is full of first-row
         # candidates); crosscheck gates them every session
         "explain_scores": explain_scores,
