@@ -1250,6 +1250,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytics): distinct-shingle Jaccard per source pair
         return textstats.source_overlap(_docs_with_source(sf_dir), shingle_n=5)
 
+    def source_diversity_q(sf_dir):
+        # per-source distinct/total 5-gram diversity (corpus repetitiveness)
+        return textstats.source_diversity(_docs_with_source(sf_dir), shingle_n=5)
+
     def explain_scores(sf_dir):
         # ES-style explain: per-term BM25 contribution breakdown of every
         # (query, top-k doc) pair — same ranked set/order as bm25_topk
@@ -2328,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_page2": composite_page2,
         "value_boxplot": value_boxplot,
         "retention_weekly": retention_weekly,
+        "source_diversity": source_diversity_q,
         "rare_terms": rare_terms_q,
         "percentile_ranks": pct_ranks,
         "percentile_ranks_by_type": pct_ranks_by_type,
@@ -5409,6 +5414,20 @@ SELECT count(*)::BIGINT doc_count,
        round(sum(length(text))::DOUBLE / count(*), 6) avg_length,
        (SELECT round(e, 6) FROM ent) entropy
 FROM documents
+""",
+        "source_diversity": f"""
+WITH tokl AS MATERIALIZED (
+  SELECT doc_id, {TOK_SQL.format(col="text")} toks FROM documents
+),
+sh AS (
+  SELECT d.source, array_to_string(t.toks[i.i:i.i + 4], ' ') s
+  FROM tokl t JOIN documents d USING (doc_id),
+       unnest(range(1, len(t.toks) - 5 + 2)) AS i(i)
+)
+SELECT source, count(*)::BIGINT total_ngrams,
+       count(DISTINCT s)::BIGINT distinct_ngrams,
+       round(count(DISTINCT s)::DOUBLE / count(*), 6) diversity
+FROM sh GROUP BY 1
 """,
         "retention_weekly": """
 WITH ev AS (SELECT user_id, epoch_us(ts) tus FROM events),

@@ -1990,3 +1990,102 @@ def string_stats(ds: ray.data.Dataset, column: str = "text") -> pa.Table:
             ),
         }
     )
+
+
+def source_diversity(
+    docs: ray.data.Dataset,
+    shingle_n: int = 5,
+    source_col: str = "source",
+    analyzer: AnalyzerConfig | None = None,
+) -> pa.Table:
+    """Per-source n-gram diversity — distinct token ``shingle_n``-grams over
+    total occurrences, the corpus-level repetitiveness metric a curation
+    pipeline reads before weighting sources (a boilerplate-heavy source
+    scores low). Returns (source, total_ngrams, distinct_ngrams, diversity)
+    with diversity = distinct/total rounded 6 dp.
+
+    Scale shape: totals are plain per-batch counts (no shuffle); distinct
+    counts ride ``source_overlap``'s coarse-shingle-group dedup — a shingle
+    lives in exactly one md5 group, so per-group distinct-per-source counts
+    are disjoint partials and only O(64 x sources) rows reach the driver.
+    """
+    from collections import Counter
+
+    from distributed_text_search_ray.functions.hashing import md5_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tk = tokenizer_for(analyzer)
+        seen: set[tuple[str, str]] = set()
+        totals: Counter = Counter()
+        for text, src in zip(
+            batch.column("content").to_pylist(),
+            batch.column(source_col).to_pylist(),
+        ):
+            toks = tk.tokens(text)
+            m = len(toks) - shingle_n + 1
+            if m > 0:
+                totals[src] += m
+            for i in range(max(m, 0)):
+                seen.add((" ".join(toks[i : i + shingle_n]), src))
+        sh = [s for s, _ in seen]
+        return pa.table(
+            {
+                "sh": pa.array(sh + [""] * len(totals), type=pa.string()),
+                "src": pa.array(
+                    [s for _, s in seen] + list(totals), type=pa.string()
+                ),
+                "cg": pa.array(
+                    [md5_u64(s) % 64 for s in sh] + [-1] * len(totals),
+                    type=pa.int64(),
+                ),
+                "n": pa.array(
+                    [1] * len(sh) + list(totals.values()), type=pa.int64()
+                ),
+            }
+        )
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        if g.column("cg")[0].as_py() == -1:
+            # the totals group: plain per-source sum
+            agg = g.group_by("src").aggregate([("n", "sum")])
+            agg = agg.select(["src", "n_sum"]).rename_columns(["src", "n"])
+            return pa.table(
+                {
+                    "src": agg.column("src"),
+                    "kind": pa.array(["total"] * agg.num_rows, type=pa.string()),
+                    "n": agg.column("n"),
+                }
+            )
+        d = g.select(["sh", "src"]).group_by(["sh", "src"]).aggregate([])
+        agg = d.group_by("src").aggregate([([], "count_all")])
+        agg = agg.select(["src", "count_all"]).rename_columns(["src", "n"])
+        return pa.table(
+            {
+                "src": agg.column("src"),
+                "kind": pa.array(["distinct"] * agg.num_rows, type=pa.string()),
+                "n": agg.column("n"),
+            }
+        )
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(reduce_group, batch_format="pyarrow")
+        .take_all()
+    )
+    tot: Counter = Counter()
+    dis: Counter = Counter()
+    for r in rows:
+        (tot if r["kind"] == "total" else dis)[r["src"]] += r["n"]
+    srcs = sorted(tot)
+    return pa.table(
+        {
+            "source": pa.array(srcs, type=pa.string()),
+            "total_ngrams": pa.array([tot[s] for s in srcs], type=pa.int64()),
+            "distinct_ngrams": pa.array([dis[s] for s in srcs], type=pa.int64()),
+            "diversity": pa.array(
+                [float(round_half_away(dis[s] / tot[s], 6)) for s in srcs],
+                type=pa.float64(),
+            ),
+        }
+    )

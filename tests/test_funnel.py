@@ -333,3 +333,34 @@ def test_retention_cohorts_matches_duckdb():
     assert len(got) > 8  # several cohorts x offsets
     # every user's own cohort row exists with k=0
     assert all(any(g[0] == c and g[1] == 0 for g in got) for c in {g[0] for g in got})
+
+
+def test_source_diversity_vs_python():
+    """Distinct/total shingle diversity vs direct Python over a tiny
+    crafted corpus with a repetitive source."""
+    import ray.data
+
+    from distributed_text_search_ray.pipelines.textstats import source_diversity
+    from distributed_text_search_ray.util import round_half_away
+
+    docs = [
+        {"content": "a b c d e f g", "source": "fresh"},
+        {"content": "a b c d e a b c d e a b c d e", "source": "boiler"},
+        {"content": "x y", "source": "short"},  # no 5-gram -> absent
+    ]
+    got = source_diversity(
+        ray.data.from_items(docs, override_num_blocks=3), shingle_n=5
+    )
+    rows = {
+        got.column("source")[i].as_py(): (
+            got.column("total_ngrams")[i].as_py(),
+            got.column("distinct_ngrams")[i].as_py(),
+            got.column("diversity")[i].as_py(),
+        )
+        for i in range(got.num_rows)
+    }
+    assert set(rows) == {"fresh", "boiler"}
+    assert rows["fresh"] == (3, 3, 1.0)
+    # boiler: 11 windows over the repeated phrase, 5 distinct rotations
+    assert rows["boiler"][0] == 11 and rows["boiler"][1] == 5
+    assert rows["boiler"][2] == float(round_half_away(5 / 11, 6))
