@@ -2096,6 +2096,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def extended_stats_q(sf_dir):
+        # ES extended_stats agg per event_type: one pass of (n, sum, sumsq,
+        # min, max) partials
+        return relational.extended_stats(sf_dir)
+
     def retention_weekly(sf_dir):
         # product-analytics retention: first-event weekly cohorts x week
         # offset distinct-user counts; cohort table stays distributed
@@ -2333,6 +2338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_boxplot": value_boxplot,
         "retention_weekly": retention_weekly,
         "source_diversity": source_diversity_q,
+        "extended_stats": extended_stats_q,
         "rare_terms": rare_terms_q,
         "percentile_ranks": pct_ranks,
         "percentile_ranks_by_type": pct_ranks_by_type,
@@ -5414,6 +5420,18 @@ SELECT count(*)::BIGINT doc_count,
        round(sum(length(text))::DOUBLE / count(*), 6) avg_length,
        (SELECT round(e, 6) FROM ent) entropy
 FROM documents
+""",
+        "extended_stats": """
+SELECT event_type, count(*)::BIGINT n,
+       round(min(value), 6) vmin, round(max(value), 6) vmax,
+       round(sum(value), 6) vsum,
+       round(sum(value) / count(*), 6) avg,
+       round(sum(value * value), 6) sum_of_squares,
+       round(sum(value * value) / count(*)
+             - (sum(value) / count(*)) * (sum(value) / count(*)), 6) variance,
+       round(sqrt(greatest(sum(value * value) / count(*)
+             - (sum(value) / count(*)) * (sum(value) / count(*)), 0)), 6) std_dev
+FROM events GROUP BY 1
 """,
         "source_diversity": f"""
 WITH tokl AS MATERIALIZED (

@@ -1572,3 +1572,88 @@ def retention_cohorts(
         .groupby(["cohort_period", "period_k"])
         .aggregate(Sum("n", alias_name="n_users"))
     )
+
+
+def extended_stats(sf_dir: str) -> ray.data.Dataset:
+    """ES ``extended_stats`` aggregation over ``events.value`` per
+    event_type: count, min, max, sum, avg, sum_of_squares, population
+    variance and std deviation — one streaming pass of per-type
+    (n, Σx, Σx², min, max) partials and a types-sized reduce. Float
+    outputs 6-dp rounded with the same expressions as the twin:
+    var = Σx²/n − (Σx/n)², std = sqrt(var)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = batch.column("event_type").dictionary_encode().combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = enc.dictionary.to_pylist()
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        g = len(cats)
+        n = np.bincount(codes, minlength=g)
+        sx = np.bincount(codes, weights=v, minlength=g)
+        sxx = np.bincount(codes, weights=v * v, minlength=g)
+        mn = np.full(g, np.inf)
+        mx = np.full(g, -np.inf)
+        np.minimum.at(mn, codes, v)
+        np.maximum.at(mx, codes, v)
+        return pa.table(
+            {
+                "event_type": pa.array(cats, type=pa.string()),
+                "n": pa.array(n, type=pa.int64()),
+                "sx": pa.array(sx, type=pa.float64()),
+                "sxx": pa.array(sxx, type=pa.float64()),
+                "vmin": pa.array(mn, type=pa.float64()),
+                "vmax": pa.array(mx, type=pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+            Min("vmin", alias_name="vmin"),
+            Max("vmax", alias_name="vmax"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from distributed_text_search_ray.util import round_half_away
+
+        n = batch.column("n").to_numpy().astype(np.float64)
+        sx = batch.column("sx").to_numpy()
+        sxx = batch.column("sxx").to_numpy()
+        avg = sx / n
+        var = sxx / n - (sx / n) * (sx / n)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": batch.column("n"),
+                "vmin": pa.array(
+                    round_half_away(batch.column("vmin").to_numpy(), 6),
+                    type=pa.float64(),
+                ),
+                "vmax": pa.array(
+                    round_half_away(batch.column("vmax").to_numpy(), 6),
+                    type=pa.float64(),
+                ),
+                "vsum": pa.array(round_half_away(sx, 6), type=pa.float64()),
+                "avg": pa.array(round_half_away(avg, 6), type=pa.float64()),
+                "sum_of_squares": pa.array(
+                    round_half_away(sxx, 6), type=pa.float64()
+                ),
+                "variance": pa.array(round_half_away(var, 6), type=pa.float64()),
+                "std_dev": pa.array(
+                    round_half_away(np.sqrt(np.maximum(var, 0.0)), 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

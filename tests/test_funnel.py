@@ -364,3 +364,39 @@ def test_source_diversity_vs_python():
     # boiler: 11 windows over the repeated phrase, 5 distinct rotations
     assert rows["boiler"][0] == 11 and rows["boiler"][1] == 5
     assert rows["boiler"][2] == float(round_half_away(5 / 11, 6))
+
+
+def test_extended_stats_matches_duckdb():
+    import duckdb
+
+    from distributed_text_search_ray.pipelines.relational import extended_stats
+
+    got = sorted(
+        tuple(r[k] for k in ("event_type", "n", "vmin", "vmax", "vsum", "avg",
+                             "sum_of_squares", "variance", "std_dev"))
+        for r in extended_stats(SF).take_all()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+        SELECT event_type, count(*)::BIGINT, round(min(value),6), round(max(value),6),
+               round(sum(value),6), round(sum(value)/count(*),6),
+               round(sum(value*value),6),
+               round(sum(value*value)/count(*)
+                     - (sum(value)/count(*))*(sum(value)/count(*)),6),
+               round(sqrt(greatest(sum(value*value)/count(*)
+                     - (sum(value)/count(*))*(sum(value)/count(*)),0)),6)
+        FROM events GROUP BY 1
+        """
+        ).fetchall()
+    )
+    assert len(got) == 5
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        for a, b in zip(g[2:], w[2:]):
+            assert a == pytest.approx(b, abs=2e-6)
