@@ -2096,6 +2096,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def gap_stats_q(sf_dir):
+        # inter-arrival (burstiness) stats per event_type over per-user
+        # streams — one user-bucket shuffle, no window join
+        return relational.gap_stats(sf_dir)
+
     def extended_stats_q(sf_dir):
         # ES extended_stats agg per event_type: one pass of (n, sum, sumsq,
         # min, max) partials
@@ -2339,6 +2344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_weekly": retention_weekly,
         "source_diversity": source_diversity_q,
         "extended_stats": extended_stats_q,
+        "gap_stats": gap_stats_q,
         "rare_terms": rare_terms_q,
         "percentile_ranks": pct_ranks,
         "percentile_ranks_by_type": pct_ranks_by_type,
@@ -5420,6 +5426,23 @@ SELECT count(*)::BIGINT doc_count,
        round(sum(length(text))::DOUBLE / count(*), 6) avg_length,
        (SELECT round(e, 6) FROM ent) entropy
 FROM documents
+""",
+        "gap_stats": """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) tus,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) prev
+  FROM events
+),
+g AS (
+  SELECT event_type, (tus - prev) / 1000000.0 gap FROM ev WHERE prev IS NOT NULL
+)
+SELECT event_type, count(*)::BIGINT n_gaps,
+       round(sum(gap) / count(*), 6) avg_gap_s,
+       round(sqrt(greatest(sum(gap * gap) / count(*)
+             - (sum(gap) / count(*)) * (sum(gap) / count(*)), 0)), 6) std_gap_s
+FROM g GROUP BY 1
 """,
         "extended_stats": """
 SELECT event_type, count(*)::BIGINT n,

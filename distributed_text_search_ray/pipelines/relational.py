@@ -1657,3 +1657,93 @@ def extended_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def gap_stats(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Inter-arrival (burstiness) statistics per event_type: over each
+    USER's time-ordered events of a type, the gaps between consecutive
+    occurrences, aggregated to (event_type, n_gaps, avg_gap_s, std_gap_s).
+
+    Scale shape: the funnel/retention shape — one user-bucket shuffle (a
+    user never splits), per-bucket vectorized diff over the (user, type,
+    ts)-sorted stream with segment boundaries masking cross-user/type
+    pairs, (n, Σg, Σg²) partials per type, k-row final reduce. Population
+    std, 6-dp rounded with the twin's expression."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "tus": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+                "cg": pa.array((u % n_buckets).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy()
+        t = g.column("tus").to_numpy()
+        e = g.column("event_id").to_numpy()
+        enc = g.column("event_type").dictionary_encode().combine_chunks()
+        c = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = enc.dictionary.to_pylist()
+        order = np.lexsort((e, t, c, u))
+        u, t, c = u[order], t[order], c[order]
+        same = (u[1:] == u[:-1]) & (c[1:] == c[:-1])
+        gaps = (t[1:] - t[:-1])[same] / 1e6
+        gc = c[1:][same]
+        k = len(cats)
+        n = np.bincount(gc, minlength=k)
+        sx = np.bincount(gc, weights=gaps, minlength=k)
+        sxx = np.bincount(gc, weights=gaps * gaps, minlength=k)
+        keep = n > 0
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [cats[i] for i in np.flatnonzero(keep)], type=pa.string()
+                ),
+                "n": pa.array(n[keep], type=pa.int64()),
+                "sx": pa.array(sx[keep], type=pa.float64()),
+                "sxx": pa.array(sxx[keep], type=pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n_gaps"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from distributed_text_search_ray.util import round_half_away
+
+        n = batch.column("n_gaps").to_numpy().astype(np.float64)
+        sx = batch.column("sx").to_numpy()
+        sxx = batch.column("sxx").to_numpy()
+        avg = sx / n
+        var = sxx / n - (sx / n) * (sx / n)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_gaps": batch.column("n_gaps"),
+                "avg_gap_s": pa.array(round_half_away(avg, 6), type=pa.float64()),
+                "std_gap_s": pa.array(
+                    round_half_away(np.sqrt(np.maximum(var, 0.0)), 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

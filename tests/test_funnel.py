@@ -400,3 +400,45 @@ def test_extended_stats_matches_duckdb():
         assert g[0] == w[0] and g[1] == w[1]
         for a, b in zip(g[2:], w[2:]):
             assert a == pytest.approx(b, abs=2e-6)
+
+
+def test_gap_stats_bucket_invariance_and_duckdb():
+    import duckdb
+
+    from distributed_text_search_ray.pipelines.relational import gap_stats
+
+    def rows(nb):
+        return sorted(
+            (r["event_type"], r["n_gaps"], r["avg_gap_s"], r["std_gap_s"])
+            for r in gap_stats(SF, n_buckets=nb).take_all()
+        )
+
+    got = rows(64)
+    assert got == rows(3)  # a user never splits across buckets
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) tus,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id) prev
+          FROM events),
+        g AS (SELECT event_type, (tus - prev) / 1000000.0 gap
+              FROM ev WHERE prev IS NOT NULL)
+        SELECT event_type, count(*)::BIGINT,
+               round(sum(gap) / count(*), 6),
+               round(sqrt(greatest(sum(gap * gap) / count(*)
+                     - (sum(gap) / count(*)) * (sum(gap) / count(*)), 0)), 6)
+        FROM g GROUP BY 1
+        """
+        ).fetchall()
+    )
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        assert g[2] == pytest.approx(w[2], abs=2e-6)
+        assert g[3] == pytest.approx(w[3], abs=2e-6)
