@@ -273,6 +273,96 @@ _CACHE_ROOT = "/tmp/dts_ray_cache"
 # helpers
 # --------------------------------------------------------------------------
 
+def _cached_artifact(
+    out_dir: str,
+    sig: dict,
+    build_fn: Callable[[str], Any],
+    validate_fn: Callable[[str], Any] | None = None,
+    scratch_dirs: tuple[str, ...] = (),
+) -> str:
+    """Crash-proof cache-or-build for a derived artifact directory.
+
+    The round-4 red row (``bm25_topk_upserted``) came from the pattern this
+    replaces: trust a marker file, rmtree several dirs non-atomically, build
+    in place — a stale or half-written cache at the driver turned into an
+    unactionable crash. Contract here (VERDICT r4 items 1+8):
+
+    - marker hit  → the artifact is VALIDATED (``validate_fn``) before it is
+      trusted; a failing validation falls through to a rebuild instead of
+      returning a corrupt dir;
+    - rebuild     → ``build_fn`` writes into ``out_dir + ".tmp"`` which is
+      atomically renamed into place; the marker is written only AFTER the
+      rename, so a crash at any point leaves either the previous published
+      artifact or no marker — never a marker endorsing a half-written dir;
+    - any failure → re-raised as a one-line stage-named error (message
+      truncated) so the driver's ``err`` column stays actionable instead of
+      dumping table contents.
+    """
+    import shutil
+
+    marker = out_dir + ".json"
+    name = os.path.basename(out_dir)
+    if os.path.exists(marker) and os.path.isdir(out_dir):
+        try:
+            with open(marker) as f:
+                have = json.load(f)
+        except (OSError, ValueError):
+            have = None
+        if have == sig:
+            if validate_fn is None:
+                return out_dir
+            try:
+                validate_fn(out_dir)
+                return out_dir
+            except Exception:
+                pass  # stale/corrupt cache: fall through to a rebuild
+    # invalidate the marker BEFORE touching any dir (write-then-publish)
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    tmp = out_dir + ".tmp"
+    for d in (out_dir, tmp, *scratch_dirs):
+        shutil.rmtree(d, ignore_errors=True)
+    try:
+        build_fn(tmp)
+        if validate_fn is not None:
+            validate_fn(tmp)
+    except Exception as e:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"cache build failed for artifact '{name}': "
+            f"{type(e).__name__}: {str(e)[:300]}"
+        ) from None
+    os.rename(tmp, out_dir)
+    for d in scratch_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    with open(marker, "w") as f:
+        json.dump(sig, f)
+    return out_dir
+
+
+def _validate_index(index_dir: str) -> None:
+    """Shallow ``merge.verify_index`` fsck, raising on any error — the
+    marker-hit validator for cached derived INDEX artifacts."""
+    from distributed_text_search_ray.pipelines.merge import verify_index
+
+    rep = verify_index(index_dir)
+    if not rep.get("ok"):
+        errs = rep.get("errors") or ["unknown"]
+        raise RuntimeError(f"verify_index: {'; '.join(map(str, errs[:3]))[:200]}")
+
+
+def _validate_parquet_dir(d: str) -> None:
+    """Marker-hit validator for cached parquet-directory artifacts: every
+    file must carry a readable footer (half-written files do not)."""
+    files = [f for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        raise RuntimeError(f"no parquet files in {os.path.basename(d)}")
+    for f in files:
+        pq.ParquetFile(os.path.join(d, f))  # raises on truncated footer
+
+
 def _docs_ds(sf_dir: str):
     """documents table as (doc_id, content)."""
     import ray.data
@@ -340,8 +430,6 @@ def _vectors_for(sf_dir: str, dim: int = 16) -> str:
     hybrid query then reads parquet instead of re-vectorizing the corpus
     per call (31 s of a 2-query batch at 1.15M docs was the corpus pass).
     """
-    import shutil
-
     from distributed_text_search_ray.pipelines.textstats import hashed_doc_vectors
     from distributed_text_search_ray.stages.executor import IndexView
 
@@ -353,34 +441,21 @@ def _vectors_for(sf_dir: str, dim: int = 16) -> str:
     key = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(_CACHE_ROOT, key)
     vec_dir = os.path.join(root, f"vectors_dim{dim}")
-    marker = vec_dir + ".json"
     with open(os.path.join(root, "source.json")) as f:
         sig = json.load(f)
     sig = dict(sig, dim=dim, analyzer=analyzer.fingerprint())
-    if os.path.exists(marker) and os.path.isdir(vec_dir):
-        with open(marker) as f:
-            if json.load(f) == sig:
-                return vec_dir
+
     import ray.data
 
     from distributed_text_search_ray.sources.corpus import corpus_files
 
-    # invalidate the marker BEFORE touching vec_dir: a crash mid
-    # write_parquet must not leave a still-matching marker validating a
-    # partially written dir on the next run (write-then-publish, same
-    # ordering as state/manifest.AtomicDir)
-    try:
-        os.remove(marker)
-    except OSError:
-        pass
-    shutil.rmtree(vec_dir, ignore_errors=True)
-    docs = ray.data.read_parquet(
-        corpus_files(os.path.join(root, "corpus")), columns=["doc_id", "content"]
-    )
-    hashed_doc_vectors(docs, dim=dim, analyzer=analyzer).write_parquet(vec_dir)
-    with open(marker, "w") as f:
-        json.dump(sig, f)
-    return vec_dir
+    def build(tmp: str) -> None:
+        docs = ray.data.read_parquet(
+            corpus_files(os.path.join(root, "corpus")), columns=["doc_id", "content"]
+        )
+        hashed_doc_vectors(docs, dim=dim, analyzer=analyzer).write_parquet(tmp)
+
+    return _cached_artifact(vec_dir, sig, build, validate_fn=_validate_parquet_dir)
 
 
 def _rerank_rounded(rows: list[dict], k: int) -> pa.Table:
@@ -461,8 +536,6 @@ def _half_indexes_for(sf_dir: str) -> list[str]:
     shard-local, so both recombinations are score-identical to the full
     build — letting each path share the BM25 SQL oracle (the strongest gate
     available for a non-SQL operator)."""
-    import shutil
-
     from distributed_text_search_ray.config import IndexConfig
     from distributed_text_search_ray.pipelines.build import build_index
     from distributed_text_search_ray.sources.corpus import corpus_files
@@ -478,26 +551,20 @@ def _half_indexes_for(sf_dir: str) -> list[str]:
         sig = json.load(f)
     halves = [os.path.join(root, "corpus_half0"), os.path.join(root, "corpus_half1")]
     for i, h in enumerate(halves):
-        marker = h + ".json"
-        have = None
-        if os.path.exists(marker):
-            with open(marker) as f:
-                have = json.load(f)
-        if have != sig:
-            # deterministic content split (doc_id parity), streamed through
-            # Ray — the halves need not align with shard boundaries: salting
-            # may then differ from the full build, but scores stay exact
-            # because global df is re-aggregated from the merged dictionary
-            shutil.rmtree(h, ignore_errors=True)
+        # deterministic content split (doc_id parity), streamed through
+        # Ray — the halves need not align with shard boundaries: salting
+        # may then differ from the full build, but scores stay exact
+        # because global df is re-aggregated from the merged dictionary
+        def build(tmp: str, par: int = i) -> None:
             ds = ray.data.read_parquet(corpus_files(corpus_dir))
             ds.map_batches(
-                lambda t, par=i: t.filter(
+                lambda t: t.filter(
                     pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), par)
                 ),
                 batch_format="pyarrow",
-            ).write_parquet(h)
-            with open(marker, "w") as f:
-                json.dump(sig, f)
+            ).write_parquet(tmp)
+
+        _cached_artifact(h, sig, build, validate_fn=_validate_parquet_dir)
     cfg = IndexConfig(
         num_partitions=8, salt_buckets=2, salt_df_threshold=0.5,
         attribute_columns=("lang",),
@@ -538,8 +605,6 @@ def _lang_indexes_for(sf_dir: str) -> dict[str, str]:
     (which recombine into the full corpus), each member here is a standalone
     per-tenant corpus: its index stats (N, avgdl, df) are the member's own,
     which is exactly what the routed oracle computes per route."""
-    import shutil
-
     import pyarrow.compute as pc
     import ray.data
 
@@ -557,20 +622,15 @@ def _lang_indexes_for(sf_dir: str) -> dict[str, str]:
     members: dict[str, str] = {}
     for lang in ROUTE_LANGS:
         member_corpus = os.path.join(root, f"corpus_lang_{lang}")
-        marker = member_corpus + ".json"
-        have = None
-        if os.path.exists(marker):
-            with open(marker) as f:
-                have = json.load(f)
-        if have != sig:
-            shutil.rmtree(member_corpus, ignore_errors=True)
+
+        def build(tmp: str, lg: str = lang) -> None:
             ds = ray.data.read_parquet(corpus_files(corpus_dir))
             ds.map_batches(
-                lambda t, lg=lang: t.filter(pc.equal(t.column("lang"), lg)),
+                lambda t: t.filter(pc.equal(t.column("lang"), lg)),
                 batch_format="pyarrow",
-            ).write_parquet(member_corpus)
-            with open(marker, "w") as f:
-                json.dump(sig, f)
+            ).write_parquet(tmp)
+
+        _cached_artifact(member_corpus, sig, build, validate_fn=_validate_parquet_dir)
         idx = os.path.join(root, f"index_lang_{lang}")
         build_index(member_corpus, idx, cfg)
         members[lang] = idx
@@ -593,31 +653,22 @@ def _deleted_index_for(sf_dir: str) -> str:
     key = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(_CACHE_ROOT, key)
     del_dir = os.path.join(root, "index_deleted")
-    marker = del_dir + ".json"
     with open(os.path.join(root, "source.json")) as f:
         sig = json.load(f)
     sig = dict(sig, delete=[DELETE_MOD, DELETE_REM])
-    if os.path.exists(marker) and os.path.isdir(del_dir):
-        with open(marker) as f:
-            if json.load(f) == sig:
-                return del_dir
-    try:
-        os.remove(marker)
-    except OSError:
-        pass
-    shutil.rmtree(del_dir, ignore_errors=True)
-    shutil.copytree(index_dir, del_dir, copy_function=os.link)
-    # the tombstone id set is small by contract (deletes, takedowns); at
-    # real scale it would arrive as an id list from upstream, not a scan
-    ids = (
-        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
-        .column("doc_id")
-        .to_numpy()
-    )
-    delete_docs(del_dir, ids[ids % DELETE_MOD == DELETE_REM])
-    with open(marker, "w") as f:
-        json.dump(sig, f)
-    return del_dir
+
+    def build(tmp: str) -> None:
+        shutil.copytree(index_dir, tmp, copy_function=os.link)
+        # the tombstone id set is small by contract (deletes, takedowns); at
+        # real scale it would arrive as an id list from upstream, not a scan
+        ids = (
+            pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy()
+        )
+        delete_docs(tmp, ids[ids % DELETE_MOD == DELETE_REM])
+
+    return _cached_artifact(del_dir, sig, build, validate_fn=_validate_index)
 
 
 TITLE_TOKENS = 10  # "title" field = first 10 analyzer tokens of the text
@@ -688,31 +739,20 @@ def _band_index_for(sf_dir: str) -> str:
     (even-id) half of the corpus — the artifact a continuous-ingestion
     pipeline keeps beside a 100 TB corpus so each incoming shard dedups
     against fingerprints, never against the corpus text."""
-    import shutil
-
     from distributed_text_search_ray.pipelines.dedup import minhash_band_rows
 
     _index_for(sf_dir)  # ensures the corpus cache + source.json exist
     key = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(_CACHE_ROOT, key)
     band_dir = os.path.join(root, "band_index")
-    marker = band_dir + ".json"
     with open(os.path.join(root, "source.json")) as f:
         sig = json.load(f)
     sig = dict(sig, side="even", **INC_DEDUP_CFG)
-    if os.path.exists(marker) and os.path.isdir(band_dir):
-        with open(marker) as f:
-            if json.load(f) == sig:
-                return band_dir
-    try:
-        os.remove(marker)
-    except OSError:
-        pass
-    shutil.rmtree(band_dir, ignore_errors=True)
-    minhash_band_rows(_docs_side(sf_dir, 0), **INC_DEDUP_CFG).write_parquet(band_dir)
-    with open(marker, "w") as f:
-        json.dump(sig, f)
-    return band_dir
+
+    def build(tmp: str) -> None:
+        minhash_band_rows(_docs_side(sf_dir, 0), **INC_DEDUP_CFG).write_parquet(tmp)
+
+    return _cached_artifact(band_dir, sig, build, validate_fn=_validate_parquet_dir)
 
 
 def _title_index_for(sf_dir: str) -> str:
@@ -720,8 +760,6 @@ def _title_index_for(sf_dir: str) -> str:
     is each doc's first TITLE_TOKENS analyzer tokens (same doc ids), built
     with the same default analyzer — the title side of ``bm25f_topk``.
     Cached beside the main index, keyed on the same source signature."""
-    import shutil
-
     from distributed_text_search_ray.config import IndexConfig
     from distributed_text_search_ray.functions.tokenize import Tokenizer
     from distributed_text_search_ray.pipelines.build import build_index
@@ -732,20 +770,9 @@ def _title_index_for(sf_dir: str) -> str:
     root = os.path.join(_CACHE_ROOT, key)
     title_corpus = os.path.join(root, "title_shards")
     title_idx = os.path.join(root, "index_title")
-    marker = title_idx + ".json"
     with open(os.path.join(root, "source.json")) as f:
         sig = json.load(f)
     sig = dict(sig, title_tokens=TITLE_TOKENS)
-    if os.path.exists(marker) and os.path.isdir(title_idx):
-        with open(marker) as f:
-            if json.load(f) == sig:
-                return title_idx
-    try:
-        os.remove(marker)
-    except OSError:
-        pass
-    shutil.rmtree(title_corpus, ignore_errors=True)
-    shutil.rmtree(title_idx, ignore_errors=True)
 
     def to_title(t: pa.Table) -> pa.Table:
         tk = Tokenizer()
@@ -758,13 +785,16 @@ def _title_index_for(sf_dir: str) -> str:
 
     import ray.data
 
-    ray.data.read_parquet(corpus_files(os.path.join(root, "corpus"))).map_batches(
-        to_title, batch_format="pyarrow"
-    ).write_parquet(title_corpus)
-    build_index(title_corpus, title_idx, IndexConfig(num_partitions=8))
-    with open(marker, "w") as f:
-        json.dump(sig, f)
-    return title_idx
+    def build(tmp: str) -> None:
+        ray.data.read_parquet(corpus_files(os.path.join(root, "corpus"))).map_batches(
+            to_title, batch_format="pyarrow"
+        ).write_parquet(title_corpus)
+        build_index(title_corpus, tmp, IndexConfig(num_partitions=8))
+
+    return _cached_artifact(
+        title_idx, sig, build,
+        validate_fn=_validate_index, scratch_dirs=(title_corpus,),
+    )
 
 
 def _subtoken_index_for(sf_dir: str) -> str:
@@ -792,10 +822,9 @@ def _upserted_index_for(sf_dir: str) -> str:
     """Upsert a modified version of every doc with ``doc_id % UPSERT_MOD ==
     UPSERT_REM`` (content + UPSERT_SUFFIX) through ``merge.upsert_docs`` —
     tombstone + compact + extend on top of the shared cached index, which
-    stays untouched. The changeset shards are written once and keyed on the
-    same source signature as the index cache."""
-    import shutil
-
+    stays untouched. Crash-proof via ``_cached_artifact`` (build into .tmp,
+    atomic rename, fsck-validated marker hits) — round 4's only red driver
+    row was this helper's old trust-the-marker/rmtree-in-place pattern."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -807,21 +836,9 @@ def _upserted_index_for(sf_dir: str) -> str:
     root = os.path.join(_CACHE_ROOT, key)
     out_dir = os.path.join(root, "index_upserted")
     up_corpus = os.path.join(root, "upsert_shards")
-    marker = out_dir + ".json"
     with open(os.path.join(root, "source.json")) as f:
         sig = json.load(f)
     sig = dict(sig, upsert=[UPSERT_MOD, UPSERT_REM, UPSERT_SUFFIX])
-    if os.path.exists(marker) and os.path.isdir(out_dir):
-        with open(marker) as f:
-            if json.load(f) == sig:
-                return out_dir
-    try:
-        os.remove(marker)
-    except OSError:
-        pass
-    for d in (up_corpus, out_dir, out_dir + ".tombstoned", out_dir + ".compacted",
-              out_dir + ".delta"):
-        shutil.rmtree(d, ignore_errors=True)
 
     def changeset(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
@@ -835,13 +852,27 @@ def _upserted_index_for(sf_dir: str) -> str:
             "n_chars", pc.cast(pc.utf8_length(content), n_chars_type)
         ).append_column("content", content)
 
-    ray.data.read_parquet(corpus_files(os.path.join(root, "corpus"))).map_batches(
-        changeset, batch_format="pyarrow"
-    ).write_parquet(up_corpus)
-    upsert_docs(index_dir, up_corpus, out_dir)
-    with open(marker, "w") as f:
-        json.dump(sig, f)
-    return out_dir
+    def build(tmp: str) -> None:
+        ray.data.read_parquet(corpus_files(os.path.join(root, "corpus"))).map_batches(
+            changeset, batch_format="pyarrow"
+        ).write_parquet(up_corpus)
+        upsert_docs(index_dir, up_corpus, tmp)
+
+    return _cached_artifact(
+        out_dir,
+        sig,
+        build,
+        validate_fn=_validate_index,
+        scratch_dirs=(
+            up_corpus,
+            out_dir + ".tombstoned",
+            out_dir + ".compacted",
+            out_dir + ".delta",
+            out_dir + ".tmp.tombstoned",
+            out_dir + ".tmp.compacted",
+            out_dir + ".tmp.delta",
+        ),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2197,143 +2228,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # redact_props, lang_stats) to positions 51+. Oracle-gated entries still
     # run before rows-only ones within each region.
     return {
-        # The driver evaluates the FIRST 50 entries. Every slot below is
-        # either (a) never driver-checked in any round, or (b) new this
-        # round — multi-round-green entries all sit at position 51+.
-        # new in r5: distributed BPE tokenizer training + apply — take the
-        # first-50 slots of bm25_topk / ann_hard_negatives (green r1-r3)
-        "bpe_merges": bpe_merges,
-        "bpe_token_counts": bpe_token_counts,
-        # new in r5: hashed-NB language classifier — takes the first-50
-        # slot of ann_lsh_topk (green r3)
-        "nb_lang_predict": nb_lang_predict,
-        # new in r4: ranking-quality evaluation (nDCG/MRR/recall@k)
-        "rank_eval_bm25": rank_eval_bm25,
-        # new in r4: exact substring search over the trigram index
-        "substring_counts": substring_counts,
-        # new in r4: one-pass Misra-Gries heavy hitters
-        "heavy_hitters": heavy_hitters,
-        "ann_filtered_topk": ann_filtered,
-        "significant_terms": significant_terms_q,
-        "bm25_topk_rescored": bm25_topk_rescored,
-        # new in r4: search_after pagination — takes the first-50 slot of
-        # tpch_q1 (green r1+r3) so it gets a driver row immediately
-        "bm25_topk_page2": bm25_topk_page2,
-        # new in r4: federated cross-index search (exact global stats, no
-        # merge) — takes the first-50 slot of tpch_q3 (green r1+r3) so it
-        # gets a driver row at once
-        "bm25_topk_federated": bm25_topk_federated,
-        # new in r4: stratified language-equalizing sample — takes the
-        # first-50 slot of tpch_q6 (green r3) for an immediate driver row
-        "stratified_sample": stratified_sample,
-        # new in r4: tombstone deletes + DSIR importance weighting — take
-        # the first-50 slots of value_quantiles / corpus_rollup (both green
-        # r1-r3) so each gets a driver row immediately
-        "bm25_topk_deleted": bm25_topk_deleted,
-        "bm25_topk_compacted": bm25_topk_compacted,
-        "bm25_topk_upserted": bm25_topk_upserted,
-        "bm25f_topk": bm25f_topk,
-        # new in r4: dis_max multi-field ranking — takes the first-50 slot
-        # of exact_dedup (green r1-r3) so it gets a driver row at once
-        "dismax_topk": dismax_topk,
-        # new in r4: minimum_should_match — takes the first-50 slot of
-        # sessionize_30m (green r1-r3) so it gets a driver row at once
-        "bm25_topk_msm": bm25_topk_msm,
-        # new in r4: search-time facet aggregation — takes the first-50
-        # slot of user_moving_avg (green r1-r3)
-        "search_facet_lang": search_facet_lang,
-        # new in r4: function_score field-value-factor boost — takes the
-        # first-50 slot of term_dictionary_stemmed (green r2-r3)
-        "bm25_topk_boosted": bm25_topk_boosted,
-        # new in r4: MMR diversified top-k — takes the first-50 slot of
-        # synonym_topk (green r2-r3)
-        "bm25_topk_mmr": bm25_topk_mmr,
-        "incremental_dedup": incremental_dedup,
-        "percolate_matches": percolate_matches,
-        "bm25_topk_collapsed": bm25_topk_collapsed,
-        "dsir_weights": dsir_weights,
-        "wildcard_stats": wildcard_stats,
-        # new in this session: routed (per-lang member) search and must_not
-        # ranked retrieval — take the first-50 slots of wildcard_topk /
-        # regexp_topk (their *_stats siblings keep first-50 rows, and the
-        # expansion→topk composition is driver-green via prefix_topk r3)
-        "bm25_topk_routed": bm25_topk_routed,
-        "bm25_topk_negated": bm25_topk_negated,
-        # new in r4: code-subtoken analyzer (split_identifiers) — takes the
-        # first-50 slot of range_join_1h (green r3) for an immediate driver
-        # row; the camelCase/snake_case QUERY strings only match via
-        # identifier splitting, so the row genuinely gates the feature
-        "bm25_topk_subtoken": bm25_topk_subtoken,
-        # new this round: CCNet perplexity bucketing — takes the first-50
-        # slot of bm25_topk_merged (green r2/r3; moved to the tail)
-        "ccnet_buckets": ccnet_buckets,
-        # never-driver-checked through r3 — take the first-50 slots of
-        # apm_counts / apm_counts_concat (both green r1-r3)
-        "bm25f_true_topk": bm25f_true_topk,
-        "top_hits_per_lang": top_hits_per_lang,
-        # new in this session: whole-term regexp term queries — take the
-        # first-50 slots of prefix_stats/prefix_topk (green r3; same
-        # expansion family, so the shared machinery stays driver-covered)
-        "regexp_stats": regexp_stats,
-        # never-driver-checked through r3 — take the first-50 slots of
-        # bm25_topk_boolfiltered / bm25_topk_rangefiltered (green r3)
-        "bigram_logperp": bigram_logperp,
-        "phrase_suggest": phrase_suggest,
-        # new in this session: Dirichlet query-likelihood ranking — takes
-        # the first-50 slot of fuzzy_topk (green r3; the fuzzy family stays
-        # covered by fuzzy_term_stats' r3 row)
-        "ql_topk": ql_topk,
-        # never-driver-checked through r3 — takes the freed slot from the
-        # net -1 of the bpe/nb swap block above
-        "index_stats": index_stats,
-        # --- never-driver-checked through r3, oracle-gated (VERDICT item 1)
-        "dup_span_edited": dup_span_edited,
-        "proximity_search": proximity,
-        "regex_counts_indexed": regex_counts_indexed,
-        "token_budget_mix": token_budget_mix,
-        "doc_chunks": doc_chunks,
-        "pack_sequences": pack_sequences,
-        # new this round: PMI collocations — takes the first-50 slot of
-        # curated_corpus (green r2/r3; moved to the tail)
-        "collocations": collocations_q,
-        # newly SQL-gated in r4 (recall-exact shingle-bucket config) —
-        # needs a first-50 slot for its first driver-verified row
-        "near_dedup": near_dedup,
-        # new in r4: connected-components dup clusters — takes the first-50
-        # slot of dedup_filter (green r3) so it gets a driver row at once
-        "dup_clusters": dup_clusters,
-        # --- never-driver-checked through r3 (SQL-gated in r4) ---
-        "kmeans_clusters": kmeans_clusters,
-        "hybrid_topk": hybrid_topk,
-        "doc_clusters": doc_clusters,
-        # new in r4: SemDeDup cluster-then-dedup — takes the first-50 slot
-        # of top_terms_nostop (green r2+r3) so it gets a driver row at once
-        "semantic_dedup": semantic_dedup,
-        # ---------------- position 51+ (driver budget permitting) ---------
-        # ROUND-5 ROTATION NOTE: the 14 session additions below
-        # (funnel_steps .. retention_weekly) are oracle-gated and
-        # crosschecked at sf0.001+sf0.01 but have no driver row yet —
-        # next round, swap them into the first 50, displacing entries
-        # that will then hold fresh r4 driver rows.
-        # new in r5, position 51+ (the window is full of first-row
-        # candidates); crosscheck gates them every session
+        # The driver evaluates the FIRST 50 entries. ROUND-5 ROTATION
+        # (VERDICT r4 item 2): the 26 entries below had never held a
+        # driver correctness row (added at position 51+ in r4, judge-
+        # crosschecked green at sf0.001) — they now take the first slots,
+        # displacing 26 entries that hold fresh r4 green rows (moved to
+        # position 51+ below).
         "explain_scores": explain_scores,
         "source_overlap": source_overlap,
-        # new in r4: ordered span-near (Lucene span_near in_order=true),
-        # the ordered sibling of proximity_search (which holds a first-50
-        # slot for the shared positional machinery)
         "span_near": span_near,
-        # new this session: ordered funnel analysis over the events stream —
-        # the event-stream transplant of span_near's greedy-chain argument
         "funnel_steps": funnel_steps,
-        # new this session: RM3 pseudo-relevance-feedback expansion — a
-        # second full ranking mode (feedback + weighted-TAAT second pass)
         "rm3_topk": rm3_topk,
-        # new this session: termvectors API (bounded doc-addressed stats)
         "term_vectors": term_vectors_q,
-        # new this session: match_phrase_prefix (search-as-you-type)
         "phrase_prefix_counts": phrase_prefix_counts,
-        # new this session: percentile_ranks aggregation (+ per-type)
         "adjacency_matrix": adjacency_matrix_q,
         "embedding_matrix_stats": embedding_matrix_stats,
         "string_stats": string_stats_q,
@@ -2348,35 +2255,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms": rare_terms_q,
         "percentile_ranks": pct_ranks,
         "percentile_ranks_by_type": pct_ranks_by_type,
-        # new this session: index split (reshard, ES split analog) serving
-        # bit-identical results — gated against the plain BM25 twin
         "bm25_topk_resharded": bm25_topk_resharded,
-        # second readout of the nb prediction artifact (its per-doc sibling
-        # holds the first-50 slot)
         "nb_confusion": nb_confusion,
-        # displaced from the first 50 this session (siblings cover the
-        # machinery: wildcard_stats / regexp_stats rows + prefix_topk r3)
         "wildcard_topk": wildcard_topk,
         "regexp_topk": regexp_topk,
-        "bm25_topk": bm25_topk,  # green r1/r2/r3
-        "ann_hard_negatives": ann_hard_negatives,  # green r3
-        "ann_lsh_topk": ann_lsh,  # green r3
-        "ann_ivf_topk": ann_ivf,  # green r3
-        "apm_counts": apm_counts,  # green r1-r3
-        "apm_counts_concat": apm_counts_concat,  # green r1-r3
-        "bm25_topk_boolfiltered": bm25_topk_boolfiltered,  # green r3
-        "bm25_topk_rangefiltered": bm25_topk_rangefiltered,  # green r3
-        "embedding_dup_pairs": embedding_dup_pairs,  # green r1/r2/r3
-        "bm25_topk_merged": bm25_topk_merged,  # green r2/r3
-        "curated_corpus": curated_corpus,  # green r2/r3
-        "ann_cosine_topk": ann_cosine_topk,  # green r1/r3
+        "dup_cluster_sizes": dup_cluster_sizes,
+        # re-greening candidate: the ONLY red r4 row (driver-side cache
+        # crash, fixed via _cached_artifact atomic-rename + fsck-validated
+        # marker hits) — stays first-50 for its green r5 row
+        "bm25_topk_upserted": bm25_topk_upserted,
+        # keepers (green r4; one per machinery family so every component
+        # keeps a fresh row: negation/subtoken analyzers, CCNet buckets,
+        # fielded+per-lang ranking, regexp expansion, bigram LM (perf fix
+        # this round must stay green), suggesters, QL ranking, index
+        # stats, span dedup, positional search, indexed regex, sampling/
+        # chunk/pack, collocations, near-dup, clustering, hybrid)
+        "bm25_topk_negated": bm25_topk_negated,
+        "bm25_topk_subtoken": bm25_topk_subtoken,
+        "ccnet_buckets": ccnet_buckets,
+        "bm25f_true_topk": bm25f_true_topk,
+        "top_hits_per_lang": top_hits_per_lang,
+        "regexp_stats": regexp_stats,
+        "bigram_logperp": bigram_logperp,
+        "phrase_suggest": phrase_suggest,
+        "ql_topk": ql_topk,
+        "index_stats": index_stats,
+        "dup_span_edited": dup_span_edited,
+        "proximity_search": proximity,
+        "regex_counts_indexed": regex_counts_indexed,
+        "token_budget_mix": token_budget_mix,
+        "doc_chunks": doc_chunks,
+        "pack_sequences": pack_sequences,
+        "collocations": collocations_q,
+        "near_dedup": near_dedup,
+        "dup_clusters": dup_clusters,
+        "kmeans_clusters": kmeans_clusters,
+        "hybrid_topk": hybrid_topk,
+        "doc_clusters": doc_clusters,
+        "semantic_dedup": semantic_dedup,
+        # ---------------- position 51+ (driver budget permitting) ---------
+        # displaced this round — all hold green r4 driver rows
+        "bpe_merges": bpe_merges,
+        "bpe_token_counts": bpe_token_counts,
+        "nb_lang_predict": nb_lang_predict,
+        "rank_eval_bm25": rank_eval_bm25,
+        "substring_counts": substring_counts,
+        "heavy_hitters": heavy_hitters,
+        "ann_filtered_topk": ann_filtered,
+        "significant_terms": significant_terms_q,
+        "bm25_topk_rescored": bm25_topk_rescored,
+        "bm25_topk_page2": bm25_topk_page2,
+        "bm25_topk_federated": bm25_topk_federated,
+        "stratified_sample": stratified_sample,
+        "bm25_topk_deleted": bm25_topk_deleted,
+        "bm25_topk_compacted": bm25_topk_compacted,
+        "bm25f_topk": bm25f_topk,
+        "dismax_topk": dismax_topk,
+        "bm25_topk_msm": bm25_topk_msm,
+        "search_facet_lang": search_facet_lang,
+        "bm25_topk_boosted": bm25_topk_boosted,
+        "bm25_topk_mmr": bm25_topk_mmr,
+        "incremental_dedup": incremental_dedup,
+        "percolate_matches": percolate_matches,
+        "bm25_topk_collapsed": bm25_topk_collapsed,
+        "dsir_weights": dsir_weights,
+        "wildcard_stats": wildcard_stats,
+        "bm25_topk_routed": bm25_topk_routed,
+        # multi-round-green tail (unchanged relative order)
+        "bm25_topk": bm25_topk,
+        "ann_hard_negatives": ann_hard_negatives,
+        "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": ann_ivf,
+        "apm_counts": apm_counts,
+        "apm_counts_concat": apm_counts_concat,
+        "bm25_topk_boolfiltered": bm25_topk_boolfiltered,
+        "bm25_topk_rangefiltered": bm25_topk_rangefiltered,
+        "embedding_dup_pairs": embedding_dup_pairs,
+        "bm25_topk_merged": bm25_topk_merged,
+        "curated_corpus": curated_corpus,
+        "ann_cosine_topk": ann_cosine_topk,
         "prefix_stats": prefix_stats,
         "prefix_topk": prefix_topk,
         "dedup_filter": dedup_filter,
         "range_join_1h": range_join_1h,
         "tpch_q3": tpch_q3,
         "exact_dedup": exact_dedup,
-        "dup_cluster_sizes": dup_cluster_sizes,
         "sessionize_30m": sessionize_30m,
         "revenue_by_nation": revenue_by_nation,
         "bm25_topk_wand": bm25_topk_wand,
@@ -2430,7 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top20": bigram_top20,
         "distinct_terms_kmv": distinct_terms_kmv,
         "top_docs_lang": top_docs_lang,
-        "top_terms": top_terms,  # 3 sibling dictionary queries stay in the first 50
+        "top_terms": top_terms,
         # rows-only (no SQL oracle) — deliberately last
         "media_features": media_features,
     }
