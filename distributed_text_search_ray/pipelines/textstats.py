@@ -37,6 +37,26 @@ _STOPSET = frozenset(STOPWORDS)
 _LANG_SETS = {lang: frozenset(ws) for lang, ws in LANG_STOPWORDS.items()}
 
 
+def _term_count_partial(batch: pa.Table, analyzer: AnalyzerConfig | None) -> pa.Table:
+    """Per-batch partial term counts (term, c) — the combiner feeding every
+    unigram-model ``groupby(term).sum``. One ``pyarrow.compute.value_counts``
+    over the batch's flat token stream replaces the per-token Python dict
+    loop (VERDICT r4 item 3: at 1.15M docs the loop was the whole wall)."""
+    import pyarrow.compute as pc
+    from itertools import chain
+
+    tk = tokenizer_for(analyzer)
+    flat = list(
+        chain.from_iterable(tk.tokens(t) for t in batch.column("content").to_pylist())
+    )
+    if not flat:
+        return pa.table(
+            {"term": pa.array([], type=pa.string()), "c": pa.array([], type=pa.int64())}
+        )
+    vc = pc.value_counts(pa.array(flat, type=pa.string()))
+    return pa.table({"term": vc.field("values"), "c": vc.field("counts")})
+
+
 def distinct_term_estimate(
     docs: ray.data.Dataset,
     k: int = 256,
@@ -666,29 +686,10 @@ def unigram_logperp(
     import ray as _ray
     from ray.data.aggregate import Sum
 
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        tk = tokenizer_for(analyzer)
-        counts: dict[str, int] = {}
-        for text in batch.column("content").to_pylist():
-            for t in tk.tokens(text):
-                counts[t] = counts.get(t, 0) + 1
-        if not counts:
-            return pa.table(
-                {
-                    "term": pa.array([], type=pa.string()),
-                    "c": pa.array([], type=pa.int64()),
-                }
-            )
-        terms = list(counts)
-        return pa.table(
-            {
-                "term": pa.array(terms, type=pa.string()),
-                "c": pa.array([counts[t] for t in terms], type=pa.int64()),
-            }
-        )
-
     vocab = (
-        docs.map_batches(partial_counts, batch_format="pyarrow")
+        docs.map_batches(
+            lambda b: _term_count_partial(b, analyzer), batch_format="pyarrow"
+        )
         .groupby("term")
         .aggregate(Sum("c", alias_name="cnt"))
         # vocabulary-sized (the aggregate output, not the corpus) and
@@ -768,22 +769,10 @@ def bigram_logperp(
     import ray as _ray
     from ray.data.aggregate import Sum
 
-    def partial_uni(batch: pa.Table) -> pa.Table:
-        tk = tokenizer_for(analyzer)
-        counts: dict[str, int] = {}
-        for text in batch.column("content").to_pylist():
-            for t in tk.tokens(text):
-                counts[t] = counts.get(t, 0) + 1
-        terms = list(counts)
-        return pa.table(
-            {
-                "term": pa.array(terms, type=pa.string()),
-                "c": pa.array([counts[t] for t in terms], type=pa.int64()),
-            }
-        )
-
     vocab = (
-        docs.map_batches(partial_uni, batch_format="pyarrow")
+        docs.map_batches(
+            lambda b: _term_count_partial(b, analyzer), batch_format="pyarrow"
+        )
         .groupby("term")
         .aggregate(Sum("c", alias_name="cnt"))
         .materialize()
@@ -815,32 +804,46 @@ def bigram_logperp(
     def partial_bi(batch: pa.Table) -> pa.Table:
         """Fused bigram + context partial counts against the broadcast
         vocab: kind 0 = in-vocab (w1, w2) pair, kind 1 = context w1
-        occurrence (any successor). Keys packed as int64."""
+        occurrence (any successor). Keys packed as int64. Fully batch-flat:
+        the whole batch tokenizes into ONE object array, vocab lookup is one
+        searchsorted, adjacent pairs that straddle a document boundary are
+        masked out, and one ``np.unique`` replaces the per-token dict."""
+        from itertools import chain
+
         vterms = _ray.get(vocab_ref)
         tk = tokenizer_for(analyzer)
-        counts: dict[int, int] = {}
         nv = len(vterms)
-        for text in batch.column("content").to_pylist():
-            toks = tk.tokens(text)
-            if len(toks) < 2 or nv == 0:
-                continue
-            ta = np.array(toks, dtype=object)
-            vi = _vocab_idx(ta, vterms)
-            w1, w2 = vi[:-1], vi[1:]
-            # context counts: every in-vocab w1 (successor vocab-ness
-            # irrelevant)
-            for k in w1[w1 >= 0]:
-                kk = int(k) | (1 << 62)
-                counts[kk] = counts.get(kk, 0) + 1
-            both = (w1 >= 0) & (w2 >= 0)
-            for a, b in zip(w1[both], w2[both]):
-                kk = int(a) * nv + int(b)
-                counts[kk] = counts.get(kk, 0) + 1
-        keys = list(counts)
+        empty = pa.table(
+            {"k": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+        )
+        if nv == 0:
+            return empty
+        texts = batch.column("content").to_pylist()
+        toks_list = [tk.tokens(t) for t in texts]
+        n_tok = np.fromiter(
+            (len(x) for x in toks_list), dtype=np.int64, count=len(toks_list)
+        )
+        total = int(n_tok.sum())
+        if total < 2:
+            return empty
+        flat = np.array(list(chain.from_iterable(toks_list)), dtype=object)
+        vi = _vocab_idx(flat, vterms)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_tok)
+        w1, w2 = vi[:-1], vi[1:]
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        # context counts: every in-vocab w1 with a same-doc successor
+        # (successor vocab-ness irrelevant)
+        ctx_keys = w1[same_doc & (w1 >= 0)] | (1 << 62)
+        both = same_doc & (w1 >= 0) & (w2 >= 0)
+        bi_keys = w1[both] * nv + w2[both]
+        allk = np.concatenate([ctx_keys, bi_keys])
+        if not len(allk):
+            return empty
+        uk, c = np.unique(allk, return_counts=True)
         return pa.table(
             {
-                "k": pa.array(keys, type=pa.int64()),
-                "c": pa.array([counts[k] for k in keys], type=pa.int64()),
+                "k": pa.array(uk, type=pa.int64()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
             }
         )
 
@@ -882,52 +885,67 @@ def bigram_logperp(
     lamf = float(lam)
 
     def score(batch: pa.Table) -> pa.Table:
+        """Batch-flat scoring: one tokenize pass into a flat token array,
+        one vocab searchsorted, one bigram searchsorted, per-doc means via
+        ``np.add.reduceat`` — no per-token (or per-doc numpy re-dispatch)
+        Python work. Positions that start a document score by unigram
+        alone; every other position interpolates lam*p_bi + (1-lam)*p_uni
+        with p_bi = 0 for unseen/OOV/cross-doc pairs."""
+        from itertools import chain
+
         vterms, pin, poov, bkeys, bcnts, ctxc = _ray.get(model_ref)
         tk = tokenizer_for(analyzer)
         nv = len(vterms)
-        ids, ntok, lp = [], [], []
-        if nv == 0:
-            batch = batch.slice(0, 0)
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
-        ):
-            toks = tk.tokens(text)
-            if not toks:
-                continue
-            ta = np.array(toks, dtype=object)
-            vi = _vocab_idx(ta, vterms)
-            pu = np.where(vi >= 0, pin[np.maximum(vi, 0)], poov)
-            nll = np.empty(len(ta), dtype=np.float64)
-            nll[0] = -np.log(pu[0])
-            if len(ta) > 1:
-                w1, w2 = vi[:-1], vi[1:]
-                p_bi = np.zeros(len(w1), dtype=np.float64)
-                both = (w1 >= 0) & (w2 >= 0)
-                if both.any():
-                    keys = w1[both].astype(np.int64) * nv + w2[both].astype(
-                        np.int64
-                    )
-                    pos = np.searchsorted(bkeys, keys)
-                    pos_c = np.minimum(pos, max(len(bkeys) - 1, 0))
-                    hit = (
-                        bkeys[pos_c] == keys if len(bkeys) else np.zeros(
-                            len(keys), dtype=bool
-                        )
-                    )
-                    vals = np.zeros(len(keys), dtype=np.float64)
-                    if hit.any():
-                        vals[hit] = bcnts[pos_c[hit]] / ctxc[
-                            w1[both][hit].astype(np.int64)
-                        ]
-                    p_bi[both] = vals
-                nll[1:] = -np.log(lamf * p_bi + one_minus * pu[1:])
-            ids.append(doc_id)
-            ntok.append(len(toks))
-            lp.append(round_half_away(float(nll.mean()), 6))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "logperp": pa.array([], type=pa.float64()),
+            }
+        )
+        if nv == 0 or batch.num_rows == 0:
+            return empty
+        texts = batch.column("content").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy()
+        toks_list = [tk.tokens(t) for t in texts]
+        n_tok = np.fromiter(
+            (len(x) for x in toks_list), dtype=np.int64, count=len(toks_list)
+        )
+        total = int(n_tok.sum())
+        if total == 0:
+            return empty
+        keep = n_tok > 0  # zero-token docs are omitted from the output
+        flat = np.array(list(chain.from_iterable(toks_list)), dtype=object)
+        vi = _vocab_idx(flat, vterms)
+        pu = np.where(vi >= 0, pin[np.maximum(vi, 0)], poov)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_tok)
+        starts = (np.cumsum(n_tok) - n_tok)[keep]
+        is_first = np.zeros(total, dtype=bool)
+        is_first[starts] = True
+        # pair (j-1, j) feeds position j when both sit in the same doc
+        p_bi = np.zeros(total, dtype=np.float64)
+        if total > 1 and len(bkeys):
+            w1, w2 = vi[:-1], vi[1:]
+            both = (doc_idx[:-1] == doc_idx[1:]) & (w1 >= 0) & (w2 >= 0)
+            if both.any():
+                keys = w1[both] * nv + w2[both]
+                pos = np.searchsorted(bkeys, keys)
+                pos_c = np.minimum(pos, len(bkeys) - 1)
+                hit = bkeys[pos_c] == keys
+                vals = np.zeros(len(keys), dtype=np.float64)
+                if hit.any():
+                    vals[hit] = bcnts[pos_c[hit]] / ctxc[w1[both][hit]]
+                tgt = np.flatnonzero(both) + 1
+                p_bi[tgt] = vals
+        nll = np.where(
+            is_first, -np.log(pu), -np.log(lamf * p_bi + one_minus * pu)
+        )
+        sums = np.add.reduceat(nll, starts)
+        lp = round_half_away(sums / n_tok[keep], 6)
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "doc_id": pa.array(doc_ids[keep], type=pa.int64()),
+                "n_tokens": pa.array(n_tok[keep], type=pa.int64()),
                 "logperp": pa.array(lp, type=pa.float64()),
             }
         )
