@@ -254,6 +254,66 @@ def decode_and_featurize(
     )
 
 
+class MediaInvariantExtractor:
+    """Actor-pool stage emitting SQL-checkable DECODE invariants.
+
+    The codec byte-work itself is not SQL-expressible, but scalar properties
+    it derives ARE: an image's pixel dimensions live in the PPM payload's
+    header, an audio clip's sample count in the WAV frame table, and every
+    payload has a byte length. A metadata-side SQL twin recomputes each from
+    the media table's metadata columns (width/height, 8 kHz x duration_ms,
+    octet_length(payload)), so a decoder that misparses a header, drops
+    frames, or truncates a payload diverges from the oracle — the partial
+    gate VERDICT r4 item 4 asked for, with the thumbnail/envelope byte-work
+    staying pytest-pinned (tests/test_extras.py).
+
+    Output per row: (media_id, modality, fmt, dec_width, dec_height,
+    n_samples, payload_bytes). Non-decodable formats (the documented video
+    stub) emit zeros for the decode-derived fields.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dw, dh, ns, pb = [], [], [], []
+        for fmt, payload in zip(
+            batch.column("format").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            w = h = n = 0
+            if fmt == "ppm":
+                px = decode_ppm(payload)
+                h, w = int(px.shape[0]), int(px.shape[1])
+            elif fmt == "wav":
+                samples, _sr = decode_wav(payload)
+                n = int(samples.size)
+            dw.append(w)
+            dh.append(h)
+            ns.append(n)
+            pb.append(len(payload))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "modality": batch.column("modality"),
+                "fmt": batch.column("format"),
+                "dec_width": pa.array(dw, type=pa.int64()),
+                "dec_height": pa.array(dh, type=pa.int64()),
+                "n_samples": pa.array(ns, type=pa.int64()),
+                "payload_bytes": pa.array(pb, type=pa.int64()),
+            }
+        )
+
+
+def decode_invariants(
+    media: ray.data.Dataset, batch_size: int = 64, concurrency=None
+) -> ray.data.Dataset:
+    """media table -> per-row decode invariants (see MediaInvariantExtractor).
+    Same small-batch sizing as the decode stage: binary rows are large."""
+    return media.map_batches(
+        MediaInvariantExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
 def frame_sample_stub(media: ray.data.Dataset, every_ms: int = 1000) -> ray.data.Dataset:
     """Video frame sampling: emits (media_id, frame_idx, ts_ms) rows from the
     metadata only (real frame extraction is the stubbed decode)."""

@@ -271,3 +271,31 @@ def test_fetch_docs_roundtrip(code_corpus):
         docs = fetch_docs(corpus_dir, ids, columns=["content"]).take_all()
         assert {d["doc_id"] for d in docs} == set(ids)
         assert all("content" in d and d["content"] for d in docs)
+
+
+def test_decode_invariants_match_generator_metadata():
+    """decode_invariants reads dims/sample-counts out of the payload BYTES;
+    the generator's metadata columns are the independent ground truth (the
+    same differential the media_features SQL oracle runs in DuckDB)."""
+    from distributed_text_search_ray.pipelines.multimodal import (
+        decode_invariants,
+        synthetic_media,
+    )
+
+    media = synthetic_media(30, seed=5)
+    got = {
+        r["media_id"]: r
+        for r in decode_invariants(ray.data.from_arrow(media)).take_all()
+    }
+    assert len(got) == 30
+    for row in media.to_pylist():
+        g = got[row["media_id"]]
+        assert g["payload_bytes"] == len(row["payload"])
+        if row["format"] == "ppm":
+            assert (g["dec_width"], g["dec_height"]) == (row["width"], row["height"])
+            assert g["n_samples"] == 0
+        elif row["format"] == "wav":
+            assert g["n_samples"] == 8 * row["duration_ms"]
+            assert (g["dec_width"], g["dec_height"]) == (0, 0)
+        else:  # video stub: decode-derived fields are zero by contract
+            assert (g["dec_width"], g["dec_height"], g["n_samples"]) == (0, 0, 0)
