@@ -46,6 +46,22 @@ def _scan_tile(
     return windowed_match_counts_multi([sub], chunk, owned=[owned_len], tails=[is_final])
 
 
+def _local_result_dataset(tbl: pa.Table) -> ray.data.Dataset:
+    """Materialized single-block Dataset built WITHOUT remote calls.
+
+    ``ray.data.from_arrow`` launches a remote metadata task; immediately
+    after the tile burst has cycled every CPU lease, that one task waits
+    ~0.3 s for a worker grant — 5x the whole scan at the reference's
+    interactive scales (measured on the L100 head-to-head shape:
+    0.33 s -> 0.07 s end to end). ``from_blocks`` computes metadata
+    locally and only ``ray.put``s the block, so the result wrap stays
+    off the task scheduler entirely."""
+    try:
+        return ray.data.from_blocks([tbl])
+    except Exception:  # future Ray versions: fall back to the public path
+        return ray.data.from_arrow(tbl)
+
+
 class ApmScan:
     """Actor-pool stage: patterns held once per actor (the broadcast side)."""
 
@@ -174,7 +190,7 @@ def windowed_match_counts(
                 e = min(n, s + seg_chars)
                 segments.append((di, s, e - s, e == n))
         if not segments or not pats:  # empty corpus or empty pattern set
-            return ray.data.from_arrow(
+            return _local_result_dataset(
                 pa.table(
                     {
                         "query_id": pa.array([q for q, _, _ in pats], type=pa.int64()),
@@ -198,7 +214,7 @@ def windowed_match_counts(
         for part in _ray.get(refs):
             for q, c in part.items():
                 out[q] += c
-        return ray.data.from_arrow(
+        return _local_result_dataset(
             pa.table(
                 {
                     "query_id": pa.array([q for q, _, _ in pats], type=pa.int64()),
