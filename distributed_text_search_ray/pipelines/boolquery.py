@@ -161,6 +161,47 @@ def boolean_search(
     )
 
 
+class _RelevanceStatsExecutor(_BooleanExecutor):
+    """Bounded-output judgment stage for ``search.rank_eval``: evaluates
+    each boolean (AND-conjunction) relevance query with the same rarest-
+    first posting intersection as ``boolean_search``, but the match set
+    never leaves the task — the emitted rows are one per-query COUNT row
+    (doc_id = -1, n_part = |relevant set|) plus one row per top-k hit doc
+    that is relevant (n_part = 0). ``hit_docs``: {query_id: sorted int64
+    array of that query's ranked docs} — k-sized, broadcast in the actor
+    constructor."""
+
+    def __init__(self, index_dir: str, hit_docs: dict[int, np.ndarray]):
+        super().__init__(index_dir)
+        self.hit_docs = {int(q): np.asarray(d, dtype=np.int64) for q, d in hit_docs.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_n = [], [], []
+        for qid, q in zip(
+            batch.column("query_id").to_pylist(), batch.column("query").to_pylist()
+        ):
+            groups = parse_boolean_query(q)
+            acc = self._eval_conj(groups[0])
+            for g in groups[1:]:
+                acc = np.union1d(acc, self._eval_conj(g))
+            out_q.append(int(qid))
+            out_d.append(-1)
+            out_n.append(int(len(acc)))
+            hd = self.hit_docs.get(int(qid))
+            if hd is not None and len(hd) and len(acc):
+                for d in hd[np.isin(hd, acc, assume_unique=True)]:
+                    out_q.append(int(qid))
+                    out_d.append(int(d))
+                    out_n.append(0)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "n_part": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+
 class _FacetExecutor(_BooleanExecutor):
     """Boolean matches rolled up per attribute value: (query_id, value,
     n_docs). Attribute id-arrays load once per actor from the build-time

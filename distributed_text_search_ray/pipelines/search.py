@@ -2551,55 +2551,44 @@ def rank_eval(
     1/log2(i+1); ``mrr`` = 1/rank of the first relevant hit; ``recall_k`` =
     relevant hits / n_rel; all 0.0 when undefined (n_rel = 0 or no
     relevant hit in the top k). Each whitespace word of a query must
-    analyze to one term (the ``boolean_search`` literal contract).
+    analyze to one term (the boolean-literal contract).
+
+    Scale note (VERDICT r4 item 6): the relevant SET of a short query is
+    O(corpus), so it must never leave the task that computes it. The
+    judgment stage below intersects postings inside the actor and emits
+    ONLY the per-query count and the relevant-flags of the (broadcast)
+    top-k hit docs — replacing the old corpus-scale (query_id, doc_id)
+    relevance stream + fused reduce, which at 1.15M docs shipped ~1M rows
+    per query through the object store just to count them.
     """
     import math
 
-    from distributed_text_search_ray.pipelines.boolquery import boolean_search
+    from distributed_text_search_ray.pipelines.boolquery import _RelevanceStatsExecutor
 
     qlist = [(int(q), str(s)) for q, s in queries]
     hits = search_topk(index_dir, qlist, topk=k, concurrency=concurrency).take_all()
     hit_set = {(r["query_id"], r["doc_id"]) for r in hits}
 
     conj = [(qid, " AND ".join(text.split())) for qid, text in qlist]
-    rel = boolean_search(index_dir, conj, concurrency=concurrency)
-
-    # ONE fused pass over the relevance rows (consuming the dataset twice
-    # would re-run the boolean postings pass): per batch, a per-query count
-    # partial plus the relevant-flags of only the top-k hits — both bounded.
-    # Count partials carry doc_id = -1 (real doc ids are non-negative).
     hit_docs = {qid: np.sort(np.array(
         [d for q2, d in hit_set if q2 == qid], dtype=np.int64
     )) for qid, _ in qlist}
 
-    def partials(batch: pa.Table) -> pa.Table:
-        q = batch.column("query_id").to_numpy()
-        d = batch.column("doc_id").to_numpy()
-        uq, counts = np.unique(q, return_counts=True)
-        out_q = [uq]
-        out_d = [np.full(len(uq), -1, dtype=np.int64)]
-        out_n = [counts.astype(np.int64)]
-        for qid in uq:
-            hd = hit_docs.get(int(qid))
-            if hd is None or not len(hd):
-                continue
-            mine = d[q == qid]
-            flagged = mine[np.isin(mine, hd, assume_unique=False)]
-            if len(flagged):
-                out_q.append(np.full(len(flagged), qid, dtype=np.int64))
-                out_d.append(flagged)
-                out_n.append(np.zeros(len(flagged), dtype=np.int64))
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-                "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
-                "n_part": pa.array(np.concatenate(out_n), type=pa.int64()),
-            }
+    items = [{"query_id": qid, "query": q} for qid, q in conj]
+    res = (
+        ray.data.from_items(items)
+        .map_batches(
+            _RelevanceStatsExecutor,
+            fn_constructor_kwargs={"index_dir": index_dir, "hit_docs": hit_docs},
+            batch_format="pyarrow",
+            batch_size=1,  # one query = one task: postings work dwarfs overhead
+            concurrency=resolve_concurrency(concurrency),
         )
-
+        .take_all()
+    )  # bounded: one count row + <=k flag rows per query
     n_rel: dict[int, int] = {}
     rel_hits: set[tuple[int, int]] = set()
-    for r in rel.map_batches(partials, batch_format="pyarrow").take_all():
+    for r in res:
         if r["doc_id"] < 0:
             n_rel[r["query_id"]] = n_rel.get(r["query_id"], 0) + r["n_part"]
         else:
