@@ -37,6 +37,37 @@ _STOPSET = frozenset(STOPWORDS)
 _LANG_SETS = {lang: frozenset(ws) for lang, ws in LANG_STOPWORDS.items()}
 
 
+def _flat_vocab_indices(
+    toks_list: list[list[str]], vterms: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten per-doc token lists and map every token to its index in the
+    SORTED vocab array (-1 for OOV). Returns (vi, n_tok): ``vi`` is the
+    flat int64 index stream, ``n_tok`` the per-doc token counts.
+
+    One Arrow ``dictionary_encode`` (C) + one searchsorted over the batch's
+    DISTINCT terms only. ``np.searchsorted`` over object-dtype string
+    arrays compares in the interpreter — per-token that was ~10x the rest
+    of the bigram pipeline at 1.15M docs (138M tokens); per-distinct-term
+    it is ~vocab_size comparisons per batch."""
+    from itertools import chain
+
+    n_tok = np.fromiter(
+        (len(x) for x in toks_list), dtype=np.int64, count=len(toks_list)
+    )
+    total = int(n_tok.sum())
+    if total == 0 or len(vterms) == 0:
+        return np.full(total, -1, dtype=np.int64), n_tok
+    enc = pa.array(
+        list(chain.from_iterable(toks_list)), type=pa.string()
+    ).dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    dterms = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    pos = np.searchsorted(vterms, dterms)
+    pos_c = np.minimum(pos, len(vterms) - 1)
+    dict_vi = np.where(vterms[pos_c] == dterms, pos_c, -1)
+    return dict_vi[codes], n_tok
+
+
 def _term_count_partial(batch: pa.Table, analyzer: AnalyzerConfig | None) -> pa.Table:
     """Per-batch partial term counts (term, c) — the combiner feeding every
     unigram-model ``groupby(term).sum``. One ``pyarrow.compute.value_counts``
@@ -709,29 +740,33 @@ def unigram_logperp(
     model_ref = _ray.put((top_terms, nll_in, nll_oov))
 
     def score(batch: pa.Table) -> pa.Table:
+        """Batch-flat: one tokenize pass, one dictionary-encoded vocab
+        lookup (`_flat_vocab_indices`), per-doc means via np.add.reduceat."""
         terms, nll, oov_nll = _ray.get(model_ref)
         tk = tokenizer_for(analyzer)
-        ids, ntok, lp = [], [], []
-        if len(terms) == 0:  # empty corpus -> no scorable docs
-            batch = batch.slice(0, 0)
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("content").to_pylist()
-        ):
-            toks = tk.tokens(text)
-            if not toks:
-                continue
-            ta = np.array(toks, dtype=object)
-            pos = np.searchsorted(terms, ta)
-            pos_c = np.minimum(pos, len(terms) - 1)
-            in_vocab = terms[pos_c] == ta
-            vals = np.where(in_vocab, nll[pos_c], oov_nll)
-            ids.append(doc_id)
-            ntok.append(len(toks))
-            lp.append(round_half_away(float(vals.mean()), 6))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "logperp": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(terms) == 0 or batch.num_rows == 0:
+            return empty
+        toks_list = [tk.tokens(t) for t in batch.column("content").to_pylist()]
+        vi, n_tok = _flat_vocab_indices(toks_list, terms)
+        if not len(vi):
+            return empty
+        keep = n_tok > 0  # zero-token docs are omitted
+        vals = np.where(vi >= 0, nll[np.maximum(vi, 0)], oov_nll)
+        starts = (np.cumsum(n_tok) - n_tok)[keep]
+        lp = round_half_away(np.add.reduceat(vals, starts) / n_tok[keep], 6)
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "doc_id": pa.array(
+                    batch.column("doc_id").to_numpy()[keep], type=pa.int64()
+                ),
+                "n_tokens": pa.array(n_tok[keep], type=pa.int64()),
                 "logperp": pa.array(lp, type=pa.float64()),
             }
         )
@@ -794,13 +829,6 @@ def bigram_logperp(
     vocab_ref = _ray.put(terms)
     V = len(terms)
 
-    def _vocab_idx(toks: np.ndarray, vterms: np.ndarray) -> np.ndarray:
-        """Index into vterms, or -1 for OOV."""
-        pos = np.searchsorted(vterms, toks)
-        pos_c = np.minimum(pos, len(vterms) - 1)
-        ok = vterms[pos_c] == toks
-        return np.where(ok, pos_c, -1)
-
     def partial_bi(batch: pa.Table) -> pa.Table:
         """Fused bigram + context partial counts against the broadcast
         vocab: kind 0 = in-vocab (w1, w2) pair, kind 1 = context w1
@@ -808,26 +836,24 @@ def bigram_logperp(
         the whole batch tokenizes into ONE object array, vocab lookup is one
         searchsorted, adjacent pairs that straddle a document boundary are
         masked out, and one ``np.unique`` replaces the per-token dict."""
-        from itertools import chain
-
         vterms = _ray.get(vocab_ref)
         tk = tokenizer_for(analyzer)
         nv = len(vterms)
         empty = pa.table(
-            {"k": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+            {
+                "cg": pa.array([], type=pa.int64()),
+                "k": pa.array([], type=pa.int64()),
+                "c": pa.array([], type=pa.int64()),
+            }
         )
         if nv == 0:
             return empty
         texts = batch.column("content").to_pylist()
         toks_list = [tk.tokens(t) for t in texts]
-        n_tok = np.fromiter(
-            (len(x) for x in toks_list), dtype=np.int64, count=len(toks_list)
-        )
+        vi, n_tok = _flat_vocab_indices(toks_list, vterms)
         total = int(n_tok.sum())
         if total < 2:
             return empty
-        flat = np.array(list(chain.from_iterable(toks_list)), dtype=object)
-        vi = _vocab_idx(flat, vterms)
         doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_tok)
         w1, w2 = vi[:-1], vi[1:]
         same_doc = doc_idx[:-1] == doc_idx[1:]
@@ -842,18 +868,49 @@ def bigram_logperp(
         uk, c = np.unique(allk, return_counts=True)
         return pa.table(
             {
+                # 64 coarse hash groups: every packed key lives in exactly
+                # one, so per-group exact reduce + per-group top-B contains
+                # the global top-B (the collocations idiom). A flat
+                # groupby(k) here fed ~49M partial rows with 3.4M distinct
+                # keys into Ray's aggregate at 1.15M docs — 120 s of the
+                # 150 s wall; the coarse shuffle is 64-valued.
+                "cg": pa.array((uk * 0x9E3779B1) % 64, type=pa.int64()),
                 "k": pa.array(uk, type=pa.int64()),
                 "c": pa.array(c.astype(np.int64), type=pa.int64()),
             }
         )
 
-    bi_counts = (
-        docs.map_batches(partial_bi, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Sum("c", alias_name="cnt"))
-        .materialize()
-    )
     _CTX_BIT = 1 << 62
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        """Exact per-group key sums, then keep every ctx row (bounded at V
+        per corpus) + the group's local (cnt desc, k asc) top-B bigrams."""
+        k = g.column("k").to_numpy()
+        c = g.column("c").to_numpy()
+        order = np.argsort(k, kind="stable")
+        ks, cs = k[order], c[order]
+        uk, starts = np.unique(ks, return_index=True)
+        sums = np.add.reduceat(cs, starts)
+        is_ctx = uk >= _CTX_BIT
+        keep = np.flatnonzero(is_ctx).tolist()
+        bi_idx = np.flatnonzero(~is_ctx)
+        if len(bi_idx) > bigram_size:
+            sel = np.lexsort((uk[bi_idx], -sums[bi_idx]))[:bigram_size]
+            bi_idx = bi_idx[sel]
+        keep_idx = np.concatenate([np.asarray(keep, dtype=np.int64), bi_idx])
+        return pa.table(
+            {
+                "k": pa.array(uk[keep_idx], type=pa.int64()),
+                "cnt": pa.array(sums[keep_idx], type=pa.int64()),
+            }
+        )
+
+    cand = (
+        docs.map_batches(partial_bi, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(reduce_group, batch_format="pyarrow")
+        .materialize()
+    )  # bounded: <= 64 * bigram_size + V rows
 
     def _keep(ctx_side: bool):
         def f(batch: pa.Table) -> pa.Table:
@@ -864,7 +921,7 @@ def bigram_logperp(
         return f
 
     ctx = np.zeros(max(V, 1), dtype=np.float64)
-    ctx_rows = bi_counts.map_batches(
+    ctx_rows = cand.map_batches(
         _keep(True), batch_format="pyarrow"
     ).take_all()  # bounded at V rows
     for r in ctx_rows:
@@ -872,7 +929,7 @@ def bigram_logperp(
     # top-B bigrams by (count desc, w1 asc, w2 asc) == (cnt desc, key asc)
     # since key = w1 * V + w2 is lexicographic in (w1, w2)
     top_bi = (
-        bi_counts.map_batches(_keep(False), batch_format="pyarrow")
+        cand.map_batches(_keep(False), batch_format="pyarrow")
         .sort(["cnt", "k"], descending=[True, False])
         .limit(bigram_size)
         .take_all()
@@ -891,8 +948,6 @@ def bigram_logperp(
         Python work. Positions that start a document score by unigram
         alone; every other position interpolates lam*p_bi + (1-lam)*p_uni
         with p_bi = 0 for unseen/OOV/cross-doc pairs."""
-        from itertools import chain
-
         vterms, pin, poov, bkeys, bcnts, ctxc = _ray.get(model_ref)
         tk = tokenizer_for(analyzer)
         nv = len(vterms)
@@ -908,15 +963,11 @@ def bigram_logperp(
         texts = batch.column("content").to_pylist()
         doc_ids = batch.column("doc_id").to_numpy()
         toks_list = [tk.tokens(t) for t in texts]
-        n_tok = np.fromiter(
-            (len(x) for x in toks_list), dtype=np.int64, count=len(toks_list)
-        )
+        vi, n_tok = _flat_vocab_indices(toks_list, vterms)
         total = int(n_tok.sum())
         if total == 0:
             return empty
         keep = n_tok > 0  # zero-token docs are omitted from the output
-        flat = np.array(list(chain.from_iterable(toks_list)), dtype=object)
-        vi = _vocab_idx(flat, vterms)
         pu = np.where(vi >= 0, pin[np.maximum(vi, 0)], poov)
         doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_tok)
         starts = (np.cumsum(n_tok) - n_tok)[keep]
