@@ -330,9 +330,13 @@ def _cached_artifact(
             validate_fn(tmp)
     except Exception as e:
         shutil.rmtree(tmp, ignore_errors=True)
+        # keep head AND tail: a RayTaskError prefixes a long remote stack,
+        # so the terminal cause lives at the END of str(e)
+        msg = " ".join(str(e).split())
+        if len(msg) > 360:
+            msg = msg[:120] + " ... " + msg[-240:]
         raise RuntimeError(
-            f"cache build failed for artifact '{name}': "
-            f"{type(e).__name__}: {str(e)[:300]}"
+            f"cache build failed for artifact '{name}': {type(e).__name__}: {msg}"
         ) from None
     os.rename(tmp, out_dir)
     for d in scratch_dirs:
@@ -877,8 +881,15 @@ def _upserted_index_for(sf_dir: str) -> str:
     def changeset(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
         t = t.filter(pa.array(ids % UPSERT_MOD == UPSERT_REM))
+        # the suffix array MUST be typed: on a block where no doc matches
+        # the filter, pa.array([]) infers type null and the join kernel has
+        # no (string, null, string) match — this was the r4 driver red row
+        # (whether such a block exists depends on Ray's dynamic block
+        # splitting, which is why it never reproduced at sf0.001)
         content = pc.binary_join_element_wise(
-            t.column("content"), pa.array([UPSERT_SUFFIX] * len(t)), ""
+            t.column("content"),
+            pa.array([UPSERT_SUFFIX] * len(t), type=pa.string()),
+            "",
         )
         n_chars_type = t.schema.field("n_chars").type
         t = t.drop_columns(["content", "n_chars"])
