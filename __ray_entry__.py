@@ -2260,30 +2260,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         misparses a header or truncates a payload diverges. emb_dim comes
         from the real decode_and_featurize output (list length of the
         embedding), keeping the featurize stage inside the gated path."""
-        import pyarrow.compute as pc
         import ray.data
 
-        from distributed_text_search_ray.pipelines.multimodal import (
-            decode_and_featurize,
-            decode_invariants,
-        )
+        from distributed_text_search_ray.pipelines.multimodal import decode_invariants
 
         media = ray.data.read_parquet(os.path.join(_media_parquet(), "media.parquet"))
-        inv = _collect(decode_invariants(media))
-        emb = _collect(
-            decode_and_featurize(media, fake=True).map_batches(
-                lambda t: pa.table(
-                    {
-                        "media_id": t.column("media_id"),
-                        "emb_dim": pc.cast(
-                            pc.list_value_length(t.column("embedding")), pa.int64()
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-        )
-        return inv.join(emb, keys="media_id").sort_by("media_id")
+        return _collect(
+            decode_invariants(media, fake=True, with_embedding_dim=True)
+        ).sort_by("media_id")
 
     # Ordering is deliberate. The driver evaluates only the FIRST 50 dict
     # entries, so (VERDICT r3 item 1) the entries that had never received a

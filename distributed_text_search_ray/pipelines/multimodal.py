@@ -268,9 +268,18 @@ class MediaInvariantExtractor:
     staying pytest-pinned (tests/test_extras.py).
 
     Output per row: (media_id, modality, fmt, dec_width, dec_height,
-    n_samples, payload_bytes). Non-decodable formats (the documented video
-    stub) emit zeros for the decode-derived fields.
+    n_samples, payload_bytes[, emb_dim]). Non-decodable formats (the
+    documented video stub) emit zeros for the decode-derived fields.
+    ``with_embedding_dim=True`` additionally runs the real decode +
+    featurize stages IN this actor (MediaDecoder thumbnail ->
+    MediaFeatureExtractor embedding) and emits each row's embedding
+    length — one actor pool instead of three plus a join for the gated
+    ``media_features`` readout.
     """
+
+    def __init__(self, fake: bool = False, with_embedding_dim: bool = False):
+        self._dec = MediaDecoder(fake=fake) if with_embedding_dim else None
+        self._feat = MediaFeatureExtractor() if with_embedding_dim else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         dw, dh, ns, pb = [], [], [], []
@@ -288,7 +297,7 @@ class MediaInvariantExtractor:
             dh.append(h)
             ns.append(n)
             pb.append(len(payload))
-        return pa.table(
+        out = pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "modality": batch.column("modality"),
@@ -299,15 +308,31 @@ class MediaInvariantExtractor:
                 "payload_bytes": pa.array(pb, type=pa.int64()),
             }
         )
+        if self._dec is not None:
+            import pyarrow.compute as pc
+
+            emb = self._feat(self._dec(batch))
+            out = out.append_column(
+                "emb_dim",
+                pc.cast(pc.list_value_length(emb.column("embedding")), pa.int64()),
+            )
+        return out
 
 
 def decode_invariants(
-    media: ray.data.Dataset, batch_size: int = 64, concurrency=None
+    media: ray.data.Dataset,
+    batch_size: int = 64,
+    concurrency=None,
+    fake: bool = False,
+    with_embedding_dim: bool = False,
 ) -> ray.data.Dataset:
     """media table -> per-row decode invariants (see MediaInvariantExtractor).
     Same small-batch sizing as the decode stage: binary rows are large."""
     return media.map_batches(
         MediaInvariantExtractor,
+        fn_constructor_kwargs={
+            "fake": fake, "with_embedding_dim": with_embedding_dim,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=resolve_concurrency(concurrency),
