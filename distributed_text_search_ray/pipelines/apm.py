@@ -335,7 +335,7 @@ def _concat_streaming(
         for part in _ray.get(task_refs):
             for q, c in part.items():
                 out[q] += c
-    return ray.data.from_arrow(
+    return _local_result_dataset(
         pa.table(
             {
                 "query_id": pa.array([q for q, _, _ in pats], type=pa.int64()),
