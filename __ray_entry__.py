@@ -111,6 +111,20 @@ FUZZY_PATTERNS = [
     (4, "zzzzz", 2),
 ]
 
+# OSA (transpositions=true) fuzzy set — ALL k=1 deliberately: at one edit
+# OSA and unrestricted Damerau agree, so DuckDB's damerau_levenshtein is an
+# exact oracle for the k=1 predicate (the k>=2 divergence cases — e.g.
+# "CA"->"ABC" is OSA 3 / Damerau 2 — are pinned in pytest against a pure-
+# Python OSA reference instead). The transposed misspellings only reach
+# their targets BECAUSE of the swap edit: classic Levenshtein needs 2.
+OSA_PATTERNS = [
+    (0, "sprak", 1),     # -> spark via one adjacent swap (lev distance 2)
+    (1, "tabel", 1),     # -> table via one adjacent swap
+    (2, "vlaue", 1),     # -> value via one adjacent swap
+    (3, "customer", 1),  # exact term + distance-1 neighbors
+    (4, "zzzzz", 1),     # matches nothing
+]
+
 PREFIX_PATTERNS = [
     (0, "s"),        # fans out: small/sort/spark/stream/slow/scan/...
     (1, "cust"),     # single term (customer)
@@ -1494,6 +1508,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take_all()
         return _rerank_rounded(rows, BM25_TOPK)
 
+    def fuzzy_topk_osa(sf_dir):
+        # Lucene-style fuzziness WITH transpositions (OSA distance): the
+        # swapped-letter misspellings in OSA_PATTERNS reach their target
+        # terms at k=1 only because an adjacent swap counts as ONE edit;
+        # oracle = damerau_levenshtein (== OSA at k=1, see OSA_PATTERNS)
+        rows = search.fuzzy_search_topk(
+            _index_for(sf_dir), OSA_PATTERNS, topk=BM25_TOPK + 10,
+            transpositions=True,
+        ).take_all()
+        return _rerank_rounded(rows, BM25_TOPK)
+
     def _term_df_cf_partial(analyzer):
         """Per-batch (term, df_part, cf_part) partial via the package's
         vectorized tokenize kernel (functions/tokenize.batch_pairs_dict) —
@@ -2346,9 +2371,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newly SQL-gated this round (decode-invariant oracle) — takes the
         # first-50 slot of doc_clusters (green r4) for its first gated row
         "media_features": media_features,
-        "semantic_dedup": semantic_dedup,
+        # new in r5: OSA fuzziness (transpositions=true, the Lucene/ES
+        # fuzzy semantics) — takes the first-50 slot of semantic_dedup
+        # (green r4) for an immediate driver row
+        "fuzzy_topk_osa": fuzzy_topk_osa,
         # ---------------- position 51+ (driver budget permitting) ---------
         # displaced this round — all hold green r4 driver rows
+        "semantic_dedup": semantic_dedup,
         "bpe_merges": bpe_merges,
         "bpe_token_counts": bpe_token_counts,
         "nb_lang_predict": nb_lang_predict,
@@ -3905,6 +3934,40 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
 """
 
+    # OSA-fuzzy twin: identical BM25 CTE stack, expansion predicate =
+    # damerau_levenshtein <= k (exact for the all-k=1 OSA_PATTERNS set)
+    fuzzy_topk_osa_sql = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE N, (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+pats(query_id, p, k) AS (VALUES {_values(OSA_PATTERNS)}),
+qterms AS (
+  SELECT DISTINCT pats.query_id, df.term
+  FROM pats, df WHERE damerau_levenshtein(df.term, pats.p) <= pats.k
+),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (s.N - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) rank,
+         doc_id, round(score, 6) score
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
     # Harman S-stemmer, rule-for-rule identical to Tokenizer.s_stem
     _STEM_CASE = (
         # ordered AND exclusive like Tokenizer.s_stem: a protected ending
@@ -5388,6 +5451,7 @@ JOIN tot tb ON tb.source = p.source_b
         "apm_counts_concat": apm_concat,
         "fuzzy_term_stats": fuzzy,
         "fuzzy_topk": fuzzy_topk_sql,
+        "fuzzy_topk_osa": fuzzy_topk_osa_sql,
         "prefix_stats": prefix_stats_sql,
         "regexp_stats": regexp_stats_sql,
         "regexp_topk": regexp_topk_sql,

@@ -405,3 +405,99 @@ def bounded_term_distances(pattern: str, terms: list[str], k: int) -> np.ndarray
             out[finished] = cur[m][finished]
         prev, cur = cur, prev
     return np.minimum(out, k + 1)
+
+
+def osa_distance(a: str, b: str) -> int:
+    """Optimal String Alignment (restricted Damerau-Levenshtein): plain
+    Levenshtein plus ADJACENT TRANSPOSITION as one edit, with the OSA
+    restriction that no substring is edited twice ("CA"->"ABC" is 3 here
+    but 2 under unrestricted Damerau). Reference implementation for tests
+    and the truncated-tail path; the vectorized kernel is
+    :func:`bounded_term_distances_osa`. This is the variant Lucene/
+    Elasticsearch use for ``fuzziness`` with transpositions."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for x in range(1, la + 1):
+        cur = [x] + [0] * lb
+        ca = a[x - 1]
+        for y in range(1, lb + 1):
+            c = min(prev[y] + 1, cur[y - 1] + 1, prev[y - 1] + (ca != b[y - 1]))
+            if (
+                x > 1
+                and y > 1
+                and ca == b[y - 2]
+                and a[x - 2] == b[y - 1]
+            ):
+                c = min(c, prev2[y - 2] + 1)
+            cur[y] = c
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def bounded_term_distances_osa(pattern: str, terms: list[str], k: int) -> np.ndarray:
+    """OSA (restricted Damerau-Levenshtein) distance between ``pattern``
+    and each term, vectorized across terms, capped at k+1 — the
+    transpositions=true sibling of :func:`bounded_term_distances` (same
+    banding, same dtype argument; one extra ``prev2`` row buffer feeds the
+    transposition term). The |len(t) - len(pattern)| <= k length band
+    remains valid: every OSA edit changes length by at most 1."""
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    m = len(pattern)
+    P = codepoints(pattern)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    dt = _dp_dtype(k, maxlen)
+    INF = dt(k + 1)
+    out = np.full(n, k + 1, dtype=np.int32)
+    if maxlen == 0:
+        out[:] = min(m, k + 1)
+        return out
+    mat = np.zeros((n, maxlen), dtype=np.uint32)
+    for i, t in enumerate(terms):
+        if t:
+            mat[i, : len(t)] = codepoints(t)
+    base = np.minimum(np.arange(m + 1, dtype=np.int64), k + 1).astype(dt)
+    prev = np.broadcast_to(base[:, None], (m + 1, n)).copy()
+    prev2 = np.empty_like(prev)  # row y-2; valid from the second y-step on
+    done0 = lens == 0
+    if done0.any():
+        out[done0] = min(m, k + 1)
+    cur = np.empty_like(prev)
+    nb = np.empty(n, dtype=bool)
+    nb_u8 = nb.view(np.uint8)
+    t1 = np.empty(n, dtype=dt)
+    t2 = np.empty(n, dtype=dt)
+    tr = np.empty(n, dtype=bool)
+    for y in range(1, maxlen + 1):
+        cur.fill(INF)
+        cur[0] = min(y, k + 1)
+        wy = mat[:, y - 1]
+        wy_prev = mat[:, y - 2] if y > 1 else None
+        lo = max(1, y - k)
+        hi = min(m, y + k)
+        for x in range(lo, hi + 1):
+            np.not_equal(P[x - 1], wy, out=nb)
+            np.add(prev[x - 1], nb_u8 if dt == np.uint8 else nb, out=t1)
+            np.add(prev[x], dt(1), out=t2)
+            np.minimum(t1, t2, out=t1)
+            np.add(cur[x - 1], dt(1), out=t2)
+            np.minimum(t1, t2, out=t1)
+            if x > 1 and y > 1:
+                # transposition: P[x-1]==w[y-2] and P[x-2]==w[y-1]
+                np.equal(P[x - 1], wy_prev, out=tr)
+                np.logical_and(tr, P[x - 2] == wy, out=tr)
+                np.add(prev2[x - 2], dt(1), out=t2)
+                np.minimum(t1, np.where(tr, t2, INF).astype(dt), out=t1)
+            cur[x] = t1
+        finished = lens == y
+        if finished.any():
+            out[finished] = cur[m][finished]
+        prev2, prev, cur = prev, cur, prev2
+    return np.minimum(out, k + 1)

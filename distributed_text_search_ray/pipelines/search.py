@@ -665,14 +665,23 @@ class DictionaryExpander:
     def terms(self):
         return self._terms_arr
 
-    def expand(self, pattern: str, k: int) -> np.ndarray:
-        """Indices of dictionary terms within Levenshtein distance k."""
+    def expand(self, pattern: str, k: int, transpositions: bool = False) -> np.ndarray:
+        """Indices of dictionary terms within distance k of ``pattern``:
+        classic Levenshtein by default, OSA (adjacent transposition = one
+        edit — Lucene's ``fuzziness`` with transpositions) when
+        ``transpositions=True``. The length band is valid for both: every
+        edit, transposition included, changes length by at most 1."""
+        from distributed_text_search_ray.functions.lev import (
+            bounded_term_distances_osa,
+        )
+
         m = len(pattern)
         band = np.flatnonzero(np.abs(self.lens - m) <= k)
         if band.size == 0:
             return band
         cand = self._terms_arr.take(pa.array(band)).to_pylist()
-        dists = bounded_term_distances(pattern, cand, k)
+        kernel = bounded_term_distances_osa if transpositions else bounded_term_distances
+        dists = kernel(pattern, cand, k)
         return band[dists <= k]
 
 
@@ -742,10 +751,17 @@ class FuzzyTopkExecutor(QueryExecutor):
     """BM25 over the OR of the fuzzy-expanded term set (scale path for the
     reference's approximate matching: index lookup instead of a corpus scan)."""
 
-    def __init__(self, index_dir: str, topk: int = 10, k_lev: int = 1):
+    def __init__(
+        self,
+        index_dir: str,
+        topk: int = 10,
+        k_lev: int = 1,
+        transpositions: bool = False,
+    ):
         super().__init__(index_dir, topk=topk)
         self.expander = DictionaryExpander(index_dir)
         self.k_lev = k_lev
+        self.transpositions = transpositions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_r, out_d, out_s = [], [], [], []
@@ -753,7 +769,7 @@ class FuzzyTopkExecutor(QueryExecutor):
             toks = self.tokenizer.tokens(row["pattern"])
             p = toks[0] if toks else ""
             k_lev = int(row["k"]) if "k" in batch.column_names else self.k_lev
-            idxs = self.expander.expand(p, k_lev)
+            idxs = self.expander.expand(p, k_lev, transpositions=self.transpositions)
             terms = sorted(self.expander.term_at(i) for i in idxs)
             docs, scores = self._score_taat(terms, self.topk)
             for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), start=1):
@@ -1267,13 +1283,20 @@ def fuzzy_search_topk(
     patterns: Iterable[tuple[int, str, int]],
     topk: int = 10,
     concurrency: int | None = None,
+    transpositions: bool = False,
 ) -> ray.data.Dataset:
+    """BM25 over the fuzzy-expanded term set of each (query_id, pattern, k).
+    ``transpositions=True`` expands with OSA distance (adjacent swap = one
+    edit — the Lucene/Elasticsearch ``fuzziness`` semantics) instead of
+    classic Levenshtein: 'sprak' reaches 'spark' at k=1."""
     items = [
         {"query_id": int(q), "pattern": str(p), "k": int(k)} for q, p, k in patterns
     ]
     return ray.data.from_items(items).map_batches(
         FuzzyTopkExecutor,
-        fn_constructor_kwargs={"index_dir": index_dir, "topk": topk},
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "topk": topk, "transpositions": transpositions,
+        },
         batch_format="pyarrow",
         batch_size=64,
         concurrency=resolve_concurrency(concurrency),

@@ -131,3 +131,54 @@ def test_extract_keywords_ranks_rare_terms(fuzzy_index):
         assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
         scores = [r["score"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_osa_kernel_matches_python_reference_and_diverges_correctly():
+    """bounded_term_distances_osa == the pure-Python OSA reference on a
+    4-letter-alphabet fuzz sweep, INCLUDING the cases where OSA differs
+    from both classic Levenshtein (swap counts 1) and unrestricted
+    Damerau (no double-edit of a substring: 'CA'->'ABC' is 3, not 2 —
+    the k>=2 regime DuckDB's damerau_levenshtein cannot oracle)."""
+    import random
+
+    from distributed_text_search_ray.functions.lev import (
+        bounded_term_distances,
+        bounded_term_distances_osa,
+        osa_distance,
+    )
+
+    assert osa_distance("CA", "ABC") == 3          # OSA restriction
+    assert osa_distance("ab", "ba") == 1           # swap = one edit
+    assert osa_distance("sprak", "spark") == 1
+    assert bounded_term_distances("sprak", ["spark"], 1)[0] == 2  # classic lev caps
+    assert bounded_term_distances_osa("sprak", ["spark"], 1)[0] == 1
+    assert list(bounded_term_distances_osa("CA", ["ABC"], 2)) == [3]
+
+    rng = random.Random(7)
+    alpha = "abcd"
+    for _ in range(1500):
+        p = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 6)))
+        terms = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 7)))
+            for _ in range(4)
+        ]
+        for k in (0, 1, 2, 3):
+            got = list(bounded_term_distances_osa(p, terms, k))
+            want = [min(osa_distance(p, t), k + 1) for t in terms]
+            assert got == want, (p, terms, k, got, want)
+
+
+def test_fuzzy_topk_transpositions_expand_swapped_terms(built_index_r3):
+    """fuzzy_search_topk(transpositions=True) retrieves docs for a
+    swapped-letter misspelling at k=1 where the classic path finds
+    nothing (the ES fuzziness contract)."""
+    from distributed_text_search_ray.pipelines.search import fuzzy_search_topk
+
+    _, index_dir = built_index_r3
+    pats = [(0, "improt", 1)]  # 'import' with the r/t swap; corpus is code_like
+    classic = fuzzy_search_topk(index_dir, pats, topk=5).take_all()
+    osa = fuzzy_search_topk(index_dir, pats, topk=5, transpositions=True).take_all()
+    assert len(osa) > 0
+    # classic lev distance of 'improt'->'import' is 2: k=1 finds nothing
+    # unless some other distance-1 term exists (it doesn't in this corpus)
+    assert len(classic) == 0
