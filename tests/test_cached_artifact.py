@@ -100,8 +100,10 @@ def test_build_failure_raises_one_line_named_error(tmp_path):
         _cached_artifact(out, {"v": 1}, bad_build, _validate_data)
     msg = str(ei.value)
     assert "art" in msg and "ValueError" in msg
-    assert len(msg) < 400  # truncated — no table-content dumps
+    # truncated head+tail — no table-content dumps, no embedded newlines
+    assert len(msg) < 500
     assert "\n" not in msg
+    assert " ... " in msg  # both the head and the terminal cause survive
     # nothing published: no marker, no out_dir, no tmp
     assert not os.path.exists(out) and not os.path.exists(out + ".json")
     assert not os.path.exists(out + ".tmp")
