@@ -338,25 +338,37 @@ def _cached_artifact(
     tmp = out_dir + ".tmp"
     for d in (out_dir, tmp, *scratch_dirs):
         shutil.rmtree(d, ignore_errors=True)
+
+    def _one_line_error(stage: str, e: Exception):
+        # keep head AND tail: a RayTaskError prefixes a long remote stack,
+        # so the terminal cause lives at the END of str(e)
+        msg = " ".join(str(e).split())
+        if len(msg) > 360:
+            msg = msg[:120] + " ... " + msg[-240:]
+        return RuntimeError(
+            f"cache {stage} failed for artifact '{name}': {type(e).__name__}: {msg}"
+        )
+
     try:
         build_fn(tmp)
         if validate_fn is not None:
             validate_fn(tmp)
     except Exception as e:
         shutil.rmtree(tmp, ignore_errors=True)
-        # keep head AND tail: a RayTaskError prefixes a long remote stack,
-        # so the terminal cause lives at the END of str(e)
-        msg = " ".join(str(e).split())
-        if len(msg) > 360:
-            msg = msg[:120] + " ... " + msg[-240:]
-        raise RuntimeError(
-            f"cache build failed for artifact '{name}': {type(e).__name__}: {msg}"
-        ) from None
-    os.rename(tmp, out_dir)
+        for d in scratch_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        raise _one_line_error("build", e) from None
+    try:
+        os.rename(tmp, out_dir)
+        with open(marker, "w") as f:
+            json.dump(sig, f)
+    except Exception as e:
+        # e.g. out_dir resurfaced as a plain file: the helper's error
+        # contract (one line, stage-named) must hold here too
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise _one_line_error("publish", e) from None
     for d in scratch_dirs:
         shutil.rmtree(d, ignore_errors=True)
-    with open(marker, "w") as f:
-        json.dump(sig, f)
     return out_dir
 
 
@@ -2485,7 +2497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_terms_kmv": distinct_terms_kmv,
         "top_docs_lang": top_docs_lang,
         "top_terms": top_terms,
-        # rows-only (no SQL oracle) — deliberately last
+        # SQL-gated like everything else (doc_clusters_sql); displaced from
+        # the first 50 by media_features' newly gated slot
         "doc_clusters": doc_clusters,
     }
 

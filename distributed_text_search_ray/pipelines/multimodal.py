@@ -148,6 +148,32 @@ def synthetic_media(n: int = 64, seed: int = 0) -> pa.Table:
     return pa.table({f.name: pa.array(rows[f.name], type=f.type) for f in MEDIA_SCHEMA})
 
 
+def _thumb_from_pixels(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> 8x8 block-mean-luma thumbnail."""
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    return _block_mean_8x8(luma)
+
+
+def _thumb_from_samples(samples: np.ndarray) -> np.ndarray:
+    """PCM16 samples -> 64-bin absolute-amplitude envelope as 8x8 uint8."""
+    if samples.size == 0:
+        return np.zeros((8, 8), dtype=np.uint8)
+    env = np.abs(samples.astype(np.float64))
+    if env.size < 64:
+        env = np.pad(env, (0, 64 - env.size))
+    edges = (np.arange(65) * env.size) // 64  # size>=64 -> all bins nonempty
+    bins = np.array([env[edges[i] : edges[i + 1]].mean() for i in range(64)])
+    scaled = np.clip(bins / 32768.0 * 255.0 * 4.0, 0, 255)  # x4: speech-ish headroom
+    return scaled.astype(np.uint8).reshape(8, 8)
+
+
+def _fake_thumb(payload: bytes) -> np.ndarray:
+    """Deterministic sha256-seeded stand-in for codec-less formats."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+
+
 class MediaDecoder:
     """Actor-pool decode stage (setup once per actor, work per batch).
 
@@ -164,31 +190,17 @@ class MediaDecoder:
 
     def _decode_one(self, fmt: str, payload: bytes) -> np.ndarray:
         if fmt == "ppm":
-            px = decode_ppm(payload)
-            luma = (
-                0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-            )
-            return _block_mean_8x8(luma)
+            return _thumb_from_pixels(decode_ppm(payload))
         if fmt == "wav":
             samples, _sr = decode_wav(payload)
-            if samples.size == 0:
-                return np.zeros((8, 8), dtype=np.uint8)
-            env = np.abs(samples.astype(np.float64))
-            if env.size < 64:
-                env = np.pad(env, (0, 64 - env.size))
-            edges = (np.arange(65) * env.size) // 64  # size>=64 -> all bins nonempty
-            bins = np.array([env[edges[i] : edges[i + 1]].mean() for i in range(64)])
-            scaled = np.clip(bins / 32768.0 * 255.0 * 4.0, 0, 255)  # x4: speech-ish headroom
-            return scaled.astype(np.uint8).reshape(8, 8)
+            return _thumb_from_samples(samples)
         if not self.fake:
             raise NotImplementedError(
                 f"decoding format {fmt!r} requires codecs not present in this "
                 "container; construct MediaDecoder(fake=True) for the "
                 "deterministic stand-in"
             )
-        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        return _fake_thumb(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         thumbs = [
@@ -278,25 +290,42 @@ class MediaInvariantExtractor:
     """
 
     def __init__(self, fake: bool = False, with_embedding_dim: bool = False):
-        self._dec = MediaDecoder(fake=fake) if with_embedding_dim else None
+        self.fake = fake
+        self.with_embedding_dim = with_embedding_dim
         self._feat = MediaFeatureExtractor() if with_embedding_dim else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        dw, dh, ns, pb = [], [], [], []
+        dw, dh, ns, pb, thumbs = [], [], [], [], []
         for fmt, payload in zip(
             batch.column("format").to_pylist(), batch.column("payload").to_pylist()
         ):
+            # decode ONCE per payload; invariants and (optionally) the
+            # thumbnail both derive from the same decoded data
             w = h = n = 0
+            thumb = None
             if fmt == "ppm":
                 px = decode_ppm(payload)
                 h, w = int(px.shape[0]), int(px.shape[1])
+                if self.with_embedding_dim:
+                    thumb = _thumb_from_pixels(px)
             elif fmt == "wav":
                 samples, _sr = decode_wav(payload)
                 n = int(samples.size)
+                if self.with_embedding_dim:
+                    thumb = _thumb_from_samples(samples)
+            elif self.with_embedding_dim:
+                if not self.fake:
+                    raise NotImplementedError(
+                        f"decoding format {fmt!r} requires codecs not present "
+                        "in this container; pass fake=True for the stand-in"
+                    )
+                thumb = _fake_thumb(payload)
             dw.append(w)
             dh.append(h)
             ns.append(n)
             pb.append(len(payload))
+            if thumb is not None:
+                thumbs.append(thumb)
         out = pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -308,10 +337,19 @@ class MediaInvariantExtractor:
                 "payload_bytes": pa.array(pb, type=pa.int64()),
             }
         )
-        if self._dec is not None:
+        if self.with_embedding_dim:
             import pyarrow.compute as pc
 
-            emb = self._feat(self._dec(batch))
+            thumb_t = pa.table(
+                {
+                    "media_id": batch.column("media_id"),
+                    "thumb8x8": pa.array(
+                        [t.flatten().tolist() for t in thumbs],
+                        type=pa.list_(pa.uint8()),
+                    ),
+                }
+            )
+            emb = self._feat(thumb_t)
             out = out.append_column(
                 "emb_dim",
                 pc.cast(pc.list_value_length(emb.column("embedding")), pa.int64()),
