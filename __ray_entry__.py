@@ -394,12 +394,22 @@ def _validate_parquet_dir(d: str) -> None:
 
 
 def _collect(ds) -> pa.Table:
-    """Small Dataset -> one pyarrow Table (bounded results only)."""
+    """Small Dataset -> one pyarrow Table (bounded results only).
+
+    Collects via arrow block refs, NOT ``to_pandas``: Ray's to_pandas
+    returns a column-less DataFrame when every block is empty even though
+    the blocks carry a schema — a legitimately-empty result must still
+    present its schema to the comparator."""
     import ray
 
-    tables = [t if isinstance(t, pa.Table) else pa.table(t) for t in ray.get(ds.to_arrow_refs())]
-    tables = [t for t in tables if t.num_rows]
-    return pa.concat_tables(tables) if tables else pa.table({})
+    tables = [
+        t if isinstance(t, pa.Table) else pa.table(t)
+        for t in ray.get(ds.to_arrow_refs())
+    ]
+    non_empty = [t for t in tables if t.num_rows]
+    if non_empty:
+        return pa.concat_tables(non_empty)
+    return tables[0] if tables else pa.table({})
 
 
 _MEDIA_N, _MEDIA_SEED = 96, 11
@@ -1733,7 +1743,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.dup_span_coverage(_docs_ds(sf_dir))
 
     def dup_span_filtered(sf_dir):
-        return dedup.dup_span_filter(_docs_ds(sf_dir), max_dup_fraction=0.5)
+        # _collect (schema-preserving): on a boilerplate-saturated corpus
+        # the survivor set is legitimately EMPTY, and Ray's to_pandas would
+        # otherwise hand the comparator a column-less frame (sf0.1 sweep)
+        return _collect(dedup.dup_span_filter(_docs_ds(sf_dir), max_dup_fraction=0.5))
 
     def dup_span_edited(sf_dir):
         return dedup.dup_span_edit(_docs_ds(sf_dir))
@@ -5546,17 +5559,28 @@ SELECT event_type, count(*)::BIGINT n_gaps,
              - (sum(gap) / count(*)) * (sum(gap) / count(*)), 0)), 6) std_gap_s
 FROM g GROUP BY 1
 """,
+        # moments sum as 6-dp-quantized BIGINT micro-units on BOTH sides:
+        # integer sums are order-independent, so engine and twin agree
+        # bit-for-bit at every scale (a float sum(value*value) diverged by
+        # one 6-dp ulp from the engine's partial order at sf0.1)
         "extended_stats": """
-SELECT event_type, count(*)::BIGINT n,
-       round(min(value), 6) vmin, round(max(value), 6) vmax,
-       round(sum(value), 6) vsum,
-       round(sum(value) / count(*), 6) avg,
-       round(sum(value * value), 6) sum_of_squares,
-       round(sum(value * value) / count(*)
-             - (sum(value) / count(*)) * (sum(value) / count(*)), 6) variance,
-       round(sqrt(greatest(sum(value * value) / count(*)
-             - (sum(value) / count(*)) * (sum(value) / count(*)), 0)), 6) std_dev
-FROM events GROUP BY 1
+WITH q AS (
+  SELECT event_type, count(*)::BIGINT n,
+         min(value) vmin, max(value) vmax,
+         sum(CAST(round(value * 1000000) AS BIGINT)) sxq,
+         sum(CAST(round(value * value * 1000000) AS BIGINT)) sxxq
+  FROM events GROUP BY 1
+)
+SELECT event_type, n,
+       round(vmin, 6) vmin, round(vmax, 6) vmax,
+       round(sxq / 1000000.0, 6) vsum,
+       round(sxq / 1000000.0 / n, 6) avg,
+       round(sxxq / 1000000.0, 6) sum_of_squares,
+       round(sxxq / 1000000.0 / n
+             - (sxq / 1000000.0 / n) * (sxq / 1000000.0 / n), 6) variance,
+       round(sqrt(greatest(sxxq / 1000000.0 / n
+             - (sxq / 1000000.0 / n) * (sxq / 1000000.0 / n), 0)), 6) std_dev
+FROM q
 """,
         "source_diversity": f"""
 WITH tokl AS MATERIALIZED (

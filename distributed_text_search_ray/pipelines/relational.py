@@ -1580,7 +1580,16 @@ def extended_stats(sf_dir: str) -> ray.data.Dataset:
     variance and std deviation — one streaming pass of per-type
     (n, Σx, Σx², min, max) partials and a types-sized reduce. Float
     outputs 6-dp rounded with the same expressions as the twin:
-    var = Σx²/n − (Σx/n)², std = sqrt(var)."""
+    var = Σx²/n − (Σx/n)², std = sqrt(var).
+
+    Moments are accumulated as MICRO-UNIT INTEGERS (each x and x² is
+    6-dp-quantized to int64 before summing, exactly like the twin's
+    ``sum(CAST(round(v * 1e6) AS BIGINT))``): integer sums are
+    order-independent, so the result is bit-identical across block
+    layouts, cluster sizes AND to the SQL twin. A plain float Σx² diverged
+    from DuckDB's summation order by one 6-dp ulp at sf0.1 (Σx² ~1e8 puts
+    the rounding boundary within a few float64 ulps of the sum). NaN
+    values are out of contract for this table (none exist at any sf)."""
     from ray.data.aggregate import Max, Min
 
     ds = ray.data.read_parquet(
@@ -1588,14 +1597,21 @@ def extended_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        from distributed_text_search_ray.util import round_half_away
+
         enc = batch.column("event_type").dictionary_encode().combine_chunks()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         cats = enc.dictionary.to_pylist()
         v = batch.column("value").to_numpy(zero_copy_only=False)
         g = len(cats)
         n = np.bincount(codes, minlength=g)
-        sx = np.bincount(codes, weights=v, minlength=g)
-        sxx = np.bincount(codes, weights=v * v, minlength=g)
+        # micro-unit integer quantization (see docstring): the bincount
+        # weights are exact integers < 2^53, so float64 accumulation of
+        # them is exact; the emitted partials are int64
+        qx = round_half_away(v * 1e6, 0)
+        qxx = round_half_away(v * v * 1e6, 0)
+        sxq = np.bincount(codes, weights=qx, minlength=g).astype(np.int64)
+        sxxq = np.bincount(codes, weights=qxx, minlength=g).astype(np.int64)
         mn = np.full(g, np.inf)
         mx = np.full(g, -np.inf)
         np.minimum.at(mn, codes, v)
@@ -1604,8 +1620,8 @@ def extended_stats(sf_dir: str) -> ray.data.Dataset:
             {
                 "event_type": pa.array(cats, type=pa.string()),
                 "n": pa.array(n, type=pa.int64()),
-                "sx": pa.array(sx, type=pa.float64()),
-                "sxx": pa.array(sxx, type=pa.float64()),
+                "sxq": pa.array(sxq, type=pa.int64()),
+                "sxxq": pa.array(sxxq, type=pa.int64()),
                 "vmin": pa.array(mn, type=pa.float64()),
                 "vmax": pa.array(mx, type=pa.float64()),
             }
@@ -1616,8 +1632,8 @@ def extended_stats(sf_dir: str) -> ray.data.Dataset:
         .groupby("event_type")
         .aggregate(
             Sum("n", alias_name="n"),
-            Sum("sx", alias_name="sx"),
-            Sum("sxx", alias_name="sxx"),
+            Sum("sxq", alias_name="sxq"),
+            Sum("sxxq", alias_name="sxxq"),
             Min("vmin", alias_name="vmin"),
             Max("vmax", alias_name="vmax"),
         )
@@ -1627,8 +1643,8 @@ def extended_stats(sf_dir: str) -> ray.data.Dataset:
         from distributed_text_search_ray.util import round_half_away
 
         n = batch.column("n").to_numpy().astype(np.float64)
-        sx = batch.column("sx").to_numpy()
-        sxx = batch.column("sxx").to_numpy()
+        sx = batch.column("sxq").to_numpy().astype(np.float64) / 1e6
+        sxx = batch.column("sxxq").to_numpy().astype(np.float64) / 1e6
         avg = sx / n
         var = sxx / n - (sx / n) * (sx / n)
         return pa.table(
